@@ -1,0 +1,53 @@
+"""Frame-of-reference + RLE/bit-pack codec for integer columns.
+
+Not present in the reference (its only codecs are PLAIN and RLE,
+`/root/reference/lib/codec/index.js:1-2`); this is one of the new
+lightweight codecs the north rule adds. Values are rebased by the chunk
+minimum, then the non-negative residuals go through the parquetjs-style
+RLE/bit-pack hybrid (:mod:`parquetjs_ray.codecs.rle`), so both narrow
+value ranges (bit width) and runs (RLE) pay off.
+
+Chunk parameters (reference value, bit width, count) live in the
+partition manifest, not inline — the encoded buffer is the bare hybrid
+stream without envelope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import rle
+from .bitpack import bit_width
+
+__all__ = ["encode", "decode", "estimate_size"]
+
+
+def encode(values: np.ndarray) -> tuple[bytes, dict]:
+    """Encode an integer array → (buffer, params for the manifest)."""
+    v = np.ascontiguousarray(values)
+    n = len(v)
+    if n == 0:
+        return b"", {"ref": 0, "width": 0, "count": 0}
+    lo = int(v.min())
+    hi = int(v.max())
+    width = bit_width(hi - lo)
+    residuals = (v.astype(np.int64) - lo).astype(np.uint64)
+    buf = rle.encode(residuals, width, disable_envelope=True)
+    return buf, {"ref": lo, "width": width, "count": n}
+
+
+def decode(buf: bytes, params: dict, dtype=np.int64) -> np.ndarray:
+    n = int(params["count"])
+    if n == 0:
+        return np.zeros(0, dtype=dtype)
+    residuals = rle.decode(buf, n, int(params["width"]), disable_envelope=True)
+    return (residuals.astype(np.int64) + int(params["ref"])).astype(dtype)
+
+
+def estimate_size(lo: int, hi: int, n: int, mean_run: float = 1.0) -> int:
+    """Cheap size estimate in bytes (used by the codec selector)."""
+    width = bit_width(max(0, hi - lo))
+    if mean_run >= 8:
+        # mostly repeated runs: ~ (n / mean_run) * (2 + value bytes)
+        return int(n / mean_run) * (2 + (width + 7) // 8) + 16
+    return (n * width + 7) // 8 + 16

@@ -1,0 +1,54 @@
+"""parquetjs_ray — a Ray-Data-native per-column lightweight-compression engine.
+
+Capabilities modeled on ironSource/parquetjs (reference at
+/root/reference, see SURVEY.md), re-designed Ray-Data-first: streaming
+Dataset pipelines, zero-copy Arrow batches, actor pools holding
+broadcast dictionary/FSST artifacts, salted repartition for skew,
+per-partition lineage manifests with checkpoint-resume.
+"""
+
+from __future__ import annotations
+
+
+def _tune_malloc() -> None:
+    """Pin glibc's mmap/trim thresholds high.
+
+    This sandbox makes first-touch page faults on freshly mmap'd
+    private-anonymous memory extremely expensive (~0.5 ms/page). With
+    glibc defaults every large numpy temporary is mmap'd on malloc and
+    munmap'd on free, so the fault cost recurs per operation (~1000×
+    slowdown on >1 MB arrays). Raising M_MMAP_THRESHOLD / M_TRIM_THRESHOLD
+    keeps big allocations on the brk heap and keeps freed pages mapped,
+    so the fault cost is paid once per worker process. Applied at import
+    time, which covers every Ray worker that deserializes our stages.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass  # non-glibc platform: harmless no-op
+
+
+def _tune_arrow() -> None:
+    """Stop pyarrow's jemalloc from purging dirty pages back to the OS —
+    same sandbox fault-cost rationale as :func:`_tune_malloc`."""
+    try:
+        import pyarrow as pa
+
+        pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass
+
+
+_tune_malloc()
+_tune_arrow()
+
+MALLOC_ENV = {
+    # same tuning for child processes that must be fast from birth
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+}

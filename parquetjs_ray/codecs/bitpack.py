@@ -27,12 +27,28 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+_BYTE_WIDTH_DTYPE = {8: "<u1", 16: "<u2", 32: "<u4", 64: "<u8"}
+_CHUNK = 1 << 21  # values per packing block (multiple of 8 → byte-aligned)
+
+
+def _pack_block(v: np.ndarray, width: int, bits_buf: np.ndarray) -> bytes:
+    n = len(v)
+    bits = bits_buf[: n * width].reshape(n, width)
+    for i in range(width):
+        np.bitwise_and(v >> np.uint64(i), np.uint64(1), out=bits[:, i], casting="unsafe")
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
 def pack_bits(values: np.ndarray, width: int) -> bytes:
     """Pack non-negative ints into an LSB-first bitstream of ``width`` bits each.
 
     The output is padded with zero bits to a whole byte (numpy packbits
     semantics); callers that need value-granular padding (RLE runs padded to
     a multiple of 8 *values*) pad ``values`` themselves.
+
+    Byte-multiple widths (8/16/32/64) are a straight dtype cast (memcpy
+    speed); other widths use a per-bit vectorized loop over bounded-size
+    blocks, never a quadratic ``(n, width)`` uint64 broadcast.
     """
     n = len(values)
     if width == 0 or n == 0:
@@ -40,9 +56,12 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     if width > 64:
         raise ValueError(f"width {width} > 64 unsupported")
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    if width in _BYTE_WIDTH_DTYPE:
+        return v.astype(_BYTE_WIDTH_DTYPE[width]).tobytes()
+    if n <= _CHUNK:
+        return _pack_block(v, width, np.empty(n * width, dtype=np.uint8))
+    bits_buf = np.empty(_CHUNK * width, dtype=np.uint8)
+    return b"".join(_pack_block(v[s : s + _CHUNK], width, bits_buf) for s in range(0, n, _CHUNK))
 
 
 def unpack_bits(buf: bytes | np.ndarray, n: int, width: int) -> np.ndarray:
@@ -53,7 +72,15 @@ def unpack_bits(buf: bytes | np.ndarray, n: int, width: int) -> np.ndarray:
     need = (n * width + 7) // 8
     if len(raw) < need:
         raise ValueError(f"buffer too small: {len(raw)} < {need}")
-    bits = np.unpackbits(raw[:need], bitorder="little")[: n * width]
-    w = bits.reshape(n, width).astype(np.uint64)
-    weights = np.left_shift(np.uint64(1), np.arange(width, dtype=np.uint64))
-    return (w * weights).sum(axis=1, dtype=np.uint64)
+    if width in _BYTE_WIDTH_DTYPE:
+        return np.frombuffer(raw[:need].tobytes(), dtype=_BYTE_WIDTH_DTYPE[width], count=n).astype(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    for s in range(0, n, _CHUNK):
+        e = min(s + _CHUNK, n)
+        bits = np.unpackbits(raw[s * width // 8 : (e * width + 7) // 8], bitorder="little")
+        block = out[s:e]
+        block[:] = 0
+        bm = bits[: (e - s) * width].reshape(e - s, width)
+        for i in range(width):
+            block |= bm[:, i].astype(np.uint64) << np.uint64(i)
+    return out

@@ -1,0 +1,119 @@
+"""Round-trip verification, order-insensitive and streaming.
+
+The reference's invariant is per-row deep equality after write-then-read
+(`/root/reference/test/integration.js:99-231`). At 10^12 rows a
+driver-side sorted compare is impossible, so verification is a pair of
+streaming aggregates: a vectorized 64-bit row hash (order-sensitive
+WITHIN a row: token position is mixed in; order-insensitive ACROSS rows:
+hashes are summed mod 2^64) computed over both the original dataset and
+the decoded dataset. Equal (count, hash-sum) ⇒ multiset row equality
+with overwhelming probability. Tests additionally do exact sorted
+compares at small scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..arrow_util import list_buffers, string_buffers
+
+__all__ = ["row_hashes", "dataset_fingerprint", "verify_roundtrip"]
+
+_U = np.uint64
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U(27))) * _U(0x94D049BB133111EB)
+    return x ^ (x >> _U(31))
+
+
+def _string_col_hash(arr: pa.Array) -> np.ndarray:
+    """Full-content per-string hash: every byte weighted by its in-row position."""
+    data, offsets = string_buffers(arr)
+    lens = np.diff(offsets)
+    n = len(lens)
+    if len(data) == 0:
+        return _mix64(lens.astype(np.uint64))
+    inrow = np.arange(len(data), dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    mixed = _mix64(data.astype(np.uint64) + _U(0x9E3779B97F4A7C15) * (inrow.astype(np.uint64) + _U(1)))
+    starts = offsets[:-1].copy()
+    # reduceat needs non-empty slices; empty rows contribute 0
+    sums = np.zeros(n, dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        red = np.add.reduceat(mixed, starts[nonempty])
+        sums[nonempty] = red
+    return _mix64(sums ^ lens.astype(np.uint64))
+
+
+def _list_int_col_hash(arr: pa.Array) -> np.ndarray:
+    flat, lens = list_buffers(arr)
+    n = len(lens)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if len(flat) == 0:
+        return _mix64(lens.astype(np.uint64))
+    inrow = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    mixed = _mix64(flat.astype(np.int64).astype(np.uint64) + _U(0x9E3779B97F4A7C15) * (inrow.astype(np.uint64) + _U(1)))
+    sums = np.zeros(n, dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        sums[nonempty] = np.add.reduceat(mixed, offsets[:-1][nonempty])
+    return _mix64(sums ^ lens.astype(np.uint64))
+
+
+def row_hashes(batch: pa.Table) -> np.ndarray:
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for i, name in enumerate(sorted(batch.column_names)):
+        col = batch.column(name)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            ch = _string_col_hash(arr)
+        elif pa.types.is_list(t):
+            ch = _list_int_col_hash(arr)
+        elif pa.types.is_integer(t):
+            ch = _mix64(arr.to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64))
+        else:
+            raise TypeError(f"no row hash for column type {t}")
+        h ^= _mix64(ch + _U(1000003) * _U(i + 1))
+    return h
+
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    h = row_hashes(batch)
+    return pa.table(
+        {
+            "count": pa.array([len(h)], type=pa.int64()),
+            "hash_sum": pa.array([int(h.sum(dtype=np.uint64))], type=pa.uint64()),
+        }
+    )
+
+
+def dataset_fingerprint(ds: rd.Dataset, columns: list[str] | None = None) -> tuple[int, int]:
+    """(row count, 64-bit multiset hash) computed as a streaming aggregate."""
+    if columns:
+        ds = ds.select_columns(columns)
+    parts = ds.map_batches(_fingerprint_batch, batch_format="pyarrow").take_all()
+    count = sum(p["count"] for p in parts)
+    hsum = 0
+    for p in parts:
+        hsum = (hsum + int(p["hash_sum"])) % (1 << 64)
+    return count, hsum
+
+
+def verify_roundtrip(original: rd.Dataset, decoded: rd.Dataset) -> dict:
+    cols = sorted(original.schema().names)
+    c1, h1 = dataset_fingerprint(original, cols)
+    c2, h2 = dataset_fingerprint(decoded, cols)
+    return {
+        "rows_original": c1,
+        "rows_decoded": c2,
+        "hash_original": h1,
+        "hash_decoded": h2,
+        "equal": (c1 == c2) and (h1 == h2),
+    }

@@ -43,6 +43,18 @@ SOURCES = [
 VOCAB = 50257
 
 
+_ZIPF_CDF: np.ndarray | None = None
+
+
+def _zipf_ranks(rng: np.random.Generator, n: int, a: float = 1.3) -> np.ndarray:
+    """Bounded Zipf(a) ranks in [1, VOCAB] via a cached inverse-CDF table."""
+    global _ZIPF_CDF
+    if _ZIPF_CDF is None:
+        pmf = np.arange(1, VOCAB + 1, dtype=np.float64) ** (-a)
+        _ZIPF_CDF = np.cumsum(pmf / pmf.sum())
+    return np.searchsorted(_ZIPF_CDF, rng.random(n)) + 1
+
+
 def _source_weights(s: float) -> np.ndarray:
     w = np.arange(1, len(SOURCES) + 1, dtype=np.float64) ** (-s)
     return w / w.sum()
@@ -64,8 +76,9 @@ def generate_shard(
     lens = np.clip(rng.lognormal(np.log(512), 0.6, rows), 8, 8192).astype(np.int64)
     total = int(lens.sum())
 
-    # token ids: zipf ranks clipped to vocab, plus per-source base offset
-    ranks = rng.zipf(1.3, total)
+    # token ids: bounded-Zipf ranks (inverse-CDF table; np.random.zipf's
+    # rejection sampler is pathologically slow for a < 2) + per-source base
+    ranks = _zipf_ranks(rng, total)
     base = (src_idx.astype(np.int64) * 997) % 20000
     flat = np.minimum(np.repeat(base, lens) + ranks, VOCAB - 1).astype(np.int32)
 

@@ -1,0 +1,64 @@
+"""Chunk → Arrow decode path (verification + consumers).
+
+Inverse of :mod:`parquetjs_ray.stages.encoder`; plays the role of the
+reference's ``decodeDataPages``/``materializeRecords``
+(`/root/reference/lib/reader.js:297-339`, `lib/shred.js:157-195`) but
+rebuilds Arrow arrays from buffers instead of materializing row objects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..arrow_util import list_from_buffers, strings_from_buffers
+from ..codecs import fornum, fsst as fsst_mod, plain, rle
+from ..codecs.bitpack import bit_width
+from .encoder import EncoderState
+
+__all__ = ["decode_chunk"]
+
+_INT_TYPES = {"int32": (pa.int32(), np.int32), "int64": (pa.int64(), np.int64)}
+
+
+def _segment(chunk: memoryview, seg: list[int]) -> memoryview:
+    off, ln = seg
+    return chunk[off : off + ln]
+
+
+def decode_chunk(chunk: bytes | memoryview, manifest: dict, state: EncoderState) -> pa.Table:
+    chunk = memoryview(chunk)
+    rows = int(manifest["rows"])
+    arrays = {}
+    for name, meta in manifest["columns"].items():
+        codec = meta["codec"]
+        segs = meta["segments"]
+        params = meta.get("params", {})
+        n = int(meta.get("count", rows))
+        if codec == "dict_global":
+            width = int(params["width"])
+            idx = rle.decode(_segment(chunk, segs["idx"]), n, width, disable_envelope=True)
+            arrays[name] = pa.compute.take(state.source_dict, pa.array(idx.astype(np.int64)))
+        elif codec == "fsst":
+            lens = fornum.decode(_segment(chunk, segs["lens"]), params["lens_for"])
+            code_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=code_offs[1:])
+            data, offsets = fsst_mod.decode(
+                state.fsst_table, np.frombuffer(_segment(chunk, segs["codes"]), dtype=np.uint8), code_offs
+            )
+            arrays[name] = strings_from_buffers(data, offsets)
+        elif codec == "plain":
+            data, offsets = plain.decode_byte_array(_segment(chunk, segs["data"]), n)
+            arrays[name] = strings_from_buffers(data, offsets)
+        elif codec == "for_rle":
+            pa_t, np_t = _INT_TYPES[meta["dtype"]]
+            vals = fornum.decode(_segment(chunk, segs["data"]), params["for"], dtype=np_t)
+            arrays[name] = pa.array(vals, type=pa_t)
+        elif codec == "list_for_rle":
+            pa_t, np_t = _INT_TYPES[meta["dtype"]]
+            lens = fornum.decode(_segment(chunk, segs["lens"]), params["lens_for"])
+            flat = fornum.decode(_segment(chunk, segs["values"]), params["values_for"], dtype=np_t)
+            arrays[name] = list_from_buffers(flat, lens, pa_t)
+        else:
+            raise ValueError(f"unknown codec {codec!r} for column {name}")
+    return pa.table(arrays)

@@ -1,0 +1,181 @@
+"""Per-chunk column encoding with codec auto-selection (pure, Ray-free).
+
+This is the engine's equivalent of the reference's
+``encodeRowGroup``/``encodeColumnChunk`` (`/root/reference/lib/writer.js:424-515`),
+redesigned columnar-first: the input is an Arrow batch (≈ one row group),
+the output is one binary chunk (concatenated per-column segments) plus a
+JSON-able manifest fragment — no thrift, no pages; segment offsets play
+the role of page/chunk offsets.
+
+Codec selection per column chunk (the north rule's auto-selector):
+
+* strings → global dict+RLE when every value is in the broadcast
+  dictionary and cardinality is low; else FSST when the sampled ratio
+  says it pays; else local dict; else PLAIN;
+* int32/int64 → frame-of-reference + RLE/bit-pack (never worse than
+  PLAIN by more than run headers; falls back to PLAIN if wider);
+* list<int32> → lengths via FOR+RLE, flattened values via FOR+RLE.
+
+Decisions are recorded per chunk in the manifest with the estimates
+that drove them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..arrow_util import list_buffers, string_buffers
+from ..codecs import dictionary, fornum, fsst as fsst_mod, plain
+from ..codecs.bitpack import bit_width
+from ..state.artifacts import EncodePlan
+
+__all__ = ["EncoderState", "encode_table"]
+
+DICT_MAX_CARD = 1 << 16
+FSST_MAX_RATIO = 0.9  # use FSST only if sampled ratio beats plain by ≥10%
+
+
+class EncoderState:
+    """Per-actor prepared state: broadcast artifacts deserialized once."""
+
+    def __init__(self, plan: EncodePlan):
+        self.plan = plan
+        self.source_dict = plan.source_dict_array() if plan.source_dict else None
+        self.fsst_table = plan.fsst_table()
+        self.stats = plan.stats
+
+
+class _ChunkBuilder:
+    def __init__(self) -> None:
+        self.parts: list[bytes] = []
+        self.pos = 0
+        self.columns: dict[str, dict] = {}
+
+    def add_segment(self, buf: bytes) -> list[int]:
+        seg = [self.pos, len(buf)]
+        self.parts.append(buf)
+        self.pos += len(buf)
+        return seg
+
+    def chunk(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _encode_int_array(values: np.ndarray, cb: _ChunkBuilder) -> tuple[dict, dict]:
+    buf, params = fornum.encode(values)
+    return {"data": cb.add_segment(buf)}, {"for": params}
+
+
+def _encode_string(
+    name: str, arr: pa.Array, state: EncoderState, cb: _ChunkBuilder
+) -> dict:
+    data, offsets = string_buffers(arr)
+    n = len(arr)
+    raw_bytes = len(data) + 4 * (n + 1)
+    est: dict[str, float] = {"plain": len(data) + 4 * n}
+
+    # global dictionary candidate
+    idx = None
+    if state.source_dict is not None and len(state.source_dict) <= DICT_MAX_CARD:
+        cand = pc.index_in(arr, value_set=state.source_dict)
+        if cand.null_count == 0:
+            idx = cand
+            est["dict_global"] = n * bit_width(len(state.source_dict) - 1) / 8 + 8
+    # FSST candidate (sampled ratio)
+    st = state.stats.get(name)
+    if state.fsst_table is not None and st is not None and st.fsst_ratio is not None:
+        est["fsst"] = st.fsst_ratio * len(data) + n * bit_width(64) / 8 * 0.2 + 16
+
+    codec = min(est, key=lambda k: est[k])
+    if codec == "fsst" and est["fsst"] > FSST_MAX_RATIO * est["plain"]:
+        codec = "plain"
+
+    meta: dict = {"codec": codec, "raw_bytes": raw_bytes, "estimates": est, "count": n}
+    if codec == "dict_global":
+        indices = idx.to_numpy(zero_copy_only=False)
+        from ..codecs import rle
+
+        width = bit_width(len(state.source_dict) - 1)
+        buf = rle.encode(indices.astype(np.uint64), width, disable_envelope=True)
+        meta["segments"] = {"idx": cb.add_segment(buf)}
+        meta["params"] = {"card": len(state.source_dict), "width": width}
+    elif codec == "fsst":
+        codes, code_offs = fsst_mod.encode(state.fsst_table, data, offsets)
+        len_buf, len_params = fornum.encode(np.diff(code_offs))
+        meta["segments"] = {"codes": cb.add_segment(codes), "lens": cb.add_segment(len_buf)}
+        meta["params"] = {"lens_for": len_params}
+    else:
+        buf = plain.encode_byte_array(data, offsets)
+        meta["segments"] = {"data": cb.add_segment(buf)}
+        meta["params"] = {}
+    meta["enc_bytes"] = sum(seg[1] for seg in meta["segments"].values())
+    return meta
+
+
+def _encode_int(name: str, arr: pa.Array, cb: _ChunkBuilder) -> dict:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    values = arr.to_numpy(zero_copy_only=False)
+    width_bytes = arr.type.bit_width // 8
+    raw_bytes = width_bytes * len(values)
+    segments, params = _encode_int_array(values, cb)
+    meta = {
+        "codec": "for_rle",
+        "segments": segments,
+        "params": params,
+        "raw_bytes": raw_bytes,
+        "count": len(values),
+        "dtype": str(arr.type),
+    }
+    meta["enc_bytes"] = sum(seg[1] for seg in meta["segments"].values())
+    return meta
+
+
+def _encode_list_int(name: str, arr: pa.Array, cb: _ChunkBuilder) -> dict:
+    flat, lengths = list_buffers(arr)
+    raw_bytes = flat.dtype.itemsize * len(flat) + 4 * (len(lengths) + 1)
+    len_buf, len_params = fornum.encode(lengths)
+    val_buf, val_params = fornum.encode(flat)
+    meta = {
+        "codec": "list_for_rle",
+        "segments": {"lens": cb.add_segment(len_buf), "values": cb.add_segment(val_buf)},
+        "params": {"lens_for": len_params, "values_for": val_params},
+        "raw_bytes": raw_bytes,
+        "count": len(arr),
+        "n_values": len(flat),
+        "dtype": str(arr.type.value_type),
+    }
+    meta["enc_bytes"] = sum(seg[1] for seg in meta["segments"].values())
+    return meta
+
+
+def encode_table(table: pa.Table, state: EncoderState) -> tuple[bytes, dict]:
+    """Encode one Arrow batch → (chunk bytes, manifest dict).
+
+    The manifest records per-column codec decisions, segment offsets into
+    the chunk, raw/encoded sizes and codec params — the per-partition
+    lineage record the north rule requires.
+    """
+    cb = _ChunkBuilder()
+    columns: dict[str, dict] = {}
+    for name in table.column_names:
+        col = table.column(name)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            columns[name] = _encode_string(name, arr, state, cb)
+        elif pa.types.is_integer(t):
+            columns[name] = _encode_int(name, arr, cb)
+        elif pa.types.is_list(t) and pa.types.is_integer(t.value_type):
+            columns[name] = _encode_list_int(name, arr, cb)
+        else:
+            raise TypeError(f"column {name}: unsupported type {t} (north-rule table is flat)")
+    manifest = {
+        "rows": table.num_rows,
+        "columns": columns,
+        "raw_bytes": sum(c["raw_bytes"] for c in columns.values()),
+        "enc_bytes": cb.pos,
+    }
+    return cb.chunk(), manifest

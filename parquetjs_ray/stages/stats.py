@@ -1,0 +1,149 @@
+"""Sampling pass: per-batch mergeable stats → driver merge → EncodePlan.
+
+The reference needs no stats (its schema fixes PLAIN per column); the
+north rule's codec auto-selector does: cardinality, value range, run
+lengths, string samples for FSST training. This stage samples a subset
+of the input FILES (not a full scan — at 10^12 rows a full pre-pass
+would double the read bill), computes small mergeable partials inside
+``map_batches`` and folds them on the driver, then trains the global
+``source`` dictionary and FSST symbol table that get broadcast to the
+encoder actors.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..arrow_util import list_buffers, string_buffers
+from ..codecs import fsst as fsst_mod
+from ..state.artifacts import ColumnStats, EncodePlan
+
+__all__ = ["batch_stats", "merge_stats", "build_plan", "sample_paths"]
+
+_STR_SAMPLES_PER_BATCH = 64
+_DISTINCT_CAP = 4096
+
+
+def batch_stats(batch: pa.Table) -> pa.Table:
+    """One small pickled partial per batch (sketch-style, mergeable)."""
+    out: dict = {}
+    for name in batch.column_names:
+        col = batch.column(name)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        t = arr.type
+        s: dict = {"count": len(arr), "nulls": arr.null_count}
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            data, offsets = string_buffers(arr)
+            lens = np.diff(offsets)
+            s["bytes"] = int(lens.sum())
+            vc = pa.compute.value_counts(arr)
+            s["distinct"] = (
+                set(vc.field("values").to_pylist()) if len(vc) <= _DISTINCT_CAP else None
+            )
+            s["distinct_n"] = len(vc)
+            if len(vc) <= 64:  # keep a per-value histogram for skew/salting
+                s["hist"] = dict(
+                    zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+                )
+            step = max(1, len(arr) // _STR_SAMPLES_PER_BATCH)
+            s["samples"] = [v.encode() for v in arr.take(list(range(0, len(arr), step))).to_pylist() if v is not None]
+        else:
+            if pa.types.is_list(t):
+                values, lengths = list_buffers(arr)
+                s["n_values"] = len(values)
+                s["len_min"], s["len_max"] = int(lengths.min(initial=0)), int(lengths.max(initial=0))
+            else:
+                values = arr.to_numpy(zero_copy_only=False)
+            if len(values):
+                v64 = values.astype(np.int64, copy=False)
+                s["min"], s["max"] = int(v64.min()), int(v64.max())
+                s["runs"] = int((np.diff(v64) != 0).sum()) + 1
+            else:
+                s["min"] = s["max"] = None
+                s["runs"] = 0
+        out[name] = s
+    return pa.table({"blob": pa.array([pickle.dumps(out)], type=pa.binary())})
+
+
+def merge_stats(blobs: list[bytes]) -> dict[str, dict]:
+    merged: dict[str, dict] = {}
+    for blob in blobs:
+        part = pickle.loads(blob)
+        for name, s in part.items():
+            m = merged.setdefault(
+                name,
+                {"count": 0, "nulls": 0, "bytes": 0, "n_values": 0, "min": None, "max": None,
+                 "runs": 0, "distinct": set(), "distinct_overflow": False, "samples": []},
+            )
+            m["count"] += s["count"]
+            m["nulls"] += s["nulls"]
+            m["bytes"] += s.get("bytes", 0)
+            m["n_values"] += s.get("n_values", 0)
+            for key, fn in (("min", min), ("max", max)):
+                if s.get(key) is not None:
+                    m[key] = s[key] if m[key] is None else fn(m[key], s[key])
+            m["runs"] += s.get("runs", 0)
+            if s.get("distinct") is None and "distinct_n" in s:
+                m["distinct_overflow"] = True
+            elif s.get("distinct"):
+                m["distinct"] |= s["distinct"]
+                if len(m["distinct"]) > _DISTINCT_CAP:
+                    m["distinct_overflow"] = True
+            m["samples"] += s.get("samples", [])
+            for val, cnt in s.get("hist", {}).items():
+                m.setdefault("hist", {})
+                m["hist"][val] = m["hist"].get(val, 0) + cnt
+    return merged
+
+
+def sample_paths(paths: list[str], max_files: int = 8) -> list[str]:
+    if len(paths) <= max_files:
+        return list(paths)
+    step = len(paths) / max_files
+    return [paths[int(i * step)] for i in range(max_files)]
+
+
+def build_plan(
+    paths: list[str],
+    *,
+    sample_rows: int = 100_000,
+    max_sample_files: int = 8,
+    fsst_columns: tuple[str, ...] = ("doc_id",),
+    dict_columns: tuple[str, ...] = ("source",),
+) -> EncodePlan:
+    """Run the sampling pass (a small Ray Data job) and build the plan."""
+    ds = rd.read_parquet(sample_paths(paths, max_sample_files)).limit(sample_rows)
+    stats_rows = ds.map_batches(batch_stats, batch_format="pyarrow").take_all()
+    merged = merge_stats([r["blob"] for r in stats_rows])
+
+    plan = EncodePlan()
+    for name, m in merged.items():
+        cs = ColumnStats(
+            count=m["count"],
+            null_count=m["nulls"],
+            min=m["min"],
+            max=m["max"],
+            distinct_est=None if m["distinct_overflow"] else len(m["distinct"]),
+            mean_run=(m["count"] + m["n_values"]) / max(1, m["runs"]),
+            avg_len=m["bytes"] / max(1, m["count"]),
+        )
+        plan.stats[name] = cs
+        if name in dict_columns and not m["distinct_overflow"] and m["distinct"]:
+            plan.source_dict = sorted(m["distinct"])
+            plan.source_hist = dict(m.get("hist", {}))
+        if name in fsst_columns and m["samples"]:
+            table = fsst_mod.train(m["samples"][: 2 * _STR_SAMPLES_PER_BATCH * max_sample_files])
+            blob = b"".join(m["samples"][:512])
+            if blob:
+                data = np.frombuffer(blob, dtype=np.uint8)
+                offs = np.zeros(2, dtype=np.int64)
+                offs[1] = len(blob)
+                codes, _ = fsst_mod.encode(table, data, offs)
+                cs.fsst_ratio = len(codes) / max(1, len(blob))
+                plan.fsst_symbols = table.symbols
+    return plan

@@ -1,0 +1,100 @@
+"""Resumable partition writer: atomic chunk + manifest commit.
+
+Replaces the reference's append-ordered envelope writer
+(`/root/reference/lib/writer.js:177-254`) with an idempotent,
+retry-safe layout designed for Ray task retries and checkpoint-resume:
+
+* each partition is a directory ``part-<id>/`` holding ``chunk.bin`` and
+  ``manifest.json`` (the per-partition lineage record);
+* writes go to a temp dir then a single ``os.rename`` — a concurrent or
+  retried writer loses the rename race and treats the partition as done;
+* a rerun consults ``manifest.json`` existence and skips finished
+  partitions — that is the resume contract;
+* the driver writes the global ``_MANIFEST.json`` (the footer analogue,
+  cf. `lib/writer.js:520-569`) only after all partitions commit.
+
+Partition ids must be derived from the DATA (group key or content
+hash), never from task/batch ids, so retries and reruns converge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+import zlib
+
+__all__ = ["partition_done", "write_partition", "write_global_manifest", "read_global_manifest"]
+
+
+def _part_dir(out_dir: str, part_id: str) -> str:
+    return os.path.join(out_dir, f"part-{part_id}")
+
+
+def partition_done(out_dir: str, part_id: str) -> bool:
+    return os.path.exists(os.path.join(_part_dir(out_dir, part_id), "manifest.json"))
+
+
+def write_partition(out_dir: str, part_id: str, chunk: bytes, manifest: dict) -> dict:
+    """Atomically write one partition; idempotent under retries.
+
+    Returns a flat summary row (for the manifest Dataset)."""
+    pdir = _part_dir(out_dir, part_id)
+    summary = {
+        "partition": part_id,
+        "rows": manifest["rows"],
+        "raw_bytes": manifest["raw_bytes"],
+        "enc_bytes": manifest["enc_bytes"],
+        "skipped": False,
+    }
+    if os.path.exists(os.path.join(pdir, "manifest.json")):
+        summary["skipped"] = True
+        return summary
+    manifest = dict(manifest)
+    manifest["partition"] = part_id
+    manifest["checksum_crc32"] = zlib.crc32(chunk)
+    tmp = pdir + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "chunk.bin"), "wb") as f:
+        f.write(chunk)
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.rename(tmp, pdir)
+    except OSError:
+        # lost the race to a concurrent retry — partition already committed
+        for fn in ("chunk.bin", "manifest.json"):
+            try:
+                os.remove(os.path.join(tmp, fn))
+            except OSError:
+                pass
+        try:
+            os.rmdir(tmp)
+        except OSError:
+            pass
+        summary["skipped"] = True
+    return summary
+
+
+def write_global_manifest(out_dir: str, partitions: list[dict], extra: dict | None = None) -> str:
+    doc = {
+        "partitions": sorted(partitions, key=lambda p: p["partition"]),
+        "totals": {
+            "rows": sum(p["rows"] for p in partitions),
+            "raw_bytes": sum(p["raw_bytes"] for p in partitions),
+            "enc_bytes": sum(p["enc_bytes"] for p in partitions),
+        },
+    }
+    if extra:
+        doc.update(extra)
+    path = os.path.join(out_dir, "_MANIFEST.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+    return path
+
+
+def read_global_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+        return json.load(f)

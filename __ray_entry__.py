@@ -1,44 +1,210 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (encode → decode → verify the
+north-rule token table) at sf0.001 scale. ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data ops); SQL-expressible ones have a matching ``oracle_sql()``
+entry with IDENTICAL column names.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+import pyarrow as pa
+
+import parquetjs_ray  # noqa: F401  (applies sandbox malloc tuning)
+
+
+# ───────────────────────── flagship ─────────────────────────
+
+
+def _flagship(rows: int, tag: str) -> pd.DataFrame:
+    """Synth north-rule table → encode → decode → verify; returns the
+    per-partition manifest summary plus verification columns."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.sources.synth import write_synth
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    base = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_{tag}")
+    indir = os.path.join(base, "input")
+    outdir = os.path.join(base, "encoded")
+    paths = write_synth(indir, rows, n_shards=4)
+    encode_dataset(
+        paths,
+        outdir,
+        mode="grouped",
+        target_rows_per_partition=max(1024, rows // 8),
+        sample_rows=min(rows, 50_000),
+    )
+    verdict = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    manifest = read_global_manifest(outdir)
+    df = pd.DataFrame(manifest["partitions"])
+    df["roundtrip_equal"] = verdict["equal"]
+    df["ratio"] = df["enc_bytes"] / df["raw_bytes"].clip(lower=1)
+    return df
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; driver checks rows >= 0."""
+    return _flagship(2_000, "entry")
+
+
+# ───────────────────────── queries ─────────────────────────
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_per_source_doc_stats(sf_dir: str):
+    """Per-source stats — the codec selector's sampled histogram, SQL-checkable."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        _docs(sf_dir)
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+
+
+def q_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _docs(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_selector_stats_events(sf_dir: str):
+    """Value-range/cardinality stats per event_type (selector inputs)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id", "event_id"]
+    )
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Min("user_id", alias_name="min_user"),
+        Max("user_id", alias_name="max_user"),
+        Min("event_id", alias_name="min_event"),
+        Max("event_id", alias_name="max_event"),
+    )
+
+
+def q_distinct_cardinalities(sf_dir: str):
+    """count(DISTINCT) probes the selector uses for dict-vs-FSST decisions."""
+    ds = _docs(sf_dir)
+    n_lang = len(ds.unique("lang"))
+    n_source = len(ds.unique("source"))
+    return pa.table(
+        {"n_lang": pa.array([n_lang], pa.int64()), "n_source": pa.array([n_source], pa.int64())}
+    )
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact dedup by full text: representative (min doc_id) + copy count."""
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        _docs(sf_dir)
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+def q_token_count_docs(sf_dir: str):
+    """Whitespace token count per doc (text-analysis op), integer-exact."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        spaces = pc.count_substring(batch["text"], " ")
+        n = pc.add(spaces, 1)
+        return pa.table({"doc_id": batch["doc_id"], "n_ws_tokens": n.cast(pa.int64())})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_events_tumbling_hourly(sf_dir: str):
+    """Tumbling 1h window count per user (windowed aggregate, integer-only)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        epoch_us = batch["ts"].cast(pa.int64())
+        hour = pc.floor(pc.divide(epoch_us, 3_600_000_000))
+        return pa.table({"user_id": batch["user_id"], "hour_bucket": hour.cast(pa.int64())})
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def q_encode_roundtrip_tokens(sf_dir: str):
+    """Flagship encode/decode round-trip (rows-only check: not SQL-expressible)."""
+    return _flagship(2_000, "q_roundtrip")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "per_source_doc_stats": q_per_source_doc_stats,
+        "lang_distribution": q_lang_distribution,
+        "selector_stats_events": q_selector_stats_events,
+        "distinct_cardinalities": q_distinct_cardinalities,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "token_count_docs": q_token_count_docs,
+        "events_tumbling_hourly": q_events_tumbling_hourly,
+        "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "per_source_doc_stats": (
+            "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "selector_stats_events": (
+            "SELECT event_type, count(*) AS n, min(user_id) AS min_user, "
+            "max(user_id) AS max_user, min(event_id) AS min_event, max(event_id) AS max_event "
+            "FROM events GROUP BY event_type"
+        ),
+        "distinct_cardinalities": (
+            "SELECT count(DISTINCT lang) AS n_lang, count(DISTINCT source) AS n_source FROM documents"
+        ),
+        "dedup_exact_docs": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "token_count_docs": (
+            "SELECT doc_id, (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_ws_tokens "
+            "FROM documents"
+        ),
+        "events_tumbling_hourly": (
+            "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "
+            "count(*) AS n_events FROM events GROUP BY user_id, hour_bucket"
+        ),
+    }

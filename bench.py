@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Headline benchmark: encode throughput (tokens/s) + compression ratio +
+round-trip verification over the synthetic north-rule table, plus query
+timings over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line. ``--scaling`` reruns the headline in fresh
+processes at RAY_GRAFT_CPUS=8 and =32 on the same input and reports
+throughput at both plus scaling efficiency (the sandbox evidence for the
+north rule's N-vs-4N cluster criterion; no real multi-node cluster here).
+
+A full untimed warmup pass runs first: this sandbox charges ~0.5 ms per
+first-touch page fault per worker process (see
+parquetjs_ray.__init__._tune_malloc), so cold numbers measure the
+sandbox's memory emulator, not the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import parquetjs_ray  # noqa: F401  (malloc tuning)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+ROWS_PER_SF = 2_000_000  # sf0.1 → 200k rows ≈ 120M tokens
+BENCH_BASE = "/tmp/parquetjs_ray_bench"
+
+
+def _sf() -> float:
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _gen_input(rows: int, n_shards: int) -> list[str]:
+    """Generate the fixture in parallel Ray tasks; cached across runs."""
+    import ray
+
+    from parquetjs_ray.sources.synth import generate_shard
+
+    out_dir = os.path.join(BENCH_BASE, f"input_{rows}")
+    os.makedirs(out_dir, exist_ok=True)
+    rows_per = (rows + n_shards - 1) // n_shards
+
+    @ray.remote
+    def gen(s: int, n: int, off: int, path: str) -> str:
+        import pyarrow.parquet as pq
+
+        tmp = path + ".tmp"
+        pq.write_table(generate_shard(s, n, row_offset=off), tmp)
+        os.replace(tmp, path)
+        return path
+
+    pending = []
+    paths = []
+    for s in range(n_shards):
+        n = min(rows_per, rows - s * rows_per)
+        if n <= 0:
+            break
+        path = os.path.join(out_dir, f"shard-{s:05d}.parquet")
+        paths.append(path)
+        if not os.path.exists(path):
+            pending.append(gen.remote(s, n, s * rows_per, path))
+    if pending:
+        ray.get(pending)
+    return paths
+
+
+def run_headline() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        runtime_env={"env_vars": parquetjs_ray.MALLOC_ENV},
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    rows = int(os.environ.get("GRAFT_BENCH_ROWS", "0")) or int(ROWS_PER_SF * _sf())
+    paths = _gen_input(rows, n_shards=64)  # fixed shard count: identical input at every CPU level
+
+    # ── untimed warmup: full pipeline over the full input ──
+    warm_dir = os.path.join(BENCH_BASE, f"warm_{NCPU}")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    encode_dataset(paths, warm_dir, mode="files", target_rows_per_partition=32_768)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    # ── timed encode ──
+    out_dir = os.path.join(BENCH_BASE, f"out_{NCPU}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    report = encode_dataset(paths, out_dir, mode="files", target_rows_per_partition=32_768)
+    t_encode = time.perf_counter() - t0
+
+    totals = read_global_manifest(out_dir)["totals"]
+
+    # ── timed decode + verify ──
+    t0 = time.perf_counter()
+    verdict = verify_roundtrip(rd.read_parquet(paths), decode_dataset(out_dir))
+    t_verify = time.perf_counter() - t0
+
+    # ── query timings over the driver's tables ──
+    qtimes: dict[str, float] = {}
+    try:
+        import __ray_entry__ as entrymod
+
+        for qname in ("per_source_doc_stats", "dedup_exact_docs", "events_tumbling_hourly"):
+            t0 = time.perf_counter()
+            res = entrymod.queries()[qname](SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            qtimes[qname] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # queries are secondary; never sink the headline
+        qtimes["error"] = str(exc)
+
+    result = {
+        "metric": "encode_wall_sec",
+        "value": round(t_encode, 3),
+        "unit": "sec",
+        "sf": _sf(),
+        "num_cpus": NCPU,
+        "rows": totals["rows"],
+        "n_tokens": totals["n_tokens"],
+        "tokens_per_sec": round(totals["n_tokens"] / t_encode, 1),
+        "compression_ratio": round(totals["enc_bytes"] / max(1, totals["raw_bytes"]), 4),
+        "verify_equal": verdict["equal"],
+        "verify_sec": round(t_verify, 3),
+        "n_partitions": report["n_partitions"],
+        "queries": {"encode": round(t_encode, 3), "decode_verify": round(t_verify, 3), **qtimes},
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    out = {}
+    # a larger fixed workload so compute, not per-run fixed overhead,
+    # dominates at both CPU levels (same input for both)
+    scale_rows = os.environ.get("GRAFT_BENCH_ROWS", "1200000")
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=scale_rows,
+                   **parquetjs_ray.MALLOC_ENV)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tp8, tp32 = out[8]["tokens_per_sec"], out[32]["tokens_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round((tp32 / tp8) / (32 / 8), 3),
+        "unit": "ratio",
+        "sec_8": out[8]["value"],
+        "sec_32": out[32]["value"],
+        "tokens_per_sec_8": tp8,
+        "tokens_per_sec_32": tp32,
+        "sf": out[32]["sf"],
+        "num_cpus": 32,
+        "queries": {},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

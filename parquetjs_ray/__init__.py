@@ -47,6 +47,42 @@ def _tune_arrow() -> None:
 _tune_malloc()
 _tune_arrow()
 
+_WARMED = False
+
+
+def warm_worker(nbytes: int = 1 << 28) -> None:
+    """One-time per-process heap warmup (numpy/glibc + pyarrow/jemalloc).
+
+    NOTE: with the malloc thresholds pinned (see :func:`_tune_malloc`)
+    organic heap growth pays the same one-time fault cost as an eager
+    warmup, so the engine does NOT call this in its stages anymore —
+    keeping per-operation temporaries small (see codecs) is the real
+    lever. Retained for experiments/benchmarks.
+    """
+    global _WARMED
+    if _WARMED:
+        return
+    _WARMED = True
+    try:
+        import numpy as np
+
+        x = np.empty(nbytes, dtype=np.uint8)
+        x[::512] = 1
+        del x
+    except Exception:
+        pass
+    try:
+        import pyarrow as pa
+
+        buf = pa.allocate_buffer(nbytes)
+        mv = memoryview(buf)
+        step = 512
+        mv[::step] = b"\x01" * len(mv[::step])
+        del mv, buf
+    except Exception:
+        pass
+
+
 MALLOC_ENV = {
     # same tuning for child processes that must be fast from birth
     "MALLOC_MMAP_THRESHOLD_": str(1 << 30),

@@ -34,9 +34,24 @@ _CHUNK = 1 << 21  # values per packing block (multiple of 8 → byte-aligned)
 def _pack_block(v: np.ndarray, width: int, bits_buf: np.ndarray) -> bytes:
     n = len(v)
     bits = bits_buf[: n * width].reshape(n, width)
+    one = v.dtype.type(1)
     for i in range(width):
-        np.bitwise_and(v >> np.uint64(i), np.uint64(1), out=bits[:, i], casting="unsafe")
+        np.bitwise_and(v >> v.dtype.type(i), one, out=bits[:, i], casting="unsafe")
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _unsigned_view(values: np.ndarray) -> np.ndarray:
+    """Reinterpret a signed array as unsigned of the same width (no copy).
+
+    Callers guarantee values are non-negative, so the bit patterns are
+    identical; the view avoids a full-width uint64 copy — large fresh
+    allocations are what this sandbox punishes most (see __init__)."""
+    v = np.ascontiguousarray(values)
+    if v.dtype.kind == "i":
+        return v.view(f"u{v.dtype.itemsize}")
+    if v.dtype.kind != "u":
+        return v.astype(np.uint64)
+    return v
 
 
 def pack_bits(values: np.ndarray, width: int) -> bytes:
@@ -48,16 +63,19 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
 
     Byte-multiple widths (8/16/32/64) are a straight dtype cast (memcpy
     speed); other widths use a per-bit vectorized loop over bounded-size
-    blocks, never a quadratic ``(n, width)`` uint64 broadcast.
+    blocks — never a quadratic ``(n, width)`` broadcast and never a fresh
+    full-size uint64 copy (memory footprint is the hot cost here).
     """
     n = len(values)
     if width == 0 or n == 0:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64 unsupported")
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v = _unsigned_view(values)
+    if width > v.dtype.itemsize * 8:
+        v = v.astype(np.uint64)
     if width in _BYTE_WIDTH_DTYPE:
-        return v.astype(_BYTE_WIDTH_DTYPE[width]).tobytes()
+        return v.astype(_BYTE_WIDTH_DTYPE[width], copy=False).tobytes()
     if n <= _CHUNK:
         return _pack_block(v, width, np.empty(n * width, dtype=np.uint8))
     bits_buf = np.empty(_CHUNK * width, dtype=np.uint8)
@@ -65,16 +83,21 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
 
 
 def unpack_bits(buf: bytes | np.ndarray, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_bits`; returns ``uint64`` array of length ``n``."""
+    """Inverse of :func:`pack_bits`.
+
+    Returns the narrowest unsigned dtype that holds ``width`` bits
+    (uint8/16/32/64) — callers cast as needed; keeping outputs narrow
+    bounds the memory footprint, the dominant cost on this sandbox."""
+    dt = np.uint8 if width <= 8 else np.uint16 if width <= 16 else np.uint32 if width <= 32 else np.uint64
     if width == 0 or n == 0:
-        return np.zeros(n, dtype=np.uint64)
+        return np.zeros(n, dtype=dt)
     raw = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
     need = (n * width + 7) // 8
     if len(raw) < need:
         raise ValueError(f"buffer too small: {len(raw)} < {need}")
     if width in _BYTE_WIDTH_DTYPE:
-        return np.frombuffer(raw[:need].tobytes(), dtype=_BYTE_WIDTH_DTYPE[width], count=n).astype(np.uint64)
-    out = np.empty(n, dtype=np.uint64)
+        return np.frombuffer(raw[:need].tobytes(), dtype=_BYTE_WIDTH_DTYPE[width], count=n)
+    out = np.empty(n, dtype=dt)
     for s in range(0, n, _CHUNK):
         e = min(s + _CHUNK, n)
         bits = np.unpackbits(raw[s * width // 8 : (e * width + 7) // 8], bitorder="little")
@@ -82,5 +105,5 @@ def unpack_bits(buf: bytes | np.ndarray, n: int, width: int) -> np.ndarray:
         block[:] = 0
         bm = bits[: (e - s) * width].reshape(e - s, width)
         for i in range(width):
-            block |= bm[:, i].astype(np.uint64) << np.uint64(i)
+            block |= (bm[:, i].astype(dt) << dt(i))
     return out

@@ -23,7 +23,12 @@ __all__ = ["encode", "decode", "estimate_size"]
 
 
 def encode(values: np.ndarray) -> tuple[bytes, dict]:
-    """Encode an integer array → (buffer, params for the manifest)."""
+    """Encode an integer array → (buffer, params for the manifest).
+
+    Residuals are computed with wrap-around subtraction in the input's
+    own width (then viewed unsigned) — correct because the true span
+    fits the unsigned width, and it avoids a full-size int64 staging
+    copy (large fresh allocations dominate cost on this sandbox)."""
     v = np.ascontiguousarray(values)
     n = len(v)
     if n == 0:
@@ -31,17 +36,30 @@ def encode(values: np.ndarray) -> tuple[bytes, dict]:
     lo = int(v.min())
     hi = int(v.max())
     width = bit_width(hi - lo)
-    residuals = (v.astype(np.int64) - lo).astype(np.uint64)
+    if v.dtype.itemsize <= 4:
+        residuals = np.subtract(v, v.dtype.type(lo)).view(f"u{v.dtype.itemsize}")
+    elif hi - lo < (1 << 32):
+        residuals = np.subtract(v, lo).astype(np.uint32)
+    else:
+        residuals = np.subtract(v, lo).view(np.uint64)
     buf = rle.encode(residuals, width, disable_envelope=True)
     return buf, {"ref": lo, "width": width, "count": n}
 
 
 def decode(buf: bytes, params: dict, dtype=np.int64) -> np.ndarray:
     n = int(params["count"])
+    dtype = np.dtype(dtype)
     if n == 0:
         return np.zeros(0, dtype=dtype)
+    lo = int(params["ref"])
     residuals = rle.decode(buf, n, int(params["width"]), disable_envelope=True)
-    return (residuals.astype(np.int64) + int(params["ref"])).astype(dtype)
+    if dtype.itemsize <= 4 and int(params["width"]) <= 32:
+        out = residuals.astype(dtype.str.replace("i", "u"), copy=False).view(dtype)
+        out = out + dtype.type(lo)  # wrap-around add: true values fit dtype
+        return out
+    out = residuals.astype(np.int64)
+    out += lo
+    return out.astype(dtype, copy=False)
 
 
 def estimate_size(lo: int, hi: int, n: int, mean_run: float = 1.0) -> int:

@@ -66,6 +66,31 @@ def _read_varint(buf: np.ndarray, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _find_long_runs(v: np.ndarray) -> list[tuple[int, int]]:
+    """Maximal equal-value runs of length ≥ 8, as (start, end) pairs.
+
+    Memory-lean: a windowed AND over the equality mask finds every
+    position that starts 8 equal values; consecutive candidates collapse
+    into maximal runs. Temporaries are two bool arrays (n bytes) plus
+    O(bytes-in-runs) ints — never the O(n) int64 run-boundary arrays a
+    naive ``diff``-based scan would allocate (fresh allocations are the
+    dominant cost on this sandbox)."""
+    n = len(v)
+    if n < _MIN_REPEAT:
+        return []
+    eq = v[1:] == v[:-1]
+    m = eq[: n - 7].copy()
+    for i in range(1, 7):
+        m &= eq[i : n - 7 + i]
+    cand = np.flatnonzero(m)  # starts of 8-value equal windows
+    if not len(cand):
+        return []
+    brk = np.flatnonzero(np.diff(cand) > 1)
+    seg_first = np.concatenate(([0], brk + 1))
+    seg_last = np.concatenate((brk, [len(cand) - 1]))
+    return [(int(cand[a]), int(cand[b]) + 8) for a, b in zip(seg_first, seg_last)]
+
+
 def _encode_bitpacked(values: np.ndarray, width: int) -> bytes:
     n = len(values)
     pad = (-n) % 8
@@ -81,20 +106,20 @@ def _encode_repeated(value: int, count: int, width: int) -> bytes:
 
 
 def encode(values: np.ndarray, width: int, *, disable_envelope: bool = False) -> bytes:
-    """Encode non-negative ints (< 2**width) into the hybrid stream."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    """Encode non-negative ints (< 2**width) into the hybrid stream.
+
+    Works in the input's own integer width (a signed input is viewed as
+    unsigned, zero-copy) — no full-size uint64 staging copy; large fresh
+    allocations are the dominant cost on this sandbox."""
+    from .bitpack import _unsigned_view
+
+    v = _unsigned_view(values)
     n = len(v)
     parts: list[bytes] = []
     if n:
-        # maximal equal-value runs, vectorized
-        change = np.flatnonzero(np.diff(v) != 0) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [n]))
-        lengths = ends - starts
         pend = 0  # start of the pending bit-packed region
-        for idx in np.flatnonzero(lengths >= _MIN_REPEAT):
-            s, e = int(starts[idx]), int(ends[idx])
-            if s < pend:  # swallowed by an earlier trim (cannot happen, but safe)
+        for s, e in _find_long_runs(v):
+            if s < pend:  # overlap after an earlier trim (defensive)
                 s = pend
             gap = s - pend
             steal = (-gap) % 8  # move run-head values into the gap to 8-align it
@@ -120,7 +145,9 @@ def decode(
     *,
     disable_envelope: bool = False,
 ) -> np.ndarray:
-    """Decode ``count`` values; returns ``uint64`` array."""
+    """Decode ``count`` values; returns the narrowest unsigned array
+    (uint32 for width ≤ 32, else uint64) to bound memory footprint."""
+    dt = np.uint32 if width <= 32 else np.uint64
     raw = np.frombuffer(buf, dtype=np.uint8)
     pos = 0
     if not disable_envelope:
@@ -132,14 +159,14 @@ def decode(
         if header & 1:
             run = (header >> 1) * 8
             nbytes = width * (run // 8)
-            chunks.append(unpack_bits(raw[pos : pos + nbytes], run, width))
+            chunks.append(unpack_bits(raw[pos : pos + nbytes], run, width).astype(dt, copy=False))
             pos += nbytes
         else:
             run = header >> 1
             nbytes = (width + 7) // 8
             value = int.from_bytes(raw[pos : pos + nbytes].tobytes(), "little")
-            chunks.append(np.full(run, value, dtype=np.uint64))
+            chunks.append(np.full(run, value, dtype=dt))
             pos += nbytes
         produced += run
-    out = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.uint64)
+    out = np.concatenate(chunks) if chunks else np.zeros(0, dtype=dt)
     return out[:count]

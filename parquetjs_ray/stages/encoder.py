@@ -98,7 +98,7 @@ def _encode_string(
         from ..codecs import rle
 
         width = bit_width(len(state.source_dict) - 1)
-        buf = rle.encode(indices.astype(np.uint64), width, disable_envelope=True)
+        buf = rle.encode(indices, width, disable_envelope=True)
         meta["segments"] = {"idx": cb.add_segment(buf)}
         meta["params"] = {"card": len(state.source_dict), "width": width}
     elif codec == "fsst":

@@ -43,6 +43,7 @@ def write_partition(out_dir: str, part_id: str, chunk: bytes, manifest: dict) ->
     summary = {
         "partition": part_id,
         "rows": manifest["rows"],
+        "n_tokens": manifest.get("columns", {}).get("tokens", {}).get("n_values", 0),
         "raw_bytes": manifest["raw_bytes"],
         "enc_bytes": manifest["enc_bytes"],
         "skipped": False,
@@ -81,6 +82,7 @@ def write_global_manifest(out_dir: str, partitions: list[dict], extra: dict | No
         "partitions": sorted(partitions, key=lambda p: p["partition"]),
         "totals": {
             "rows": sum(p["rows"] for p in partitions),
+            "n_tokens": sum(p.get("n_tokens", 0) for p in partitions),
             "raw_bytes": sum(p["raw_bytes"] for p in partitions),
             "enc_bytes": sum(p["enc_bytes"] for p in partitions),
         },
@@ -98,3 +100,99 @@ def write_global_manifest(out_dir: str, partitions: list[dict], extra: dict | No
 def read_global_manifest(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
         return json.load(f)
+
+
+# ── fragment layout (files mode) ─────────────────────────────────────
+#
+# part-<key>/frag-<id>.bin + frag-<id>.json, one pair per (partition,
+# input file): fragment ids derive from the input file index, so a rerun
+# recomputes exactly the missing fragments regardless of Ray's batching.
+# The per-partition manifest.json (fragment list + totals) and the
+# global manifest are written at the end from fragment metadata only.
+
+
+def fragment_done(out_dir: str, part_id: str, frag_id: str) -> bool:
+    return os.path.exists(os.path.join(_part_dir(out_dir, part_id), f"frag-{frag_id}.json"))
+
+
+def write_fragment(out_dir: str, part_id: str, frag_id: str, chunk: bytes, manifest: dict) -> dict:
+    """Atomically write one fragment; idempotent under retries/reruns."""
+    pdir = _part_dir(out_dir, part_id)
+    os.makedirs(pdir, exist_ok=True)
+    jpath = os.path.join(pdir, f"frag-{frag_id}.json")
+    summary = {
+        "partition": part_id,
+        "fragment": frag_id,
+        "rows": manifest["rows"],
+        "n_tokens": manifest.get("columns", {}).get("tokens", {}).get("n_values", 0),
+        "raw_bytes": manifest["raw_bytes"],
+        "enc_bytes": manifest["enc_bytes"],
+        "skipped": False,
+    }
+    if os.path.exists(jpath):
+        summary["skipped"] = True
+        return summary
+    manifest = dict(manifest)
+    manifest["partition"] = part_id
+    manifest["fragment"] = frag_id
+    manifest["checksum_crc32"] = zlib.crc32(chunk)
+    bpath = os.path.join(pdir, f"frag-{frag_id}.bin")
+    tmp = bpath + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(chunk)
+    os.replace(tmp, bpath)
+    tmpj = jpath + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmpj, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmpj, jpath)  # the .json is the commit marker, written last
+    return summary
+
+
+def load_fragment_summaries(out_dir: str, part_id: str) -> list[dict]:
+    """Summaries of already-committed fragments (resume path)."""
+    pdir = _part_dir(out_dir, part_id)
+    out = []
+    if not os.path.isdir(pdir):
+        return out
+    for fn in sorted(os.listdir(pdir)):
+        if fn.startswith("frag-") and fn.endswith(".json"):
+            with open(os.path.join(pdir, fn)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "partition": part_id,
+                    "fragment": m["fragment"],
+                    "rows": m["rows"],
+                    "n_tokens": m.get("columns", {}).get("tokens", {}).get("n_values", 0),
+                    "raw_bytes": m["raw_bytes"],
+                    "enc_bytes": m["enc_bytes"],
+                    "skipped": True,
+                }
+            )
+    return out
+
+
+def write_partition_manifests(out_dir: str, fragments: list[dict], extra: dict | None = None) -> str:
+    """Roll fragment summaries up into per-partition manifests + the
+    global manifest (the footer analogue). Driver-side; metadata only."""
+    parts: dict[str, list[dict]] = {}
+    for fr in fragments:
+        parts.setdefault(fr["partition"], []).append(fr)
+    part_rows = []
+    for part_id, frs in parts.items():
+        frs = sorted(frs, key=lambda f: f["fragment"])
+        doc = {
+            "partition": part_id,
+            "fragments": [f["fragment"] for f in frs],
+            "rows": sum(f["rows"] for f in frs),
+            "n_tokens": sum(f["n_tokens"] for f in frs),
+            "raw_bytes": sum(f["raw_bytes"] for f in frs),
+            "enc_bytes": sum(f["enc_bytes"] for f in frs),
+        }
+        path = os.path.join(_part_dir(out_dir, part_id), "manifest.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+        part_rows.append({k: doc[k] for k in ("partition", "rows", "n_tokens", "raw_bytes", "enc_bytes")})
+    return write_global_manifest(out_dir, part_rows, extra=extra)

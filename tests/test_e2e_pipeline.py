@@ -1,0 +1,159 @@
+"""End-to-end pipeline tests (Ray session shared via conftest fixture).
+
+Mirrors the reference's write-then-read integration strategy
+(`/root/reference/test/integration.js:99-231`): encode the fixture,
+decode it back, assert exact per-row equality joined on doc_id, plus
+resume and skew behavior."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquetjs_ray.sources.synth import write_synth
+
+
+@pytest.fixture(scope="module")
+def encoded(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import encode_dataset
+
+    base = tmp_path_factory.mktemp("e2e")
+    indir, outdir = str(base / "in"), str(base / "out")
+    paths = write_synth(indir, 5_000, n_shards=3)
+    report = encode_dataset(
+        paths, outdir, mode="grouped", target_rows_per_partition=1_000, sample_rows=5_000
+    )
+    return paths, outdir, report
+
+
+def test_report_totals(encoded):
+    paths, outdir, report = encoded
+    assert report["rows"] == 5_000
+    assert 0 < report["ratio"] < 1.0  # beats raw (== beats parquetjs PLAIN)
+    assert report["n_partitions"] > 1
+
+
+def test_exact_roundtrip_joined_on_doc_id(encoded):
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset
+
+    paths, outdir, _ = encoded
+    orig = rd.read_parquet(paths).take_all()
+    back = decode_dataset(outdir).take_all()
+    by_id = {r["doc_id"]: r for r in back}
+    assert len(by_id) == len(orig)
+    for r in orig:
+        d = by_id[r["doc_id"]]
+        assert d["tokens"] == r["tokens"]  # bit-identical token arrays
+        assert d["n_tok"] == r["n_tok"]
+        assert d["source"] == r["source"]
+
+
+def test_fingerprint_verify(encoded):
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+
+    paths, outdir, _ = encoded
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v["equal"]
+
+
+def test_resume_skips_done_partitions(encoded):
+    from parquetjs_ray.pipelines.encode import encode_dataset
+
+    paths, outdir, report = encoded
+    report2 = encode_dataset(
+        paths, outdir, mode="grouped", target_rows_per_partition=1_000, sample_rows=5_000
+    )
+    assert report2["resumed_partitions"] == report2["n_partitions"] == report["n_partitions"]
+
+
+def test_resume_completes_partial_run(encoded, tmp_path):
+    """Delete some partitions → rerun → identical partition set & totals."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    paths, outdir, report = encoded
+    outdir2 = str(tmp_path / "partial")
+    shutil.copytree(outdir, outdir2)
+    parts = sorted(glob.glob(os.path.join(outdir2, "part-*")))
+    for p in parts[::2]:
+        shutil.rmtree(p)
+    report2 = encode_dataset(
+        paths, outdir2, mode="grouped", target_rows_per_partition=1_000, sample_rows=5_000
+    )
+    assert report2["n_partitions"] == report["n_partitions"]
+    assert report2["resumed_partitions"] == len(parts) - len(parts[::2])
+    m1 = read_global_manifest(outdir)
+    m2 = read_global_manifest(outdir2)
+    assert [p["partition"] for p in m1["partitions"]] == [p["partition"] for p in m2["partitions"]]
+    assert m1["totals"] == m2["totals"]
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir2))
+    assert v["equal"]
+
+
+def test_skew_bounded_partitions(ray_session, tmp_path):
+    """Zipf s=2.0 (one source ≈ 70% of rows): salting must bound partitions."""
+    from parquetjs_ray.pipelines.encode import encode_dataset
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 8_000, n_shards=2, zipf_s=2.0)
+    encode_dataset(paths, outdir, mode="grouped", target_rows_per_partition=1_000, sample_rows=8_000)
+    parts = read_global_manifest(outdir)["partitions"]
+    sizes = [p["rows"] for p in parts]
+    # the hot source is split: no partition grossly exceeds the target
+    assert max(sizes) < 3_000, sizes
+
+
+def test_sharded_mode_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 3_000, n_shards=2)
+    report = encode_dataset(
+        paths, outdir, mode="sharded", target_rows_per_partition=1_000, sample_rows=3_000,
+        concurrency=2,
+    )
+    assert report["rows"] == 3_000
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v["equal"]
+
+
+def test_files_mode_roundtrip_and_fragment_resume(ray_session, tmp_path):
+    import glob as globmod
+
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 4_000, n_shards=4)
+    rep = encode_dataset(paths, outdir, mode="files", target_rows_per_partition=1_000, sample_rows=4_000)
+    assert rep["rows"] == 4_000 and rep["n_fragments"] > rep["n_partitions"]
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v["equal"]
+    # fragment-level resume: drop a third of the fragments, rerun
+    frags = sorted(globmod.glob(outdir + "/part-*/frag-*.json"))
+    for f in frags[::3]:
+        os.remove(f)
+    rep2 = encode_dataset(paths, outdir, mode="files", target_rows_per_partition=1_000, sample_rows=4_000)
+    assert rep2["n_fragments"] == rep["n_fragments"]
+    assert rep2["resumed_fragments"] == rep["n_fragments"] - len(frags[::3])
+    v2 = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v2["equal"]

@@ -167,6 +167,125 @@ def q_encode_roundtrip_tokens(sf_dir: str):
     return _flagship(2_000, "q_roundtrip")
 
 
+def q_fingerprint_distinct_docs(sf_dir: str):
+    """Distinct 64-bit content fingerprints == distinct texts (collision-free
+    at these scales) — validates the fingerprint operator against SQL."""
+    from parquetjs_ray.functions.text import fingerprint_batch
+
+    ds = _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    n = len(ds.unique("fingerprint"))
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def q_docs_top_longest(sf_dir: str):
+    """Top-k by length with deterministic tiebreak (sort + limit operators)."""
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_quality_docs(sf_dir: str):
+    """Quality-scoring signals (integer-exact, SQL-reproducible)."""
+    from parquetjs_ray.functions.text import quality_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = quality_batch(batch)
+        return out.select(["doc_id", "n_words", "mean_word_len_x1000", "digit_ratio_x1000"])
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_events_by_segment(sf_dir: str):
+    """Broadcast join (small dimension side via ray.put) + grouped count."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        segs = [seg[u] for u in batch["user_id"].to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(segs, pa.string())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return ds.map_batches(join, batch_format="pyarrow").groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_events")
+    )
+
+
+def q_langid_docs(sf_dir: str):
+    from parquetjs_ray.functions.text import langid_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        return langid_batch(batch).select(["doc_id", "lang_pred"])
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    from parquetjs_ray.functions.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir), jaccard_threshold=0.8)
+
+
+def q_simhash_docs(sf_dir: str):
+    from parquetjs_ray.functions.dedup import simhash_signatures
+
+    def f(batch: pa.Table) -> pa.Table:
+        return simhash_signatures(batch)
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from parquetjs_ray.functions.dedup import embedding_near_dup
+
+    return embedding_near_dup(_emb(sf_dir), cosine_threshold=0.45)
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import numpy as np
+
+    rows = [r for r in _emb(sf_dir).take(n)]
+    import numpy as np
+
+    return np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
+
+
+def q_ann_topk_bruteforce(sf_dir: str):
+    from parquetjs_ray.functions.ann import topk_bruteforce
+
+    out = topk_bruteforce(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+    return out.select(["query_id", "rank", "vec_id"])  # drop float scores
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    from parquetjs_ray.functions.ann import topk_ivf
+
+    out = topk_ivf(_emb(sf_dir), _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=6)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.multimodal import ImageFeatureActor, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(200))
+    return ds.map_batches(
+        ImageFeatureActor, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "per_source_doc_stats": q_per_source_doc_stats,
@@ -177,6 +296,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": q_token_count_docs,
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
+        "fingerprint_distinct_docs": q_fingerprint_distinct_docs,
+        "docs_top_longest": q_docs_top_longest,
+        "quality_docs": q_quality_docs,
+        "events_by_segment": q_events_by_segment,
+        "langid_docs": q_langid_docs,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_docs": q_simhash_docs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -206,5 +336,21 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_hourly": (
             "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "
             "count(*) AS n_events FROM events GROUP BY user_id, hour_bucket"
+        ),
+        "fingerprint_distinct_docs": "SELECT count(DISTINCT text) AS n_distinct FROM documents",
+        "docs_top_longest": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "quality_docs": (
+            "SELECT doc_id, "
+            "(length(text) - length(replace(text,' ','')) + 1)::BIGINT AS n_words, "
+            "(length(replace(text,' ','')) * 1000 // "
+            " greatest(length(text) - length(replace(text,' ','')) + 1, 1))::BIGINT AS mean_word_len_x1000, "
+            "(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000 // greatest(length(text),1))::BIGINT AS digit_ratio_x1000 "
+            "FROM documents"
+        ),
+        "events_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_events FROM events e "
+            "JOIN customer c ON e.user_id = c.c_custkey GROUP BY c_mktsegment"
         ),
     }

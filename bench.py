@@ -29,6 +29,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ROWS_PER_SF = 2_000_000  # sf0.1 → 200k rows ≈ 120M tokens
 BENCH_BASE = "/tmp/parquetjs_ray_bench"
+# Encoded OUTPUT goes to tmpfs: this sandbox's single shared disk writes at
+# ~40-140 MB/s aggregate, which would measure the disk, not the engine. A
+# real cluster writes to per-node NVMe/object storage that scales with N.
+OUT_BASE = "/dev/shm/parquetjs_ray_bench" if os.path.isdir("/dev/shm") else BENCH_BASE
 
 
 def _sf() -> float:
@@ -100,13 +104,13 @@ def run_headline() -> dict:
     paths = _gen_input(rows, n_shards=64)  # fixed shard count: identical input at every CPU level
 
     # ── untimed warmup: full pipeline over the full input ──
-    warm_dir = os.path.join(BENCH_BASE, f"warm_{NCPU}")
+    warm_dir = os.path.join(OUT_BASE, f"warm_{NCPU}")
     shutil.rmtree(warm_dir, ignore_errors=True)
     encode_dataset(paths, warm_dir, mode="files", target_rows_per_partition=32_768)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # ── timed encode ──
-    out_dir = os.path.join(BENCH_BASE, f"out_{NCPU}")
+    out_dir = os.path.join(OUT_BASE, f"out_{NCPU}")
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     report = encode_dataset(paths, out_dir, mode="files", target_rows_per_partition=32_768)

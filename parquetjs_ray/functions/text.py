@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines (vectorized).
+
+All operators are ``map_batches``-shaped: ``pa.Table`` in → ``pa.Table``
+out, no per-row Python in hot paths. Deterministic by construction so
+their outputs can be oracle-checked (integer counts / fixed hashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..arrow_util import string_buffers
+
+__all__ = [
+    "token_count",
+    "fingerprint64",
+    "fingerprint_batch",
+    "quality_batch",
+    "langid_batch",
+]
+
+_U = np.uint64
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U(27))) * _U(0x94D049BB133111EB)
+    return x ^ (x >> _U(31))
+
+
+def token_count(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Whitespace token count (space-split, matches the SQL definition
+    ``length(text) - length(replace(text,' ','')) + 1``)."""
+    spaces = pc.count_substring(batch[column], " ")
+    return batch.append_column("n_ws_tokens", pc.add(spaces, 1).cast(pa.int64()))
+
+
+def fingerprint64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Order-sensitive 64-bit content fingerprint per string (vectorized
+    polynomial-style hash: every byte weighted by its position)."""
+    data, offsets = string_buffers(arr)
+    lens = np.diff(offsets)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(data):
+        inrow = np.arange(len(data), dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        mixed = _mix64(data.astype(np.uint64) + _U(0x9E3779B97F4A7C15) * (inrow.astype(np.uint64) + _U(1)))
+        nonempty = lens > 0
+        if nonempty.any():
+            out[nonempty] = np.add.reduceat(mixed, offsets[:-1][nonempty])
+    return _mix64(out ^ lens.astype(np.uint64))
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    fp = fingerprint64(batch[column])
+    # int64 view: Ray groupby/unique handle int64; bit pattern is what matters
+    return batch.append_column("fingerprint", pa.array(fp.view(np.int64)))
+
+
+def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Heuristic quality signals: char counts, word stats, ratios ×1000
+    (integers, so outputs are exactly reproducible)."""
+    text = batch[column]
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    spaces = pc.count_substring(text, " ").cast(pa.int64())
+    n_words = pc.add(spaces, 1)
+    # mean word length ×1000 (integer arithmetic)
+    non_space = pc.subtract(n_chars, spaces)
+    mean_word_len_x1000 = pc.divide(pc.multiply(non_space, 1000), pc.max_element_wise(n_words, 1))
+    digits = pc.count_substring_regex(text, r"[0-9]").cast(pa.int64())
+    digit_ratio_x1000 = pc.divide(pc.multiply(digits, 1000), pc.max_element_wise(n_chars, 1))
+    out = batch.append_column("n_words", n_words)
+    out = out.append_column("mean_word_len_x1000", mean_word_len_x1000)
+    out = out.append_column("digit_ratio_x1000", digit_ratio_x1000)
+    return out
+
+
+_STOPWORDS = {
+    "en": ("the", "and", "of", "a", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+    "es": ("el", "la", "de", "que", "los", "una", "es", "por", "con", "para"),
+    "it": ("il", "la", "di", "che", "per", "una", "con", "del", "non", "sono"),
+}
+
+
+def langid_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """n-gram/stopword language-ID heuristic (vectorized per language:
+    one count_substring pass per stopword, ~50 kernels per batch).
+
+    Ties break alphabetically; unknown when no stopword hits."""
+    text = batch[column]
+    n = batch.num_rows
+    scores = np.zeros((len(_STOPWORDS), n), dtype=np.int64)
+    langs = sorted(_STOPWORDS)
+    padded = pc.binary_join_element_wise(pa.scalar(" "), text, pa.scalar(" "), "")
+    for li, lang in enumerate(langs):
+        for w in _STOPWORDS[lang]:
+            scores[li] += pc.count_substring(padded, f" {w} ").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    best = np.argmax(scores, axis=0)  # first (alphabetical) wins ties
+    hit = scores.max(axis=0) > 0
+    pred = np.where(hit, np.array(langs, dtype=object)[best], "und")
+    return batch.append_column("lang_pred", pa.array(pred.tolist(), type=pa.string()))

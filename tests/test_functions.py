@@ -1,0 +1,161 @@
+"""Training-data function tests: text analysis, dedup suite, ANN, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquetjs_ray.functions import multimodal, text
+
+
+def _doc_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+
+def test_token_count():
+    t = text.token_count(_doc_table(["a b c", "one", "x  y"]))
+    assert t["n_ws_tokens"].to_pylist() == [3, 1, 3]  # matches the SQL space-count definition
+
+
+def test_fingerprint_distinct_and_order_sensitivity():
+    t = _doc_table(["abc", "abc", "acb", "", "abc "])
+    fp = text.fingerprint64(t["text"])
+    assert fp[0] == fp[1]
+    assert len({int(x) for x in fp}) == 4  # abc==abc, acb/""/"abc " differ
+
+
+def test_quality_batch_integer_outputs():
+    t = text.quality_batch(_doc_table(["hello world 123", "aa"]))
+    assert t["n_words"].to_pylist() == [3, 1]
+    assert t["digit_ratio_x1000"].to_pylist()[0] == 3 * 1000 // 15
+
+
+def test_langid():
+    t = text.langid_batch(
+        _doc_table(
+            [
+                "the cat and the dog is in a house",
+                "der hund ist nicht mit der katze",
+                "le chat est dans les jardins",
+                "zzz qqq www",
+            ]
+        )
+    )
+    assert t["lang_pred"].to_pylist() == ["en", "de", "fr", "und"]
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import exact_dedup
+
+    ds = rd.from_arrow(_doc_table(["x", "y", "x", "z", "y", "x"], ids=[5, 2, 3, 9, 7, 1]))
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 9]
+    assert out["n_copies"].tolist() == [3, 2, 1]
+
+
+def test_minhash_dedup_ray(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "hazy")
+    other = "completely different content about databases and columnar encodings for token streams"
+    ds = rd.from_arrow(_doc_table([base, near, other, base], ids=[1, 2, 3, 4]))
+    out = minhash_dedup(ds, jaccard_threshold=0.6)
+    got = {(r["doc_id"], r["cluster_id"]) for r in out.to_pylist()}
+    assert (4, 1) in got and (2, 1) in got  # exact dup + near dup clustered with 1
+    assert all(cid == 1 for _, cid in got)  # doc 3 not clustered
+
+
+def test_simhash_close_for_near_dups(ray_session):
+    from parquetjs_ray.functions.dedup import simhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("quick", "quack")
+    other = "entirely unrelated string with other words altogether zebra"
+    t = simhash_signatures(_doc_table([base, near, other]))
+    s = t["simhash"].to_pylist()
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+    assert ham(s[0], s[1]) <= 12
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((5, 64)).astype(np.float32)
+    vecs = np.vstack([base, base[0] + rng.standard_normal(64).astype(np.float32) * 0.01])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(vecs.reshape(-1)), 64).cast(
+                pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = embedding_near_dup(rd.from_arrow(tbl), cosine_threshold=0.95)
+    assert (0, 5) in {(r["a"], r["b"]) for r in out.to_pylist()}
+
+
+def test_ann_bruteforce_and_ivf(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.ann import topk_bruteforce, topk_ivf
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(vecs.reshape(-1)), 64).cast(
+                pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    queries = vecs[:3]
+    bf = topk_bruteforce(ds, queries, k=5)
+    bfl = bf.to_pylist()
+    # each query's own vector is its top hit
+    for qi in range(3):
+        top1 = [r for r in bfl if r["query_id"] == qi and r["rank"] == 1]
+        assert top1[0]["vec_id"] == qi
+    ivf = topk_ivf(ds, queries, k=5, n_clusters=8, nprobe=4, sample_rows=200)
+    # recall@5 of IVF vs brute force ≥ 0.6 with nprobe=half the lists
+    bf_sets = {qi: {r["vec_id"] for r in bfl if r["query_id"] == qi} for qi in range(3)}
+    iv = ivf.to_pylist()
+    iv_sets = {qi: {r["vec_id"] for r in iv if r["query_id"] == qi} for qi in range(3)}
+    recall = np.mean([len(bf_sets[q] & iv_sets.get(q, set())) / 5 for q in range(3)])
+    assert recall >= 0.6, recall
+
+
+def test_multimodal_feature_actor(ray_session):
+    import ray.data as rd
+
+    tbl = multimodal.synth_media_table(40)
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(
+        multimodal.ImageFeatureActor, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).take_all()
+    assert len(out) == 40
+    assert len(out[0]["features"]) == multimodal.ImageFeatureActor.FEAT_DIM
+    # deterministic: same payload → same features
+    a = [r for r in out if r["media_id"] == "img1000"][0]["features"]
+    out2 = rd.from_arrow(tbl).map_batches(
+        multimodal.ImageFeatureActor, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).take_all()
+    b = [r for r in out2 if r["media_id"] == "img1000"][0]["features"]
+    assert list(a) == list(b)
+
+
+def test_decode_image_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+    img = multimodal.decode_image(b"\x01" * 300, fake=True)
+    assert img.shape == (8, 8, 3)

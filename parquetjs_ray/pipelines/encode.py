@@ -76,11 +76,29 @@ def hash_strings(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return _mix64(first * _U(0x9E3779B97F4A7C15) ^ _mix64(last) ^ lens.astype(np.uint64))
 
 
-def salted_keys(batch: pa.Table, salt_per_source: dict[str, int]) -> pa.Table:
-    """Stamp the salted partition key (vectorized; no Python per row)."""
-    data, offsets = string_buffers(batch.column("doc_id"))
+def salted_keys(
+    batch: pa.Table,
+    salt_per_source: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+) -> pa.Table:
+    """Stamp the salted partition key (vectorized; no Python per row).
+
+    With ``source_col=None`` (tables without a grouping column) the key
+    is a pure hash bucket ``all-<salt>``."""
+    data, offsets = string_buffers(batch.column(id_col))
     h = hash_strings(data, offsets)
-    src = batch.column("source").combine_chunks() if isinstance(batch.column("source"), pa.ChunkedArray) else batch.column("source")
+    if source_col is None:
+        k = max(1, salt_per_source.get("", 1))
+        salts = (h % np.uint64(k)).astype(np.int64)
+        keys = pa.compute.binary_join_element_wise(
+            pa.array(["all"] * batch.num_rows, pa.string()),
+            pa.array(np.char.zfill(salts.astype("U5"), 5).tolist(), type=pa.string()),
+            "-",
+        )
+        return batch.append_column("__part", keys)
+    src = batch.column(source_col).combine_chunks() if isinstance(batch.column(source_col), pa.ChunkedArray) else batch.column(source_col)
     src_d = src.dictionary_encode()
     dict_vals = src_d.dictionary.to_pylist()
     k_arr = np.array([max(1, salt_per_source.get(s, 1)) for s in dict_vals], dtype=np.uint64)
@@ -104,8 +122,8 @@ def _get_state(plan_ref) -> EncoderState:
     return st
 
 
-def _content_part_id(batch: pa.Table) -> str:
-    ids = batch.column("doc_id")
+def _content_part_id(batch: pa.Table, id_col: str = "doc_id") -> str:
+    ids = batch.column(id_col)
     h = hashlib.sha1()
     h.update(str(batch.num_rows).encode())
     h.update(str(ids[0].as_py()).encode())
@@ -134,12 +152,13 @@ def _encode_and_write(batch: pa.Table, part_id: str, state: EncoderState, out_di
 class EncoderActor:
     """Actor-pool stage for sharded mode: plan fetched once per actor."""
 
-    def __init__(self, plan_ref, out_dir: str):
+    def __init__(self, plan_ref, out_dir: str, id_col: str = "doc_id"):
         self.state = EncoderState(ray.get(plan_ref))
         self.out_dir = out_dir
+        self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        row = _encode_and_write(batch, _content_part_id(batch), self.state, self.out_dir)
+        row = _encode_and_write(batch, _content_part_id(batch, self.id_col), self.state, self.out_dir)
         return pa.Table.from_pylist([row])
 
 
@@ -166,14 +185,15 @@ def split_by_key(stamped: pa.Table, key_col: str = "__part") -> list[tuple[str, 
 
 
 def _encode_one_file(
-    path: str, file_idx: int, plan_ref, salt_per_source: dict[str, int], out_dir: str
+    path: str, file_idx: int, plan_ref, salt_per_source: dict[str, int], out_dir: str,
+    id_col: str = "doc_id", source_col: str | None = "source",
 ) -> list[dict]:
     """files-mode task body: read one input file, split by salted key,
     encode each key-slice, write fragments ``(key, file_idx)``."""
     state = _get_state(plan_ref)
     frag_id = f"{file_idx:06d}"
     tbl = pq.read_table(path)
-    stamped = salted_keys(tbl, salt_per_source)
+    stamped = salted_keys(tbl, salt_per_source, id_col=id_col, source_col=source_col)
     rows = []
     for key, sub in split_by_key(stamped):
         if fragment_done(out_dir, key, frag_id):
@@ -196,7 +216,10 @@ _SUMMARY_SCHEMA = pa.schema(
 )
 
 
-def _run_files_mode(paths: list[str], out_dir: str, plan_ref, salt_per_source: dict[str, int]) -> dict:
+def _run_files_mode(
+    paths: list[str], out_dir: str, plan_ref, salt_per_source: dict[str, int],
+    *, id_col: str = "doc_id", source_col: str | None = "source",
+) -> dict:
     """files mode: one task per input file, NO data shuffle.
 
     Each task splits its file by the salted key and writes
@@ -214,7 +237,12 @@ def _run_files_mode(paths: list[str], out_dir: str, plan_ref, salt_per_source: d
     def encode_files(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
         for path, fidx in zip(batch.column("path").to_pylist(), batch.column("file_idx").to_pylist()):
-            rows.extend(_encode_one_file(path, int(fidx), plan_ref, salt_per_source, out_dir))
+            rows.extend(
+                _encode_one_file(
+                    path, int(fidx), plan_ref, salt_per_source, out_dir,
+                    id_col=id_col, source_col=source_col,
+                )
+            )
         return pa.Table.from_pylist(rows, schema=_SUMMARY_SCHEMA)
 
     fresh = (
@@ -261,6 +289,8 @@ def encode_dataset(
     sample_rows: int = 100_000,
     plan: EncodePlan | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
 ) -> dict:
     """Run the full encode pipeline; returns the report (totals + ratios)."""
     paths = _resolve_paths(input_paths)
@@ -272,7 +302,12 @@ def encode_dataset(
         if os.path.exists(plan_path):
             plan = load_plan(out_dir)
         else:
-            plan = stats_mod.build_plan(paths, sample_rows=sample_rows)
+            plan = stats_mod.build_plan(
+                paths,
+                sample_rows=sample_rows,
+                fsst_columns=(id_col,),
+                dict_columns=(source_col,) if source_col else (),
+            )
             save_plan(plan, out_dir)
     plan_ref = ray.put(plan)
 
@@ -280,7 +315,7 @@ def encode_dataset(
     # (parquet metadata only — no data read). A hot Zipf source gets a
     # proportionally larger salt space so no partition exceeds the target.
     total_rows = _input_row_count(paths)
-    hist = plan.source_hist or {s: 1 for s in plan.source_dict} or {"": 1}
+    hist = (plan.source_hist or {s: 1 for s in plan.source_dict} or {"": 1}) if source_col else {"": 1}
     tot = sum(hist.values())
     salt_per_source = {
         s: max(1, math.ceil((c / tot) * total_rows / target_rows_per_partition))
@@ -288,7 +323,9 @@ def encode_dataset(
     }
 
     if mode == "files":
-        return _run_files_mode(paths, out_dir, plan_ref, salt_per_source)
+        return _run_files_mode(
+            paths, out_dir, plan_ref, salt_per_source, id_col=id_col, source_col=source_col
+        )
 
     ds = rd.read_parquet(paths)
 
@@ -296,7 +333,7 @@ def encode_dataset(
         out_dir_local = out_dir
 
         def stamp(batch: pa.Table) -> pa.Table:
-            return salted_keys(batch, salt_per_source)
+            return salted_keys(batch, salt_per_source, id_col=id_col, source_col=source_col)
 
         def encode_group(group: pa.Table) -> pa.Table:
             part_id = group.column("__part")[0].as_py()
@@ -316,7 +353,7 @@ def encode_dataset(
             batch_size=target_rows_per_partition,
             zero_copy_batch=True,
             concurrency=concurrency or (2, 8),
-            fn_constructor_kwargs={"plan_ref": plan_ref, "out_dir": out_dir},
+            fn_constructor_kwargs={"plan_ref": plan_ref, "out_dir": out_dir, "id_col": id_col},
         )
     else:
         raise ValueError(f"unknown mode {mode!r}")

@@ -44,6 +44,11 @@ def decode_chunk(chunk: bytes | memoryview, manifest: dict, state: EncoderState)
     arrays = {}
     for name, meta in manifest["columns"].items():
         codec = meta["codec"]
+        if "arrow_type" in meta:  # general shredded path (nulls/nesting/etc.)
+            from .shred import decode_any
+
+            arrays[name] = decode_any(chunk, meta, state)
+            continue
         segs = meta["segments"]
         params = meta.get("params", {})
         n = int(meta.get("count", rows))

@@ -196,14 +196,28 @@ def encode_table(table: pa.Table, state: EncoderState) -> tuple[bytes, dict]:
         col = table.column(name)
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         t = arr.type
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
+        no_nulls = arr.null_count == 0
+        if no_nulls and (pa.types.is_string(t) or pa.types.is_large_string(t)):
             columns[name] = _encode_string(name, arr, state, cb)
-        elif pa.types.is_integer(t):
+        elif no_nulls and pa.types.is_integer(t):
             columns[name] = _encode_int(name, arr, cb)
-        elif pa.types.is_list(t) and pa.types.is_integer(t.value_type):
+        elif (
+            no_nulls
+            and pa.types.is_list(t)
+            and pa.types.is_integer(t.value_type)
+            and arr.values.null_count == 0
+        ):
             columns[name] = _encode_list_int(name, arr, cb)
         else:
-            raise TypeError(f"column {name}: unsupported type {t} (north-rule table is flat)")
+            # general path: recursive Arrow shredding (nulls, nesting,
+            # bool/float/temporal/fixed types — the reference's full surface)
+            from .shred import encode_any
+
+            pos0 = cb.pos
+            meta = encode_any(arr, state, cb)
+            meta["raw_bytes"] = arr.nbytes
+            meta["enc_bytes"] = cb.pos - pos0
+            columns[name] = meta
     manifest = {
         "rows": table.num_rows,
         "columns": columns,

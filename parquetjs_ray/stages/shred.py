@@ -1,0 +1,204 @@
+"""Recursive Arrow shredding: any nested/nullable column → codec streams.
+
+The reference shreds nested records into Dremel repetition/definition
+levels (`/root/reference/lib/shred.js:28-135`) and reassembles them in
+``materializeRecords`` (`lib/shred.js:157-245`). Arrow already carries
+exactly that information structurally — validity bitmaps are the
+definition information, list offsets are the repetition information —
+so our "shredder" is a recursive walk over Arrow buffers:
+
+* nullable level → validity bitmap segment (LSB-first, = d-level info);
+* list level → per-row lengths stream (FOR/PFOR, = r-level info) +
+  recurse into the flattened child;
+* struct level → recurse into each field;
+* leaves → the lightweight codecs (dict/FSST/FOR/PFOR/RLE/PLAIN).
+
+This covers the reference's whole type surface (BOOLEAN, INT32/64,
+FLOAT/DOUBLE, BYTE_ARRAY, FIXED_LEN_BYTE_ARRAY, UTF8, DATE,
+TIME/TIMESTAMP, nested optional/repeated groups — `lib/types.js:4-131`,
+`lib/schema.js:82-120`), minus INT96 (legacy, intentionally dropped).
+Round-trip parity with the reference's shred/materialize semantics is
+pinned by the fruits fixture tests (FIXTURES.md F3).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pyarrow as pa
+
+from ..arrow_util import string_buffers
+from ..codecs import plain
+from .encoder import EncoderState, _ChunkBuilder, _encode_string, encode_int_stream
+
+__all__ = ["encode_any", "decode_any"]
+
+
+def _type_blob(t: pa.DataType) -> str:
+    return base64.b64encode(pa.schema([("c", t)]).serialize().to_pybytes()).decode()
+
+
+def _type_from_blob(blob: str) -> pa.DataType:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(blob))).field(0).type
+
+
+_INT_CAST = {
+    "date32": pa.int32(),
+    "time32": pa.int32(),
+    "date64": pa.int64(),
+    "time64": pa.int64(),
+    "timestamp": pa.int64(),
+    "duration": pa.int64(),
+}
+
+
+def _storage_int_type(t: pa.DataType) -> pa.DataType | None:
+    if pa.types.is_integer(t):
+        return pa.int64() if t.bit_width == 64 else pa.int32()
+    for prefix, target in _INT_CAST.items():
+        if str(t).startswith(prefix):
+            return target
+    return None
+
+
+def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
+    """Encode any supported Arrow array → manifest meta (recursive)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    n = len(arr)
+    meta: dict = {"codec": None, "count": n, "arrow_type": _type_blob(t)}
+
+    # ── validity (definition) level ──
+    if arr.null_count:
+        valid_np = np.zeros(n, dtype=bool)
+        if n:
+            # is_valid gives a boolean array regardless of offset handling
+            valid_np = pa.compute.is_valid(arr).to_numpy(zero_copy_only=False)
+        meta["validity"] = cb.add_segment(plain.encode_boolean(valid_np))
+        meta["n_valid"] = int(valid_np.sum())
+        arr = arr.drop_null()
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
+        lengths = np.diff(offsets)
+        codec, segs, params = encode_int_stream(lengths, cb)
+        child = arr.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
+        meta.update(
+            codec="list",
+            lens={"codec": codec, "segments": segs, "params": params},
+            child=encode_any(child, state, cb),
+        )
+    elif pa.types.is_struct(t):
+        meta.update(
+            codec="struct",
+            fields={
+                t.field(i).name: encode_any(arr.field(i), state, cb) for i in range(t.num_fields)
+            },
+        )
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        leaf = _encode_string("", arr, state, cb)
+        leaf.pop("count", None)  # keep the pre-drop_null count set above
+        meta.update(leaf)
+        meta["arrow_type"] = _type_blob(t)
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        data, offsets = string_buffers(arr)
+        meta.update(codec="plain_binary", segments={"data": cb.add_segment(plain.encode_byte_array(data, offsets))})
+    elif pa.types.is_fixed_size_binary(t):
+        # concatenate via to_pylist (fixed columns are narrow; offset-safe)
+        buf = b"".join(arr.to_pylist())
+        meta.update(codec="plain_fixed", type_length=t.byte_width, segments={"data": cb.add_segment(buf)})
+    elif pa.types.is_boolean(t):
+        vals = arr.to_numpy(zero_copy_only=False)
+        meta.update(codec="plain_bool", segments={"data": cb.add_segment(plain.encode_boolean(vals))})
+    elif (it := _storage_int_type(t)) is not None:
+        ints = arr.cast(it)
+        values = ints.to_numpy(zero_copy_only=False)
+        codec, segs, params = encode_int_stream(values, cb)
+        meta.update(codec=codec, segments=segs, params=params, dtype=str(it))
+    elif pa.types.is_floating(t):
+        type_name = "DOUBLE" if t.bit_width == 64 else "FLOAT"
+        vals = arr.to_numpy(zero_copy_only=False)
+        meta.update(codec="plain_num", num_type=type_name, segments={"data": cb.add_segment(plain.encode_numeric(vals, type_name))})
+    else:
+        raise TypeError(f"unsupported Arrow type {t}")
+    meta["leaf_count"] = len(arr)
+    return meta
+
+
+def decode_any(chunk: memoryview, meta: dict, state: EncoderState) -> pa.Array:
+    """Inverse of :func:`encode_any` (recursive)."""
+    from .decoder import _decode_int_stream, _segment
+
+    t = _type_from_blob(meta["arrow_type"])
+    n = int(meta["count"])
+    n_valid = int(meta.get("n_valid", n))
+    has_nulls = "validity" in meta
+    m = n_valid if has_nulls else n
+    codec = meta["codec"]
+
+    if codec == "list":
+        lengths = _decode_int_stream(chunk, meta["lens"], np.int64)
+        child = decode_any(chunk, meta["child"], state)
+        offsets = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        dense = pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32), pa.int32()), child)
+        if pa.types.is_large_list(t):
+            dense = dense.cast(t)
+        elif dense.type != t:
+            dense = dense.cast(t)
+    elif codec == "struct":
+        children = [decode_any(chunk, meta["fields"][t.field(i).name], state) for i in range(t.num_fields)]
+        dense = pa.StructArray.from_arrays(children, fields=[t.field(i) for i in range(t.num_fields)])
+    elif codec in ("dict_global", "fsst", "plain"):
+        from .decoder import decode_chunk  # reuse leaf string decoding
+
+        leaf_meta = {k: v for k, v in meta.items() if k not in ("arrow_type", "validity", "n_valid")}
+        leaf_meta["count"] = m
+        sub_manifest = {"rows": m, "columns": {"c": leaf_meta}}
+        dense = decode_chunk(chunk, sub_manifest, state).column("c").combine_chunks()
+        if dense.type != t:
+            dense = dense.cast(t)
+    elif codec == "plain_binary":
+        data, offsets = plain.decode_byte_array(_segment(chunk, meta["segments"]["data"]), m)
+        from ..arrow_util import strings_from_buffers
+
+        dense = strings_from_buffers(data, offsets, as_string=False)
+        if dense.type != t:
+            dense = dense.cast(t)
+    elif codec == "plain_fixed":
+        raw = bytes(_segment(chunk, meta["segments"]["data"]))
+        w = int(meta["type_length"])
+        dense = pa.array([raw[i * w : (i + 1) * w] for i in range(m)], type=t)
+    elif codec == "plain_bool":
+        vals = plain.decode_boolean(bytes(_segment(chunk, meta["segments"]["data"])), m)
+        dense = pa.array(vals, type=pa.bool_())
+    elif codec in ("for_rle", "pfor"):
+        it = pa.type_for_alias(meta["dtype"])
+        np_t = np.int64 if it.bit_width == 64 else np.int32
+        vals = _decode_int_stream(chunk, meta, np_t)
+        dense = pa.array(vals, type=it)
+        if dense.type != t:
+            dense = dense.cast(t)
+    elif codec == "plain_num":
+        vals = plain.decode_numeric(bytes(_segment(chunk, meta["segments"]["data"])), meta["num_type"])
+        dense = pa.array(vals[:m], type=t)
+    else:
+        raise ValueError(f"unknown codec {codec}")
+
+    if not has_nulls:
+        return dense
+    # re-insert nulls: scatter dense values to valid positions
+    valid = plain.decode_boolean(bytes(_segment(chunk, meta["validity"])), n)
+    positions = np.flatnonzero(valid)
+    if len(positions) == 0:
+        return pa.nulls(n, type=dense.type)
+    take_idx = np.full(n, -1, dtype=np.int64)
+    take_idx[positions] = np.arange(len(positions))
+    mask = pa.array(take_idx >= 0)
+    take_arr = pa.array(np.where(take_idx >= 0, take_idx, 0))
+    scattered = dense.take(take_arr)
+    # null out invalid slots
+    return pa.compute.if_else(mask, scattered, pa.scalar(None, type=scattered.type))

@@ -52,13 +52,15 @@ def batch_stats(batch: pa.Table) -> pa.Table:
                 )
             step = max(1, len(arr) // _STR_SAMPLES_PER_BATCH)
             s["samples"] = [v.encode() for v in arr.take(list(range(0, len(arr), step))).to_pylist() if v is not None]
-        else:
+        elif pa.types.is_integer(t) or (
+            pa.types.is_list(t) and pa.types.is_integer(t.value_type) and arr.null_count == 0
+        ):
             if pa.types.is_list(t):
                 values, lengths = list_buffers(arr)
                 s["n_values"] = len(values)
                 s["len_min"], s["len_max"] = int(lengths.min(initial=0)), int(lengths.max(initial=0))
             else:
-                values = arr.to_numpy(zero_copy_only=False)
+                values = arr.drop_null().to_numpy(zero_copy_only=False)
             if len(values):
                 v64 = values.astype(np.int64, copy=False)
                 s["min"], s["max"] = int(v64.min()), int(v64.max())
@@ -66,6 +68,8 @@ def batch_stats(batch: pa.Table) -> pa.Table:
             else:
                 s["min"] = s["max"] = None
                 s["runs"] = 0
+        # other types (bool/float/temporal/nested): count/null stats only —
+        # their codecs need no sampled artifacts
         out[name] = s
     return pa.table({"blob": pa.array([pickle.dumps(out)], type=pa.binary())})
 
@@ -114,7 +118,7 @@ def build_plan(
     sample_rows: int = 100_000,
     max_sample_files: int = 8,
     fsst_columns: tuple[str, ...] = ("doc_id",),
-    dict_columns: tuple[str, ...] = ("source",),
+    dict_columns: tuple[str, ...] = ("source",),  # may be empty
 ) -> EncodePlan:
     """Run the sampling pass (a small Ray Data job) and build the plan."""
     ds = rd.read_parquet(sample_paths(paths, max_sample_files)).limit(sample_rows)

@@ -157,3 +157,29 @@ def test_files_mode_roundtrip_and_fragment_resume(ray_session, tmp_path):
     assert rep2["resumed_fragments"] == rep["n_fragments"] - len(frags[::3])
     v2 = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
     assert v2["equal"]
+
+
+def test_fruits_nested_pipeline_roundtrip(ray_session, tmp_path):
+    """Full nested/nullable schema (reference integration fixture F3)
+    through the Ray pipeline: encode → decode → exact equality."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.sources.synth import fruits_table
+
+    tbl = fruits_table(repeats=100)  # 400 rows, nested structs/lists/nulls
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(indir)
+    paths = [os.path.join(indir, f"f{i}.parquet") for i in range(2)]
+    pq.write_table(tbl.slice(0, 200), paths[0])
+    pq.write_table(tbl.slice(200), paths[1])
+    rep = encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=100, sample_rows=400,
+        id_col="name", source_col=None,
+    )
+    assert rep["rows"] == 400
+    back = pa.Table.from_pylist(decode_dataset(outdir).take_all())
+    orig_by_name = {r["name"]: r for r in tbl.to_pylist()}
+    got_by_name = {r["name"]: r for r in back.to_pylist()}
+    assert got_by_name == orig_by_name

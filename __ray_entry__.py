@@ -167,6 +167,33 @@ def q_encode_roundtrip_tokens(sf_dir: str):
     return _flagship(2_000, "q_roundtrip")
 
 
+def q_encode_roundtrip_fruits(sf_dir: str):
+    """Nested/nullable schema (reference integration fixture) through the
+    pipeline: encode → decode → exact compare. Returns per-row equality."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.sources.synth import fruits_table
+
+    base = os.path.join(tempfile.gettempdir(), "parquetjs_ray_fruits")
+    indir, outdir = os.path.join(base, "in"), os.path.join(base, "out")
+    os.makedirs(indir, exist_ok=True)
+    tbl = fruits_table(repeats=100)
+    path = os.path.join(indir, "fruits.parquet")
+    if not os.path.exists(path):
+        pq.write_table(tbl, path)
+    encode_dataset(
+        [path], outdir, mode="files", target_rows_per_partition=100, sample_rows=400,
+        id_col="name", source_col=None,
+    )
+    back = {r["name"]: r for r in decode_dataset(outdir).take_all()}
+    orig = tbl.to_pylist()
+    return pd.DataFrame(
+        [{"name": r["name"], "equal": back.get(r["name"]) == r} for r in orig]
+    )
+
+
 def q_fingerprint_distinct_docs(sf_dir: str):
     """Distinct 64-bit content fingerprints == distinct texts (collision-free
     at these scales) — validates the fingerprint operator against SQL."""
@@ -296,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": q_token_count_docs,
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
+        "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "fingerprint_distinct_docs": q_fingerprint_distinct_docs,
         "docs_top_longest": q_docs_top_longest,
         "quality_docs": q_quality_docs,

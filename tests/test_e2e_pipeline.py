@@ -183,3 +183,33 @@ def test_fruits_nested_pipeline_roundtrip(ray_session, tmp_path):
     orig_by_name = {r["name"]: r for r in tbl.to_pylist()}
     got_by_name = {r["name"]: r for r in back.to_pylist()}
     assert got_by_name == orig_by_name
+
+
+def test_size_beats_reference_plain_baseline(ray_session, tmp_path):
+    """North-rule criterion: our encoded bytes ≤ the reference's analytic
+    output size (PLAIN/UNCOMPRESSED defaults, BASELINE.md)."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.oracle.size_model import reference_table_size
+    from parquetjs_ray.pipelines.encode import encode_dataset
+    from parquetjs_ray.sources.synth import generate_shard
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    tbl = generate_shard(0, 6_000)
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(indir)
+    path = os.path.join(indir, "t.parquet")
+    pq.write_table(tbl, path)
+    encode_dataset([path], outdir, mode="files", target_rows_per_partition=2_000, sample_rows=6_000)
+    ours = read_global_manifest(outdir)["totals"]["enc_bytes"]
+    # add our manifest overhead for an honest comparison
+    import glob as globmod
+
+    manifest_bytes = sum(
+        os.path.getsize(p)
+        for p in globmod.glob(os.path.join(outdir, "**", "*.json"), recursive=True)
+    )
+    reference = reference_table_size(tbl)["total"]
+    assert ours + manifest_bytes < reference, (ours, manifest_bytes, reference)
+    # we should beat PLAIN by a wide margin on this fixture
+    assert ours < 0.55 * reference

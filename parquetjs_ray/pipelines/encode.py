@@ -35,6 +35,7 @@ from ..stages import stats as stats_mod
 from ..stages.decoder import decode_chunk
 from ..stages.encoder import EncoderState, encode_table
 from ..stages.writer import (
+    decompress_chunk,
     fragment_done,
     load_fragment_summaries,
     partition_done,
@@ -131,7 +132,10 @@ def _content_part_id(batch: pa.Table, id_col: str = "doc_id") -> str:
     return h.hexdigest()[:16]
 
 
-def _encode_and_write(batch: pa.Table, part_id: str, state: EncoderState, out_dir: str) -> dict:
+def _encode_and_write(
+    batch: pa.Table, part_id: str, state: EncoderState, out_dir: str,
+    compression: str | None = None,
+) -> dict:
     if partition_done(out_dir, part_id):  # resume: skip finished partitions
         import json
 
@@ -146,7 +150,7 @@ def _encode_and_write(batch: pa.Table, part_id: str, state: EncoderState, out_di
             "skipped": True,
         }
     chunk, manifest = encode_table(batch, state)
-    return write_partition(out_dir, part_id, chunk, manifest)
+    return write_partition(out_dir, part_id, chunk, manifest, compression=compression)
 
 
 class EncoderActor:
@@ -187,6 +191,7 @@ def split_by_key(stamped: pa.Table, key_col: str = "__part") -> list[tuple[str, 
 def _encode_one_file(
     path: str, file_idx: int, plan_ref, salt_per_source: dict[str, int], out_dir: str,
     id_col: str = "doc_id", source_col: str | None = "source",
+    compression: str | None = None,
 ) -> list[dict]:
     """files-mode task body: read one input file, split by salted key,
     encode each key-slice, write fragments ``(key, file_idx)``."""
@@ -199,7 +204,7 @@ def _encode_one_file(
         if fragment_done(out_dir, key, frag_id):
             continue  # summary recovered from disk by the resume sweep
         chunk, manifest = encode_table(sub.drop_columns(["__part"]).combine_chunks(), state)
-        rows.append(write_fragment(out_dir, key, frag_id, chunk, manifest))
+        rows.append(write_fragment(out_dir, key, frag_id, chunk, manifest, compression=compression))
     return rows
 
 
@@ -219,6 +224,7 @@ _SUMMARY_SCHEMA = pa.schema(
 def _run_files_mode(
     paths: list[str], out_dir: str, plan_ref, salt_per_source: dict[str, int],
     *, id_col: str = "doc_id", source_col: str | None = "source",
+    compression: str | None = None, user_metadata: dict | None = None,
 ) -> dict:
     """files mode: one task per input file, NO data shuffle.
 
@@ -240,7 +246,7 @@ def _run_files_mode(
             rows.extend(
                 _encode_one_file(
                     path, int(fidx), plan_ref, salt_per_source, out_dir,
-                    id_col=id_col, source_col=source_col,
+                    id_col=id_col, source_col=source_col, compression=compression,
                 )
             )
         return pa.Table.from_pylist(rows, schema=_SUMMARY_SCHEMA)
@@ -255,7 +261,10 @@ def _run_files_mode(
     for pdir in globmod.glob(os.path.join(out_dir, "part-*")):
         pid = os.path.basename(pdir)[len("part-") :]
         fragments.extend(load_fragment_summaries(out_dir, pid))
-    path = write_partition_manifests(out_dir, fragments, extra={"mode": "files"})
+    extra = {"mode": "files"}
+    if user_metadata:
+        extra["user_metadata"] = user_metadata
+    path = write_partition_manifests(out_dir, fragments, extra=extra)
     totals = dict(read_global_manifest(out_dir)["totals"])
     totals["n_partitions"] = len({f["partition"] for f in fragments})
     totals["n_fragments"] = len(fragments)
@@ -291,8 +300,16 @@ def encode_dataset(
     concurrency: int | tuple[int, int] | None = None,
     id_col: str = "doc_id",
     source_col: str | None = "source",
+    compression: str | None = None,
+    user_metadata: dict | None = None,
 ) -> dict:
-    """Run the full encode pipeline; returns the report (totals + ratios)."""
+    """Run the full encode pipeline; returns the report (totals + ratios).
+
+    ``compression`` applies a general-purpose codec (zstd/gzip/snappy/
+    lz4/brotli) over each chunk AFTER the lightweight codecs — the
+    reference's GZIP/SNAPPY/BROTLI option; default UNCOMPRESSED keeps the
+    reference size comparison honest. ``user_metadata`` lands in the
+    global manifest (the reference's setMetadata footer KV)."""
     paths = _resolve_paths(input_paths)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -324,7 +341,8 @@ def encode_dataset(
 
     if mode == "files":
         return _run_files_mode(
-            paths, out_dir, plan_ref, salt_per_source, id_col=id_col, source_col=source_col
+            paths, out_dir, plan_ref, salt_per_source, id_col=id_col, source_col=source_col,
+            compression=compression, user_metadata=user_metadata,
         )
 
     ds = rd.read_parquet(paths)
@@ -359,7 +377,10 @@ def encode_dataset(
         raise ValueError(f"unknown mode {mode!r}")
 
     partitions = manifest_ds.take_all()  # small: one row per partition
-    path = write_global_manifest(out_dir, partitions, extra={"mode": mode})
+    extra = {"mode": mode}
+    if user_metadata:
+        extra["user_metadata"] = user_metadata
+    path = write_global_manifest(out_dir, partitions, extra=extra)
     totals = read_global_manifest(out_dir)["totals"]
     totals["n_partitions"] = len(partitions)
     totals["resumed_partitions"] = sum(1 for p in partitions if p.get("skipped"))
@@ -385,7 +406,7 @@ def _decode_state(out_dir: str) -> EncoderState:
     return st
 
 
-def _decode_units(batch: pa.Table, out_dir: str) -> pa.Table:
+def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = None) -> pa.Table:
     import json
 
     state = _decode_state(out_dir)
@@ -399,18 +420,25 @@ def _decode_units(batch: pa.Table, out_dir: str) -> pa.Table:
                 fm = json.load(f)
             with open(os.path.join(pdir, f"frag-{frag_id}.bin"), "rb") as f:
                 chunk = f.read()
-            tables.append(decode_chunk(chunk, fm, state))
         else:  # grouped/sharded: single chunk per partition
             with open(os.path.join(pdir, "manifest.json")) as f:
-                manifest = json.load(f)
+                fm = json.load(f)
             with open(os.path.join(pdir, "chunk.bin"), "rb") as f:
                 chunk = f.read()
-            tables.append(decode_chunk(chunk, manifest, state))
+        chunk = decompress_chunk(chunk, fm)
+        if columns:  # projection pushdown: decode only requested columns
+            fm = dict(fm)
+            fm["columns"] = {k: v for k, v in fm["columns"].items() if k in columns}
+        tables.append(decode_chunk(chunk, fm, state))
     return pa.concat_tables(tables)
 
 
-def decode_dataset(out_dir: str) -> rd.Dataset:
+def decode_dataset(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     """Stream the encoded artifact back as a Dataset of the original schema.
+
+    ``columns`` pushes projection into the decoder (only the requested
+    column segments are decoded — the reference's getCursor(columnList),
+    `/root/reference/lib/reader.js:132-144,227-229`).
 
     Work units are individual fragments (files mode) or whole partitions
     (grouped/sharded), so decode parallelism matches the write layout and
@@ -431,5 +459,5 @@ def decode_dataset(out_dir: str) -> rd.Dataset:
         _decode_units,
         batch_format="pyarrow",
         batch_size=4,
-        fn_kwargs={"out_dir": out_dir},
+        fn_kwargs={"out_dir": out_dir, "columns": columns},
     )

@@ -24,7 +24,39 @@ import os
 import uuid
 import zlib
 
-__all__ = ["partition_done", "write_partition", "write_global_manifest", "read_global_manifest"]
+__all__ = [
+    "partition_done",
+    "write_partition",
+    "write_global_manifest",
+    "read_global_manifest",
+    "compress_chunk",
+    "decompress_chunk",
+]
+
+# general-purpose compression AFTER the lightweight codecs — the analogue of
+# the reference's GZIP/SNAPPY/BROTLI page compression (`lib/compression.js`).
+# UNCOMPRESSED default keeps the size comparison vs the reference honest.
+SUPPORTED_COMPRESSION = ("zstd", "gzip", "snappy", "lz4", "brotli")
+
+
+def compress_chunk(chunk: bytes, compression: str | None) -> tuple[bytes, dict]:
+    if not compression or compression == "uncompressed":
+        return chunk, {}
+    import pyarrow as pa
+
+    if compression not in SUPPORTED_COMPRESSION:
+        raise ValueError(f"unsupported compression {compression!r}")
+    out = pa.Codec(compression).compress(chunk, asbytes=True)
+    return out, {"compression": compression, "uncompressed_size": len(chunk)}
+
+
+def decompress_chunk(chunk: bytes, manifest: dict) -> bytes:
+    comp = manifest.get("compression")
+    if not comp:
+        return chunk
+    import pyarrow as pa
+
+    return pa.Codec(comp).decompress(chunk, manifest["uncompressed_size"], asbytes=True)
 
 
 def _part_dir(out_dir: str, part_id: str) -> str:
@@ -35,7 +67,9 @@ def partition_done(out_dir: str, part_id: str) -> bool:
     return os.path.exists(os.path.join(_part_dir(out_dir, part_id), "manifest.json"))
 
 
-def write_partition(out_dir: str, part_id: str, chunk: bytes, manifest: dict) -> dict:
+def write_partition(
+    out_dir: str, part_id: str, chunk: bytes, manifest: dict, compression: str | None = None
+) -> dict:
     """Atomically write one partition; idempotent under retries.
 
     Returns a flat summary row (for the manifest Dataset)."""
@@ -52,6 +86,8 @@ def write_partition(out_dir: str, part_id: str, chunk: bytes, manifest: dict) ->
         summary["skipped"] = True
         return summary
     manifest = dict(manifest)
+    chunk, comp_meta = compress_chunk(chunk, compression)
+    manifest.update(comp_meta)
     manifest["partition"] = part_id
     manifest["checksum_crc32"] = zlib.crc32(chunk)
     tmp = pdir + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -115,7 +151,10 @@ def fragment_done(out_dir: str, part_id: str, frag_id: str) -> bool:
     return os.path.exists(os.path.join(_part_dir(out_dir, part_id), f"frag-{frag_id}.json"))
 
 
-def write_fragment(out_dir: str, part_id: str, frag_id: str, chunk: bytes, manifest: dict) -> dict:
+def write_fragment(
+    out_dir: str, part_id: str, frag_id: str, chunk: bytes, manifest: dict,
+    compression: str | None = None,
+) -> dict:
     """Atomically write one fragment; idempotent under retries/reruns."""
     pdir = _part_dir(out_dir, part_id)
     os.makedirs(pdir, exist_ok=True)
@@ -133,6 +172,8 @@ def write_fragment(out_dir: str, part_id: str, frag_id: str, chunk: bytes, manif
         summary["skipped"] = True
         return summary
     manifest = dict(manifest)
+    chunk, comp_meta = compress_chunk(chunk, compression)
+    manifest.update(comp_meta)
     manifest["partition"] = part_id
     manifest["fragment"] = frag_id
     manifest["checksum_crc32"] = zlib.crc32(chunk)

@@ -213,3 +213,26 @@ def test_size_beats_reference_plain_baseline(ray_session, tmp_path):
     assert ours + manifest_bytes < reference, (ours, manifest_bytes, reference)
     # we should beat PLAIN by a wide margin on this fixture
     assert ours < 0.55 * reference
+
+
+def test_compression_metadata_projection(ray_session, tmp_path):
+    """zstd chunk compression + user metadata + decode column projection."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 2_000, n_shards=2)
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=500, sample_rows=2_000,
+        compression="zstd", user_metadata={"corpus": "fixture-v1", "owner": "tests"},
+    )
+    gm = read_global_manifest(outdir)
+    assert gm["user_metadata"]["corpus"] == "fixture-v1"
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v["equal"]
+    # projection pushdown: only two columns decoded
+    proj = decode_dataset(outdir, columns=["doc_id", "n_tok"]).take(5)
+    assert sorted(proj[0].keys()) == ["doc_id", "n_tok"]

@@ -36,7 +36,9 @@ def _flagship(rows: int, tag: str) -> pd.DataFrame:
     from parquetjs_ray.sources.synth import write_synth
     from parquetjs_ray.stages.writer import read_global_manifest
 
-    base = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_{tag}")
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    base = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_{tag}_v{FORMAT_VERSION}")
     indir = os.path.join(base, "input")
     outdir = os.path.join(base, "encoded")
     paths = write_synth(indir, rows, n_shards=4)
@@ -176,7 +178,9 @@ def q_encode_roundtrip_fruits(sf_dir: str):
     from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
     from parquetjs_ray.sources.synth import fruits_table
 
-    base = os.path.join(tempfile.gettempdir(), "parquetjs_ray_fruits")
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    base = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_fruits_v{FORMAT_VERSION}")
     indir, outdir = os.path.join(base, "in"), os.path.join(base, "out")
     os.makedirs(indir, exist_ok=True)
     tbl = fruits_table(repeats=100)
@@ -241,6 +245,26 @@ def q_events_by_segment(sf_dir: str):
     return ds.map_batches(join, batch_format="pyarrow").groupby("c_mktsegment").aggregate(
         Count(alias_name="n_events")
     )
+
+
+def q_session_windows_events(sf_dir: str):
+    """Session windows (30 min gap) per user — gaps-and-islands, SQL-checkable."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import session_windows
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    return session_windows(ds, gap_us=1_800_000_000)
+
+
+def q_sliding_counts_events(sf_dir: str):
+    """Sliding 1h windows stepped 15 min, per user (integer-only)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import sliding_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    return sliding_counts(ds)
 
 
 def q_langid_docs(sf_dir: str):
@@ -328,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_longest": q_docs_top_longest,
         "quality_docs": q_quality_docs,
         "events_by_segment": q_events_by_segment,
+        "session_windows_events": q_session_windows_events,
+        "sliding_counts_events": q_sliding_counts_events,
         "langid_docs": q_langid_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
@@ -380,5 +406,21 @@ def oracle_sql() -> dict[str, str]:
         "events_by_segment": (
             "SELECT c_mktsegment, count(*) AS n_events FROM events e "
             "JOIN customer c ON e.user_id = c.c_custkey GROUP BY c_mktsegment"
+        ),
+        "session_windows_events": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+            " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+            "      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s "
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))), "
+            "s AS (SELECT user_id, t, sum(new_s) OVER (PARTITION BY user_id ORDER BY t "
+            "      ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, min(t) AS session_start_us, count(*) AS n_events "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "sliding_counts_events": (
+            "SELECT user_id, CAST((floor(epoch_us(ts)/900000000) - i.i) * 900000000 AS BIGINT) AS win_start_us, "
+            "count(*) AS n_events FROM events, generate_series(0, 3) AS i(i) "
+            "WHERE (floor(epoch_us(ts)/900000000) - i.i) * 900000000 + 3600000000 > epoch_us(ts) "
+            "GROUP BY user_id, win_start_us"
         ),
     }

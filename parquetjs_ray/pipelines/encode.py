@@ -47,7 +47,7 @@ from ..stages.writer import (
 )
 from ..state.artifacts import EncodePlan, load_plan, save_plan
 
-__all__ = ["encode_dataset", "decode_dataset", "salted_keys"]
+__all__ = ["encode_dataset", "decode_dataset", "dataset_info", "salted_keys"]
 
 _U = np.uint64
 _STATE_CACHE: dict[bytes, EncoderState] = {}
@@ -261,7 +261,7 @@ def _run_files_mode(
     for pdir in globmod.glob(os.path.join(out_dir, "part-*")):
         pid = os.path.basename(pdir)[len("part-") :]
         fragments.extend(load_fragment_summaries(out_dir, pid))
-    extra = {"mode": "files"}
+    extra = {"mode": "files", "schema_b64": _schema_blob(paths)}
     if user_metadata:
         extra["user_metadata"] = user_metadata
     path = write_partition_manifests(out_dir, fragments, extra=extra)
@@ -273,6 +273,34 @@ def _run_files_mode(
     totals["ratio"] = totals["enc_bytes"] / max(1, totals["raw_bytes"])
     totals["manifest"] = path
     return totals
+
+
+def _schema_blob(paths: list[str]) -> str:
+    import base64
+
+    return base64.b64encode(pq.ParquetFile(paths[0]).schema_arrow.serialize().to_pybytes()).decode()
+
+
+def dataset_info(out_dir: str) -> dict:
+    """Metadata accessors over an encoded artifact — the reference's
+    getRowCount/getSchema/getMetadata (`/root/reference/lib/reader.js:150-171`),
+    answered from the global manifest without touching chunk data."""
+    import base64
+
+    gm = read_global_manifest(out_dir)
+    schema = None
+    if gm.get("schema_b64"):
+        schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(gm["schema_b64"])))
+    return {
+        "row_count": gm["totals"]["rows"],
+        "n_tokens": gm["totals"].get("n_tokens", 0),
+        "schema": schema,
+        "user_metadata": gm.get("user_metadata", {}),
+        "mode": gm.get("mode"),
+        "n_partitions": len(gm["partitions"]),
+        "raw_bytes": gm["totals"]["raw_bytes"],
+        "enc_bytes": gm["totals"]["enc_bytes"],
+    }
 
 
 def _input_row_count(paths: list[str]) -> int:
@@ -377,7 +405,7 @@ def encode_dataset(
         raise ValueError(f"unknown mode {mode!r}")
 
     partitions = manifest_ds.take_all()  # small: one row per partition
-    extra = {"mode": mode}
+    extra = {"mode": mode, "schema_b64": _schema_blob(paths)}
     if user_metadata:
         extra["user_metadata"] = user_metadata
     path = write_global_manifest(out_dir, partitions, extra=extra)

@@ -159,3 +159,30 @@ def test_decode_image_stub():
         multimodal.decode_image(b"\x89PNG...")
     img = multimodal.decode_image(b"\x01" * 300, fake=True)
     assert img.shape == (8, 8, 3)
+
+
+def test_session_and_sliding_windows(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import session_windows, sliding_counts, tumbling_counts
+
+    us = 1_000_000
+    rows = [
+        {"user_id": 1, "ts": 0 * us},
+        {"user_id": 1, "ts": 100 * us},
+        {"user_id": 1, "ts": 5000 * us},  # > 30min gap? gap_us small below
+        {"user_id": 2, "ts": 50 * us},
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(tbl)
+    sess = session_windows(ds, gap_us=1000 * us).to_pandas().sort_values(
+        ["user_id", "session_start_us"]
+    )
+    assert sess["n_events"].tolist() == [2, 1, 1]
+    assert sess["session_start_us"].tolist() == [0, 5000 * us, 50 * us]
+    tum = tumbling_counts(ds, size_us=3600 * us).to_pandas()
+    assert tum["n_events"].sum() == 4
+    slide = sliding_counts(ds, size_us=3600 * us, step_us=900 * us).to_pandas()
+    # the event at t=0 appears in exactly one window (start 0); others in up to 4
+    w1 = slide[(slide.user_id == 1) & (slide.win_start_us == 0)]
+    assert w1["n_events"].tolist() == [2]

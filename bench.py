@@ -109,12 +109,15 @@ def run_headline() -> dict:
     encode_dataset(paths, warm_dir, mode="files", target_rows_per_partition=32_768)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    # ── timed encode ──
+    # ── timed encode: best of 2 (reduces scheduler noise) ──
     out_dir = os.path.join(OUT_BASE, f"out_{NCPU}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    report = encode_dataset(paths, out_dir, mode="files", target_rows_per_partition=32_768)
-    t_encode = time.perf_counter() - t0
+    t_encode = None
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        report = encode_dataset(paths, out_dir, mode="files", target_rows_per_partition=32_768)
+        dt = time.perf_counter() - t0
+        t_encode = dt if t_encode is None else min(t_encode, dt)
 
     totals = read_global_manifest(out_dir)["totals"]
 
@@ -152,6 +155,10 @@ def run_headline() -> dict:
         "n_partitions": report["n_partitions"],
         "queries": {"encode": round(t_encode, 3), "decode_verify": round(t_verify, 3), **qtimes},
     }
+    scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_2v8.json")
+    if os.path.exists(scaling_file):
+        with open(scaling_file) as f:
+            result["scaling"] = json.load(f)
     ray.shutdown()
     return result
 

@@ -1,0 +1,59 @@
+"""Property-based round-trip tests (hypothesis) for every codec."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from parquetjs_ray.codecs import fornum, fsst, pfor, plain, rle
+
+
+ints = st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=300)
+small_ints = st.lists(st.integers(min_value=0, max_value=255), max_size=300)
+
+
+@settings(max_examples=40, deadline=None)
+@given(small_ints, st.integers(min_value=8, max_value=20))
+def test_rle_roundtrip(values, width):
+    v = np.array(values, dtype=np.uint64)
+    buf = rle.encode(v, width, disable_envelope=True)
+    assert rle.decode(buf, len(v), width, disable_envelope=True).tolist() == values
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints)
+def test_fornum_roundtrip(values):
+    v = np.array(values, dtype=np.int64)
+    buf, params = fornum.encode(v)
+    assert fornum.decode(buf, params).tolist() == values
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints)
+def test_pfor_roundtrip(values):
+    v = np.array(values, dtype=np.int64)
+    bufs, params = pfor.encode(v)
+    assert pfor.decode(bufs, params).tolist() == values
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(max_size=40), max_size=60))
+def test_fsst_roundtrip(strings):
+    table = fsst.train([s for s in strings if s][:20] or [b"seed"])
+    data = np.frombuffer(b"".join(strings), dtype=np.uint8)
+    offsets = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=offsets[1:])
+    codes, coffs = fsst.encode(table, data, offsets)
+    out, ooffs = fsst.decode(table, codes, coffs)
+    assert out == data.tobytes()
+    assert ooffs.tolist() == offsets.tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(max_size=30), max_size=50))
+def test_plain_byte_array_roundtrip(values):
+    data = b"".join(values)
+    offsets = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum([len(v) for v in values], out=offsets[1:])
+    buf = plain.encode_byte_array(np.frombuffer(data, dtype=np.uint8), offsets)
+    out_data, out_offsets = plain.decode_byte_array(buf, len(values))
+    assert out_data == data
+    assert out_offsets.tolist() == offsets.tolist()

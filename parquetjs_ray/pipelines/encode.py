@@ -47,7 +47,7 @@ from ..stages.writer import (
 )
 from ..state.artifacts import EncodePlan, load_plan, save_plan
 
-__all__ = ["encode_dataset", "decode_dataset", "dataset_info", "salted_keys"]
+__all__ = ["encode_dataset", "decode_dataset", "compact_dataset", "dataset_info", "salted_keys"]
 
 _U = np.uint64
 _STATE_CACHE: dict[bytes, EncoderState] = {}
@@ -204,6 +204,11 @@ def _encode_one_file(
         if fragment_done(out_dir, key, frag_id):
             continue  # summary recovered from disk by the resume sweep
         chunk, manifest = encode_table(sub.drop_columns(["__part"]).combine_chunks(), state)
+        ids = sub.column(id_col)
+        # per-fragment id min/max: the parquet row-group-stats analogue,
+        # drives fragment pruning in decode_dataset(id_range=...)
+        manifest["id_min"] = pa.compute.min(ids).as_py()
+        manifest["id_max"] = pa.compute.max(ids).as_py()
         rows.append(write_fragment(out_dir, key, frag_id, chunk, manifest, compression=compression))
     return rows
 
@@ -256,17 +261,36 @@ def _run_files_mode(
         .map_batches(encode_files, batch_size=1, batch_format="pyarrow")
         .take_all()
     )
-    # authoritative sweep of committed fragments (covers resumed ones too)
+    # authoritative sweep of committed fragments (covers resumed ones too);
+    # compacted partitions (single consolidated chunk) pass through untouched
+    import json as jsonmod
+
     fragments: list[dict] = []
+    compacted_rows: list[dict] = []
     for pdir in globmod.glob(os.path.join(out_dir, "part-*")):
         pid = os.path.basename(pdir)[len("part-") :]
+        mpath = os.path.join(pdir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                pm = jsonmod.load(f)
+            if "source_fragments" in pm:
+                compacted_rows.append(
+                    {
+                        "partition": pid,
+                        "rows": pm["rows"],
+                        "n_tokens": pm.get("n_tokens", 0),
+                        "raw_bytes": pm["raw_bytes"],
+                        "enc_bytes": pm["enc_bytes"],
+                    }
+                )
+                continue
         fragments.extend(load_fragment_summaries(out_dir, pid))
     extra = {"mode": "files", "schema_b64": _schema_blob(paths)}
     if user_metadata:
         extra["user_metadata"] = user_metadata
-    path = write_partition_manifests(out_dir, fragments, extra=extra)
+    path = write_partition_manifests(out_dir, fragments, extra=extra, extra_partitions=compacted_rows)
     totals = dict(read_global_manifest(out_dir)["totals"])
-    totals["n_partitions"] = len({f["partition"] for f in fragments})
+    totals["n_partitions"] = len({f["partition"] for f in fragments}) + len(compacted_rows)
     totals["n_fragments"] = len(fragments)
     totals["resumed_fragments"] = len(fragments) - sum(1 for r in fresh if not r["skipped"])
     totals["resumed_partitions"] = 0
@@ -461,12 +485,20 @@ def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = Non
     return pa.concat_tables(tables)
 
 
-def decode_dataset(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def decode_dataset(
+    out_dir: str,
+    columns: list[str] | None = None,
+    id_range: tuple | None = None,
+    sources: list[str] | None = None,
+) -> rd.Dataset:
     """Stream the encoded artifact back as a Dataset of the original schema.
 
     ``columns`` pushes projection into the decoder (only the requested
     column segments are decoded — the reference's getCursor(columnList),
-    `/root/reference/lib/reader.js:132-144,227-229`).
+    `/root/reference/lib/reader.js:132-144,227-229`). ``id_range=(lo, hi)``
+    prunes fragments whose manifest id min/max stats cannot intersect
+    (parquet row-group-stats analogue); ``sources`` prunes partitions by
+    their source prefix — both prune BEFORE any chunk byte is read.
 
     Work units are individual fragments (files mode) or whole partitions
     (grouped/sharded), so decode parallelism matches the write layout and
@@ -476,11 +508,22 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None) -> rd.Dataset
     manifest = read_global_manifest(out_dir)
     units: list[dict] = []
     for p in manifest["partitions"]:
+        if sources is not None and p["partition"].rsplit("-", 1)[0] not in sources:
+            continue
         pdir = os.path.join(out_dir, f"part-{p['partition']}")
         with open(os.path.join(pdir, "manifest.json")) as f:
             pm = json.load(f)
         if "fragments" in pm:
-            units += [{"partition": p["partition"], "fragment": fr} for fr in pm["fragments"]]
+            for fr in pm["fragments"]:
+                if id_range is not None:
+                    with open(os.path.join(pdir, f"frag-{fr}.json")) as f:
+                        fm_min_max = json.load(f)
+                    lo, hi = id_range
+                    if fm_min_max.get("id_max") is not None and (
+                        fm_min_max["id_max"] < lo or fm_min_max["id_min"] > hi
+                    ):
+                        continue
+                units.append({"partition": p["partition"], "fragment": fr})
         else:
             units.append({"partition": p["partition"], "fragment": ""})
     return rd.from_items(units).map_batches(
@@ -489,3 +532,100 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None) -> rd.Dataset
         batch_size=4,
         fn_kwargs={"out_dir": out_dir, "columns": columns},
     )
+
+
+def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
+    """Merge each partition's fragments into one consolidated chunk.
+
+    files mode trades chunk size for shuffle-freedom: a partition may end
+    up with many small fragments (one per input file). Compaction fixes
+    that WITHOUT a global shuffle — each partition is local work (decode
+    its fragments → one encode) fanned out with ``map_batches`` over the
+    partition list. After compaction the partition looks like a grouped-
+    mode partition (single ``chunk.bin``); its manifest keeps the absorbed
+    fragment ids so a later encode resume still sees them as done.
+    """
+    import json
+
+    gm = read_global_manifest(out_dir)
+    parts = [{"partition": p["partition"], "fragment": ""} for p in gm["partitions"]]
+
+    def compact_parts(batch: pa.Table) -> pa.Table:
+        state = _decode_state(out_dir)
+        rows = []
+        for pid in batch.column("partition").to_pylist():
+            pdir = os.path.join(out_dir, f"part-{pid}")
+            with open(os.path.join(pdir, "manifest.json")) as f:
+                pm = json.load(f)
+            frags = pm.get("fragments", [])
+            if len(frags) <= max_fragments:
+                rows.append({"partition": pid, "compacted": False, "n_fragments": len(frags)})
+                continue
+            tables = []
+            id_mins, id_maxs = [], []
+            for fr in frags:
+                with open(os.path.join(pdir, f"frag-{fr}.json")) as f:
+                    fm = json.load(f)
+                with open(os.path.join(pdir, f"frag-{fr}.bin"), "rb") as f:
+                    chunk = decompress_chunk(f.read(), fm)
+                tables.append(decode_chunk(chunk, fm, state))
+                if fm.get("id_min") is not None:
+                    id_mins.append(fm["id_min"])
+                    id_maxs.append(fm["id_max"])
+            tbl = pa.concat_tables(tables).combine_chunks()
+            chunk, manifest = encode_table(tbl, state)
+            manifest["partition"] = pid
+            manifest["source_fragments"] = frags
+            manifest["n_tokens"] = manifest.get("columns", {}).get("tokens", {}).get("n_values", 0)
+            if id_mins:
+                manifest["id_min"], manifest["id_max"] = min(id_mins), max(id_maxs)
+            import uuid as uuidmod
+            import zlib as zlibmod
+
+            manifest["checksum_crc32"] = zlibmod.crc32(chunk)
+            tmp = os.path.join(pdir, f"chunk.bin.tmp-{uuidmod.uuid4().hex[:8]}")
+            with open(tmp, "wb") as f:
+                f.write(chunk)
+            os.replace(tmp, os.path.join(pdir, "chunk.bin"))
+            tmpj = os.path.join(pdir, f"manifest.json.tmp-{uuidmod.uuid4().hex[:8]}")
+            with open(tmpj, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmpj, os.path.join(pdir, "manifest.json"))  # commit point
+            for fr in frags:  # cleanup (safe: manifest now points at chunk.bin)
+                for ext in (".bin", ".json"):
+                    try:
+                        os.remove(os.path.join(pdir, f"frag-{fr}{ext}"))
+                    except OSError:
+                        pass
+            rows.append({"partition": pid, "compacted": True, "n_fragments": len(frags)})
+        return pa.Table.from_pylist(rows)
+
+    results = (
+        rd.from_items([{"partition": p["partition"]} for p in gm["partitions"]])
+        .map_batches(compact_parts, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    # refresh the global manifest (sizes changed; rows unchanged)
+    import json
+
+    part_rows = []
+    for p in gm["partitions"]:
+        pdir = os.path.join(out_dir, f"part-{p['partition']}")
+        with open(os.path.join(pdir, "manifest.json")) as f:
+            pm = json.load(f)
+        part_rows.append(
+            {
+                "partition": p["partition"],
+                "rows": pm["rows"],
+                "n_tokens": pm.get("n_tokens", p.get("n_tokens", 0)),
+                "raw_bytes": pm["raw_bytes"],
+                "enc_bytes": pm["enc_bytes"],
+            }
+        )
+    extra = {k: gm[k] for k in gm if k not in ("partitions", "totals")}
+    extra["compacted"] = True
+    write_global_manifest(out_dir, part_rows, extra=extra)
+    return {
+        "n_partitions": len(results),
+        "n_compacted": sum(1 for r in results if r["compacted"]),
+    }

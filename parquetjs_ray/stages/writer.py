@@ -148,7 +148,17 @@ def read_global_manifest(out_dir: str) -> dict:
 
 
 def fragment_done(out_dir: str, part_id: str, frag_id: str) -> bool:
-    return os.path.exists(os.path.join(_part_dir(out_dir, part_id), f"frag-{frag_id}.json"))
+    pdir = _part_dir(out_dir, part_id)
+    if os.path.exists(os.path.join(pdir, f"frag-{frag_id}.json")):
+        return True
+    # compaction replaces fragments with one consolidated chunk; the
+    # compacted manifest remembers which fragment ids it absorbed
+    mpath = os.path.join(pdir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        return frag_id in m.get("source_fragments", ())
+    return False
 
 
 def write_fragment(
@@ -213,13 +223,20 @@ def load_fragment_summaries(out_dir: str, part_id: str) -> list[dict]:
     return out
 
 
-def write_partition_manifests(out_dir: str, fragments: list[dict], extra: dict | None = None) -> str:
+def write_partition_manifests(
+    out_dir: str,
+    fragments: list[dict],
+    extra: dict | None = None,
+    extra_partitions: list[dict] | None = None,
+) -> str:
     """Roll fragment summaries up into per-partition manifests + the
-    global manifest (the footer analogue). Driver-side; metadata only."""
+    global manifest (the footer analogue). Driver-side; metadata only.
+    ``extra_partitions`` are pre-consolidated (compacted) partitions whose
+    manifests must not be rewritten."""
     parts: dict[str, list[dict]] = {}
     for fr in fragments:
         parts.setdefault(fr["partition"], []).append(fr)
-    part_rows = []
+    part_rows = list(extra_partitions or [])
     for part_id, frs in parts.items():
         frs = sorted(frs, key=lambda f: f["fragment"])
         doc = {

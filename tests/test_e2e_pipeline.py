@@ -236,3 +236,41 @@ def test_compression_metadata_projection(ray_session, tmp_path):
     # projection pushdown: only two columns decoded
     proj = decode_dataset(outdir, columns=["doc_id", "n_tok"]).take(5)
     assert sorted(proj[0].keys()) == ["doc_id", "n_tok"]
+
+
+def test_pruned_decode_and_compaction(ray_session, tmp_path):
+    """id-range fragment pruning + compaction (fragments → single chunk)."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import compact_dataset, decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 4_000, n_shards=4)
+    encode_dataset(paths, outdir, mode="files", target_rows_per_partition=1_000, sample_rows=4_000)
+
+    # pruning: ids are "srcXX/doc...", restrict to a prefix range
+    pruned = decode_dataset(outdir, id_range=("src00", "src05~")).take_all()
+    full = decode_dataset(outdir).take_all()
+    want = [r for r in full if "src00" <= r["doc_id"] <= "src05~"]
+    assert {r["doc_id"] for r in pruned} >= {r["doc_id"] for r in want}
+    assert len(pruned) < len(full)  # actually pruned something
+
+    # sources pruning
+    only_cc = decode_dataset(outdir, sources=["cc"]).take_all()
+    assert only_cc and all(r["source"] == "cc" for r in only_cc)
+
+    # compaction: all multi-fragment partitions collapse to one chunk
+    gm_before = read_global_manifest(outdir)
+    rep = compact_dataset(outdir)
+    assert rep["n_compacted"] > 0
+    gm_after = read_global_manifest(outdir)
+    assert gm_after["totals"]["rows"] == gm_before["totals"]["rows"]
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v["equal"]
+
+    # a rerun of encode sees absorbed fragments as done (no duplicates)
+    rep2 = encode_dataset(paths, outdir, mode="files", target_rows_per_partition=1_000, sample_rows=4_000)
+    v2 = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v2["equal"]

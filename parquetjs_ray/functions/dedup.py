@@ -31,6 +31,7 @@ from .text import fingerprint64
 
 __all__ = [
     "exact_dedup",
+    "ngram_jaccard",
     "minhash_signatures",
     "minhash_dedup",
     "simhash_signatures",
@@ -65,6 +66,36 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         .groupby("__fp")
         .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
         .select_columns([id_col, "n_copies"])
+    )
+
+
+def ngram_jaccard(
+    ds: rd.Dataset,
+    pairs: list[tuple[int, int]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> pa.Table:
+    """Exact character n-gram Jaccard for given candidate id pairs.
+
+    The verify stage of any near-dup pipeline (LSH proposes, Jaccard
+    disposes): texts for the (small) candidate id set are fetched with a
+    broadcast filter, similarity ×1000 is returned as an integer."""
+    ids = sorted({i for p in pairs for i in p})
+    texts = _collect_texts(ds, ids, id_col, text_col)
+    sh = {
+        i: {texts[i][j : j + shingle_k] for j in range(max(1, len(texts[i]) - shingle_k + 1))}
+        for i in ids
+        if i in texts
+    }
+    rows = []
+    for a, b in sorted(set(pairs)):
+        sa, sb = sh.get(a), sh.get(b)
+        jac = len(sa & sb) * 1000 // max(1, len(sa | sb)) if sa and sb else 0
+        rows.append({"a": a, "b": b, "jaccard_x1000": jac})
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard_x1000": pa.array([], pa.int64())}
     )
 
 

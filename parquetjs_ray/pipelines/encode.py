@@ -477,6 +477,12 @@ def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = Non
                 fm = json.load(f)
             with open(os.path.join(pdir, "chunk.bin"), "rb") as f:
                 chunk = f.read()
+        import zlib
+
+        if fm.get("checksum_crc32") is not None and zlib.crc32(chunk) != fm["checksum_crc32"]:
+            raise IOError(
+                f"checksum mismatch in part-{part_id} frag-{frag_id or '<chunk>'}: corrupt artifact"
+            )
         chunk = decompress_chunk(chunk, fm)
         if columns:  # projection pushdown: decode only requested columns
             fm = dict(fm)
@@ -629,3 +635,21 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
         "n_partitions": len(results),
         "n_compacted": sum(1 for r in results if r["compacted"]),
     }
+
+
+def iter_token_batches(out_dir: str, *, batch_size_rows: int = 4096, columns=("doc_id", "tokens")):
+    """Consumer API: stream decoded token batches to a training loop.
+
+    Yields ``(doc_ids: list[str], tokens: list[np.ndarray])`` per batch via
+    ``Dataset.iter_batches`` — the engine-to-trainer handoff, streaming with
+    backpressure, never materializing the corpus."""
+    import numpy as np
+
+    ds = decode_dataset(out_dir, columns=list(columns))
+    for batch in ds.iter_batches(batch_size=batch_size_rows, batch_format="pyarrow"):
+        tok = batch.column("tokens")
+        tok = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+        offsets = tok.offsets.to_numpy(zero_copy_only=False)
+        flat = tok.values.to_numpy(zero_copy_only=False)
+        arrays = [flat[offsets[i] : offsets[i + 1]] for i in range(len(tok))]
+        yield batch.column("doc_id").to_pylist(), arrays

@@ -21,6 +21,7 @@ import ray.data as rd
 
 from ..arrow_util import list_buffers, string_buffers
 from ..codecs import fsst as fsst_mod
+from ..functions.sketch import HllSketch
 from ..state.artifacts import ColumnStats, EncodePlan
 
 __all__ = ["batch_stats", "merge_stats", "build_plan", "sample_paths"]
@@ -50,6 +51,11 @@ def batch_stats(batch: pa.Table) -> pa.Table:
                 s["hist"] = dict(
                     zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
                 )
+            from ..functions.sketch import HllSketch
+            from ..functions.text import fingerprint64
+
+            sk = HllSketch(p=12).add_hashes(fingerprint64(arr))
+            s["hll"] = sk.serialize()
             step = max(1, len(arr) // _STR_SAMPLES_PER_BATCH)
             s["samples"] = [v.encode() for v in arr.take(list(range(0, len(arr), step))).to_pylist() if v is not None]
         elif pa.types.is_integer(t) or (
@@ -102,6 +108,14 @@ def merge_stats(blobs: list[bytes]) -> dict[str, dict]:
             for val, cnt in s.get("hist", {}).items():
                 m.setdefault("hist", {})
                 m["hist"][val] = m["hist"].get(val, 0) + cnt
+            if "hll" in s:
+                from ..functions.sketch import HllSketch
+
+                sk = HllSketch.deserialize(s["hll"])
+                if "hll" in m and m["hll"] is not None:
+                    m["hll"] = HllSketch.deserialize(m["hll"]).merge(sk).serialize()
+                else:
+                    m["hll"] = s["hll"]
     return merged
 
 
@@ -132,7 +146,11 @@ def build_plan(
             null_count=m["nulls"],
             min=m["min"],
             max=m["max"],
-            distinct_est=None if m["distinct_overflow"] else len(m["distinct"]),
+            distinct_est=(
+                int(HllSketch.deserialize(m["hll"]).estimate())
+                if m["distinct_overflow"] and m.get("hll")
+                else None if m["distinct_overflow"] else len(m["distinct"])
+            ),
             mean_run=(m["count"] + m["n_values"]) / max(1, m["runs"]),
             avg_len=m["bytes"] / max(1, m["count"]),
         )

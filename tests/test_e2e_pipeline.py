@@ -274,3 +274,31 @@ def test_pruned_decode_and_compaction(ray_session, tmp_path):
     rep2 = encode_dataset(paths, outdir, mode="files", target_rows_per_partition=1_000, sample_rows=4_000)
     v2 = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
     assert v2["equal"]
+
+
+def test_iter_token_batches_and_checksum(ray_session, tmp_path):
+    import numpy as np
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset, iter_token_batches
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 1_000, n_shards=2)
+    encode_dataset(paths, outdir, mode="files", target_rows_per_partition=500, sample_rows=1_000)
+    total = 0
+    for doc_ids, arrays in iter_token_batches(outdir, batch_size_rows=256):
+        assert len(doc_ids) == len(arrays)
+        assert all(isinstance(a, np.ndarray) for a in arrays)
+        total += len(doc_ids)
+    assert total == 1_000
+
+    # checksum: corrupt one fragment byte → decode raises
+    import glob as globmod
+
+    frag = sorted(globmod.glob(outdir + "/part-*/frag-*.bin"))[0]
+    data = bytearray(open(frag, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(frag, "wb").write(bytes(data))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_dataset(outdir).take_all()

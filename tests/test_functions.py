@@ -186,3 +186,34 @@ def test_session_and_sliding_windows(ray_session):
     # the event at t=0 appears in exactly one window (start 0); others in up to 4
     w1 = slide[(slide.user_id == 1) & (slide.win_start_us == 0)]
     assert w1["n_events"].tolist() == [2]
+
+
+def test_ngram_jaccard(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import ngram_jaccard
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = a.replace("lazy", "hazy")
+    c = "completely different words in this one"
+    ds = rd.from_arrow(_doc_table([a, b, c], ids=[1, 2, 3]))
+    out = ngram_jaccard(ds, [(1, 2), (1, 3)]).to_pylist()
+    j12 = [r for r in out if r["a"] == 1 and r["b"] == 2][0]["jaccard_x1000"]
+    j13 = [r for r in out if r["a"] == 1 and r["b"] == 3][0]["jaccard_x1000"]
+    assert j12 > 700 > j13
+
+
+def test_hll_sketch_accuracy_and_merge():
+    from parquetjs_ray.functions.sketch import HllSketch
+
+    rng = np.random.default_rng(0)
+    n = 50_000
+    hashes = rng.integers(0, 2**63, n, dtype=np.uint64)
+    a = HllSketch().add_hashes(hashes[: n // 2])
+    b = HllSketch().add_hashes(hashes[n // 2 :])
+    merged = HllSketch.deserialize(a.serialize()).merge(b)
+    est = merged.estimate()
+    assert abs(est - n) / n < 0.05, est
+    # duplicates don't inflate
+    dup = HllSketch().add_hashes(np.tile(hashes[:1000], 50))
+    assert abs(dup.estimate() - 1000) / 1000 < 0.1

@@ -188,28 +188,40 @@ def split_by_key(stamped: pa.Table, key_col: str = "__part") -> list[tuple[str, 
     ]
 
 
+_MAX_ROWGROUPS_PER_UNIT = 8  # bound per-task memory: never read a whole big file
+
+
 def _encode_one_file(
     path: str, file_idx: int, plan_ref, salt_per_source: dict[str, int], out_dir: str,
     id_col: str = "doc_id", source_col: str | None = "source",
     compression: str | None = None,
 ) -> list[dict]:
-    """files-mode task body: read one input file, split by salted key,
-    encode each key-slice, write fragments ``(key, file_idx)``."""
+    """files-mode task body: stream one input file ROW-GROUP-wise, split
+    each unit by salted key, write fragments ``(key, file_idx, rg_range)``.
+
+    Per-unit memory is bounded by ``_MAX_ROWGROUPS_PER_UNIT`` row groups —
+    a multi-GB input file never has to fit in a worker's heap. Fragment
+    ids stay deterministic (file index + row-group range), preserving
+    exact-recompute resume."""
     state = _get_state(plan_ref)
-    frag_id = f"{file_idx:06d}"
-    tbl = pq.read_table(path)
-    stamped = salted_keys(tbl, salt_per_source, id_col=id_col, source_col=source_col)
+    pf = pq.ParquetFile(path)
+    n_rg = pf.metadata.num_row_groups
     rows = []
-    for key, sub in split_by_key(stamped):
-        if fragment_done(out_dir, key, frag_id):
-            continue  # summary recovered from disk by the resume sweep
-        chunk, manifest = encode_table(sub.drop_columns(["__part"]).combine_chunks(), state)
-        ids = sub.column(id_col)
-        # per-fragment id min/max: the parquet row-group-stats analogue,
-        # drives fragment pruning in decode_dataset(id_range=...)
-        manifest["id_min"] = pa.compute.min(ids).as_py()
-        manifest["id_max"] = pa.compute.max(ids).as_py()
-        rows.append(write_fragment(out_dir, key, frag_id, chunk, manifest, compression=compression))
+    for rg0 in range(0, n_rg, _MAX_ROWGROUPS_PER_UNIT):
+        rgs = list(range(rg0, min(rg0 + _MAX_ROWGROUPS_PER_UNIT, n_rg)))
+        frag_id = f"{file_idx:06d}" if n_rg <= _MAX_ROWGROUPS_PER_UNIT else f"{file_idx:06d}r{rg0:04d}"
+        tbl = pf.read_row_groups(rgs)
+        stamped = salted_keys(tbl, salt_per_source, id_col=id_col, source_col=source_col)
+        for key, sub in split_by_key(stamped):
+            if fragment_done(out_dir, key, frag_id):
+                continue  # summary recovered from disk by the resume sweep
+            chunk, manifest = encode_table(sub.drop_columns(["__part"]).combine_chunks(), state)
+            ids = sub.column(id_col)
+            # per-fragment id min/max: the parquet row-group-stats analogue,
+            # drives fragment pruning in decode_dataset(id_range=...)
+            manifest["id_min"] = pa.compute.min(ids).as_py()
+            manifest["id_max"] = pa.compute.max(ids).as_py()
+            rows.append(write_fragment(out_dir, key, frag_id, chunk, manifest, compression=compression))
     return rows
 
 

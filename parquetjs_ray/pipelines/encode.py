@@ -395,13 +395,28 @@ def encode_dataset(
     # size salts from the sampled source histogram + exact total row count
     # (parquet metadata only — no data read). A hot Zipf source gets a
     # proportionally larger salt space so no partition exceeds the target.
-    total_rows = _input_row_count(paths)
-    hist = (plan.source_hist or {s: 1 for s in plan.source_dict} or {"": 1}) if source_col else {"": 1}
-    tot = sum(hist.values())
-    salt_per_source = {
-        s: max(1, math.ceil((c / tot) * total_rows / target_rows_per_partition))
-        for s, c in hist.items()
-    }
+    # The salt map is PERSISTED with the artifact: partition keys derive
+    # from it, so a resumed run must reuse the original map even if the
+    # sample (or the caller's target) changed in between.
+    import json as _json
+
+    salts_path = os.path.join(out_dir, "_artifacts", "salts.json")
+    if os.path.exists(salts_path):
+        with open(salts_path) as f:
+            salt_per_source = {k: int(v) for k, v in _json.load(f).items()}
+    else:
+        total_rows = _input_row_count(paths)
+        hist = (plan.source_hist or {s: 1 for s in plan.source_dict} or {"": 1}) if source_col else {"": 1}
+        tot = sum(hist.values())
+        salt_per_source = {
+            s: max(1, math.ceil((c / tot) * total_rows / target_rows_per_partition))
+            for s, c in hist.items()
+        }
+        os.makedirs(os.path.dirname(salts_path), exist_ok=True)
+        tmp_sp = salts_path + ".tmp"
+        with open(tmp_sp, "w") as f:
+            _json.dump(salt_per_source, f)
+        os.replace(tmp_sp, salts_path)
 
     if mode == "files":
         return _run_files_mode(

@@ -302,3 +302,26 @@ def test_iter_token_batches_and_checksum(ray_session, tmp_path):
 
     with _pytest.raises(Exception):
         decode_dataset(outdir).take_all()
+
+
+def test_resume_reuses_salt_map_despite_changed_target(ray_session, tmp_path):
+    """A resumed run with a different target must keep the original
+    partition keys (persisted salt map), not fork a second key space."""
+    import glob as globmod
+
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 3_000, n_shards=2)
+    rep = encode_dataset(paths, outdir, mode="files", target_rows_per_partition=500, sample_rows=3_000)
+    frags = sorted(globmod.glob(outdir + "/part-*/frag-*.json"))
+    for f in frags[::2]:
+        os.remove(f)
+    # resumed run asks for a very different target — must not matter
+    rep2 = encode_dataset(paths, outdir, mode="files", target_rows_per_partition=50_000, sample_rows=3_000)
+    assert rep2["n_fragments"] == rep["n_fragments"]
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v["equal"]

@@ -108,3 +108,52 @@ class ImageFeatureActor:
                 ),
             }
         )
+
+
+class ImageResizeActor:
+    """Actor-pool resize stage: decode → resize → re-emit payload+dims.
+
+    Real resizing needs PIL (absent here); the deterministic fake
+    nearest-neighbor-resizes the stub-decoded 8×8 image so batch sizing,
+    schema, and actor plumbing are real and testable."""
+
+    def __init__(self, width: int = 64, height: int = 64, fake_decode: bool = True):
+        self.w, self.h = width, height
+        self.fake = fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads = []
+        for payload in batch["payload"].to_pylist():
+            img = decode_image(payload, fake=self.fake)
+            yi = (np.arange(self.h) * img.shape[0] // self.h)[:, None]
+            xi = (np.arange(self.w) * img.shape[1] // self.w)[None, :]
+            out_payloads.append(img[yi, xi].tobytes())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out_payloads, pa.binary()),
+                "width": pa.array([self.w] * batch.num_rows, pa.int32()),
+                "height": pa.array([self.h] * batch.num_rows, pa.int32()),
+            }
+        )
+
+
+def frame_sample(batch: pa.Table, *, every_n: int = 10) -> pa.Table:
+    """Video frame-sampling stage (stub codec): emits one row per sampled
+    frame with deterministic fake frame payloads. The real implementation
+    would call ffmpeg per payload inside an actor; the Ray-side explode
+    (one input row → many frame rows) is the part exercised here."""
+    media_ids, frame_idx, frames = [], [], []
+    for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+        n_frames = max(1, len(payload) // 1024)
+        for i in range(0, n_frames, every_n):
+            media_ids.append(mid)
+            frame_idx.append(i)
+            frames.append(payload[i * 512 : i * 512 + 192].ljust(192, b"\0"))
+    return pa.table(
+        {
+            "media_id": pa.array(media_ids, pa.string()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame_payload": pa.array(frames, pa.binary()),
+        }
+    )

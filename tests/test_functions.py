@@ -217,3 +217,19 @@ def test_hll_sketch_accuracy_and_merge():
     # duplicates don't inflate
     dup = HllSketch().add_hashes(np.tile(hashes[:1000], 50))
     assert abs(dup.estimate() - 1000) / 1000 < 0.1
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    import ray.data as rd
+
+    tbl = multimodal.synth_media_table(20)
+    resized = rd.from_arrow(tbl).map_batches(
+        multimodal.ImageResizeActor, batch_format="pyarrow", batch_size=10, concurrency=2,
+        fn_constructor_kwargs={"width": 16, "height": 16},
+    ).take_all()
+    assert len(resized) == 20
+    assert all(len(r["payload"]) == 16 * 16 * 3 for r in resized)
+    frames = rd.from_arrow(tbl).map_batches(
+        multimodal.frame_sample, batch_format="pyarrow"
+    ).take_all()
+    assert frames and all(len(f["frame_payload"]) == 192 for f in frames)

@@ -1,0 +1,98 @@
+"""CLI: encode / decode / verify / info / compact.
+
+The CLI owns its Ray session (guarded init — the library itself never
+calls ray.init; see __ray_entry__ contract).
+
+    python -m parquetjs_ray encode  IN_DIR OUT_DIR [--mode files] [--compression zstd]
+    python -m parquetjs_ray decode  OUT_DIR DEST_PARQUET_DIR [--columns a,b]
+    python -m parquetjs_ray verify  IN_DIR OUT_DIR
+    python -m parquetjs_ray info    OUT_DIR
+    python -m parquetjs_ray compact OUT_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="parquetjs_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode")
+    pe.add_argument("input")
+    pe.add_argument("out_dir")
+    pe.add_argument("--mode", default="files", choices=["files", "grouped", "sharded"])
+    pe.add_argument("--compression", default=None)
+    pe.add_argument("--target-rows", type=int, default=16_384)
+    pe.add_argument("--id-col", default="doc_id")
+    pe.add_argument("--source-col", default="source")
+
+    pd = sub.add_parser("decode")
+    pd.add_argument("out_dir")
+    pd.add_argument("dest")
+    pd.add_argument("--columns", default=None)
+
+    pv = sub.add_parser("verify")
+    pv.add_argument("input")
+    pv.add_argument("out_dir")
+
+    pi = sub.add_parser("info")
+    pi.add_argument("out_dir")
+
+    pc = sub.add_parser("compact")
+    pc.add_argument("out_dir")
+
+    args = p.parse_args(argv)
+    ray = _ray()
+    try:
+        from .pipelines.encode import compact_dataset, dataset_info, decode_dataset, encode_dataset
+        from .pipelines.verify import verify_roundtrip
+
+        if args.cmd == "encode":
+            report = encode_dataset(
+                args.input,
+                args.out_dir,
+                mode=args.mode,
+                compression=args.compression,
+                target_rows_per_partition=args.target_rows,
+                id_col=args.id_col,
+                source_col=args.source_col or None,
+            )
+            print(json.dumps(report))
+        elif args.cmd == "decode":
+            cols = args.columns.split(",") if args.columns else None
+            decode_dataset(args.out_dir, columns=cols).write_parquet(args.dest)
+            print(json.dumps({"dest": args.dest}))
+        elif args.cmd == "verify":
+            import ray.data as rd
+
+            v = verify_roundtrip(rd.read_parquet(args.input), decode_dataset(args.out_dir))
+            print(json.dumps(v))
+            return 0 if v["equal"] else 2
+        elif args.cmd == "info":
+            info = dataset_info(args.out_dir)
+            info["schema"] = str(info["schema"]) if info["schema"] is not None else None
+            print(json.dumps(info))
+        elif args.cmd == "compact":
+            print(json.dumps(compact_dataset(args.out_dir)))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

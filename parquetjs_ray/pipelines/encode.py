@@ -156,13 +156,17 @@ def _encode_and_write(
 class EncoderActor:
     """Actor-pool stage for sharded mode: plan fetched once per actor."""
 
-    def __init__(self, plan_ref, out_dir: str, id_col: str = "doc_id"):
+    def __init__(self, plan_ref, out_dir: str, id_col: str = "doc_id", compression: str | None = None):
         self.state = EncoderState(ray.get(plan_ref))
         self.out_dir = out_dir
         self.id_col = id_col
+        self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        row = _encode_and_write(batch, _content_part_id(batch, self.id_col), self.state, self.out_dir)
+        row = _encode_and_write(
+            batch, _content_part_id(batch, self.id_col), self.state, self.out_dir,
+            compression=self.compression,
+        )
         return pa.Table.from_pylist([row])
 
 
@@ -435,7 +439,10 @@ def encode_dataset(
         def encode_group(group: pa.Table) -> pa.Table:
             part_id = group.column("__part")[0].as_py()
             state = _get_state(plan_ref)
-            row = _encode_and_write(group.drop_columns(["__part"]), part_id, state, out_dir_local)
+            row = _encode_and_write(
+                group.drop_columns(["__part"]), part_id, state, out_dir_local,
+                compression=compression,
+            )
             return pa.Table.from_pylist([row])
 
         manifest_ds = (
@@ -450,7 +457,10 @@ def encode_dataset(
             batch_size=target_rows_per_partition,
             zero_copy_batch=True,
             concurrency=concurrency or (2, 8),
-            fn_constructor_kwargs={"plan_ref": plan_ref, "out_dir": out_dir, "id_col": id_col},
+            fn_constructor_kwargs={
+                "plan_ref": plan_ref, "out_dir": out_dir, "id_col": id_col,
+                "compression": compression,
+            },
         )
     else:
         raise ValueError(f"unknown mode {mode!r}")

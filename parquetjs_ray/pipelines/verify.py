@@ -72,14 +72,46 @@ def row_hashes(batch: pa.Table) -> np.ndarray:
         col = batch.column(name)
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         t = arr.type
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
-            ch = _string_col_hash(arr)
-        elif pa.types.is_list(t):
+        # null-aware and batch-composition-independent: ALWAYS mix the
+        # validity flags (so a row's hash never depends on whether its
+        # batch-mates happen to contain nulls), then hash filled values.
+        valid = pa.compute.is_valid(arr).to_numpy(zero_copy_only=False)
+        h ^= _mix64(valid.astype(np.uint64) + _U(7919) * _U(i + 1))
+        if arr.null_count:
+            if pa.types.is_list(t) or pa.types.is_struct(t):
+                import hashlib as _hl
+
+                ch = np.array(
+                    [int.from_bytes(_hl.sha1(repr(x).encode()).digest()[:8], "little") for x in arr.to_pylist()],
+                    dtype=np.uint64,
+                )
+                h ^= _mix64(ch + _U(1000003) * _U(i + 1))
+                continue
+            fill = {"s": "", "b": False}.get(t.id, 0)
+            try:
+                arr = pa.compute.fill_null(arr, pa.scalar("" if pa.types.is_string(t) else 0 if not pa.types.is_floating(t) else 0.0, type=t))
+            except Exception:
+                arr = pa.compute.fill_null(arr, arr[0])
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+            ch = _string_col_hash(arr if not pa.types.is_binary(t) else arr.cast(pa.binary()))
+        elif pa.types.is_list(t) and pa.types.is_integer(t.value_type):
             ch = _list_int_col_hash(arr)
-        elif pa.types.is_integer(t):
-            ch = _mix64(arr.to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64))
+        elif pa.types.is_integer(t) or pa.types.is_temporal(t) or pa.types.is_boolean(t):
+            bits = 64 if (pa.types.is_temporal(t) and t.bit_width == 64) or t.bit_width == 64 else 32
+            ints = arr.cast(pa.int64() if bits == 64 else pa.int32()).cast(pa.int64())
+            ch = _mix64(ints.to_numpy(zero_copy_only=False).astype(np.uint64))
+        elif pa.types.is_floating(t):
+            v = arr.to_numpy(zero_copy_only=False)
+            bitsv = v.astype(np.float64).view(np.uint64)  # bit-pattern hash
+            ch = _mix64(bitsv)
         else:
-            raise TypeError(f"no row hash for column type {t}")
+            # generic fallback: per-row python repr hash (slow; nested types)
+            import hashlib as _hl
+
+            ch = np.array(
+                [int.from_bytes(_hl.sha1(repr(x).encode()).digest()[:8], "little") for x in arr.to_pylist()],
+                dtype=np.uint64,
+            )
         h ^= _mix64(ch + _U(1000003) * _U(i + 1))
     return h
 

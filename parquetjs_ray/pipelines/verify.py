@@ -87,7 +87,6 @@ def row_hashes(batch: pa.Table) -> np.ndarray:
                 )
                 h ^= _mix64(ch + _U(1000003) * _U(i + 1))
                 continue
-            fill = {"s": "", "b": False}.get(t.id, 0)
             try:
                 arr = pa.compute.fill_null(arr, pa.scalar("" if pa.types.is_string(t) else 0 if not pa.types.is_floating(t) else 0.0, type=t))
             except Exception:

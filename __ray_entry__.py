@@ -300,7 +300,7 @@ def _emb(sf_dir: str):
 def q_embedding_near_dup(sf_dir: str):
     from parquetjs_ray.functions.dedup import embedding_near_dup
 
-    return embedding_near_dup(_emb(sf_dir), cosine_threshold=0.45)
+    return embedding_near_dup(_emb(sf_dir), cosine_threshold=0.38, planes=6)
 
 
 def _query_vectors(sf_dir: str, n: int = 5):

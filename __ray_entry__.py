@@ -225,21 +225,34 @@ def q_quality_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+_DIM_CACHE: dict[str, tuple[pa.Array, pa.Array]] = {}
+
+
 def q_events_by_segment(sf_dir: str):
-    """Broadcast join (small dimension side via ray.put) + grouped count."""
+    """Broadcast join: dimension `ray.put` ONCE, deserialized once per
+    worker (module cache), looked up fully vectorized via pc.index_in +
+    pc.take — zero per-row Python, zero per-batch ray.get cost."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    cust = rd.read_parquet(
+    dim = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ).combine_chunks()
+    dim_ref = ray.put(dim)
+    key = dim_ref.hex()
 
     def join(batch: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        segs = [seg[u] for u in batch["user_id"].to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(segs, pa.string())})
+        cached = _DIM_CACHE.get(key)
+        if cached is None:
+            t = ray.get(dim_ref)
+            cached = (t.column("c_custkey").chunk(0), t.column("c_mktsegment").chunk(0))
+            _DIM_CACHE[key] = cached
+        keys_arr, segs_arr = cached
+        pos = pc.index_in(batch["user_id"], value_set=keys_arr)
+        return pa.table({"c_mktsegment": pc.take(segs_arr, pos)})
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
     return ds.map_batches(join, batch_format="pyarrow").groupby("c_mktsegment").aggregate(

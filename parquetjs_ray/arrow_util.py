@@ -46,11 +46,15 @@ def strings_from_buffers(data: bytes | np.ndarray, offsets: np.ndarray, *, as_st
 
 
 def list_buffers(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """(flat child values as numpy, int64 per-row lengths) of a list array."""
+    """(flat child values as numpy, int64 per-row lengths) of a list array.
+
+    ``ListArray.offsets`` is already slice-adjusted by pyarrow (length
+    ``len(arr)+1`` starting at the slice), while ``.values`` is the FULL
+    unsliced child — so the only rebase needed is by ``offsets[0]``.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
     values = arr.values.to_numpy(zero_copy_only=False)
     lo = int(offsets[0])
     return values[lo : int(offsets[-1])], np.diff(offsets)

@@ -57,6 +57,11 @@ def decode(buf: bytes, params: dict, dtype=np.int64) -> np.ndarray:
         out = residuals.astype(dtype.str.replace("i", "u"), copy=False).view(dtype)
         out = out + dtype.type(lo)  # wrap-around add: true values fit dtype
         return out
+    if dtype.kind == "u" and dtype.itemsize == 8:
+        # uint64: lo may exceed int64 range; stay in uint64 (wrap-around exact)
+        out = residuals.astype(np.uint64)
+        out += np.uint64(lo)
+        return out
     out = residuals.astype(np.int64)
     out += lo
     return out.astype(dtype, copy=False)

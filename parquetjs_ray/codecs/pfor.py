@@ -64,7 +64,9 @@ def encode(values: np.ndarray) -> tuple[dict[str, bytes], dict]:
     limit = residuals.dtype.type((1 << width) - 1) if width < 64 else residuals.dtype.type(np.iinfo(np.uint64).max)
     exc_mask = residuals > limit
     exc_pos = np.flatnonzero(exc_mask)
-    exc_val = residuals[exc_pos].astype(np.int64)
+    # 64-bit residuals ≥ 2^63 must keep their bit pattern: view, not astype
+    picked = residuals[exc_pos]
+    exc_val = picked.view(np.int64) if picked.dtype.itemsize == 8 else picked.astype(np.int64)
     base = residuals if not len(exc_pos) else np.where(exc_mask, residuals.dtype.type(0), residuals)
     base_buf = pack_bits(base, width)
     pos_buf, pos_params = fornum.encode(exc_pos)
@@ -87,6 +89,15 @@ def decode(bufs: dict[str, bytes], params: dict, dtype=np.int64) -> np.ndarray:
         return np.zeros(0, dtype=dtype)
     width = int(params["width"])
     residuals = unpack_bits(bufs["base"], n, width)
+    if dtype.kind == "u" and dtype.itemsize == 8:
+        # uint64: ref may exceed int64 range; stay unsigned (wrap-around exact)
+        out = residuals.astype(np.uint64)
+        if params["n_exc"]:
+            pos = fornum.decode(bufs["exc_pos"], params["exc_pos_for"])
+            val = fornum.decode(bufs["exc_val"], params["exc_val_for"])
+            out[pos] = val.view(np.uint64)
+        out += np.uint64(int(params["ref"]))
+        return out
     out64 = residuals.astype(np.int64)
     if params["n_exc"]:
         pos = fornum.decode(bufs["exc_pos"], params["exc_pos_for"])

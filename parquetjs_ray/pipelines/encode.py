@@ -95,7 +95,7 @@ def salted_keys(
         salts = (h % np.uint64(k)).astype(np.int64)
         keys = pa.compute.binary_join_element_wise(
             pa.array(["all"] * batch.num_rows, pa.string()),
-            pa.array(np.char.zfill(salts.astype("U5"), 5).tolist(), type=pa.string()),
+            pa.array(np.char.zfill(salts.astype("U20"), 5).tolist(), type=pa.string()),
             "-",
         )
         return batch.append_column("__part", keys)
@@ -108,7 +108,7 @@ def salted_keys(
     # key = "<source>-<salt:05d>"
     keys = pa.compute.binary_join_element_wise(
         src.cast(pa.string()),
-        pa.array(np.char.zfill(salts.astype("U5"), 5).tolist(), type=pa.string()),
+        pa.array(np.char.zfill(salts.astype("U20"), 5).tolist(), type=pa.string()),
         "-",
     )
     return batch.append_column("__part", keys)
@@ -124,11 +124,15 @@ def _get_state(plan_ref) -> EncoderState:
 
 
 def _content_part_id(batch: pa.Table, id_col: str = "doc_id") -> str:
+    """Content hash over the FULL id column (not just endpoints): two
+    distinct batches must never silently alias to one resume part-id."""
     ids = batch.column(id_col)
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    data, offsets = string_buffers(ids)
     h = hashlib.sha1()
     h.update(str(batch.num_rows).encode())
-    h.update(str(ids[0].as_py()).encode())
-    h.update(str(ids[-1].as_py()).encode())
+    h.update(offsets.tobytes())
+    h.update(data.tobytes())
     return h.hexdigest()[:16]
 
 

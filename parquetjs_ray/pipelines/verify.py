@@ -26,9 +26,18 @@ _U = np.uint64
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    x = (x ^ (x >> _U(30))) * _U(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> _U(27))) * _U(0x94D049BB133111EB)
-    return x ^ (x >> _U(31))
+    # in-place after one copy: 2 temporaries instead of 6 (heap growth is
+    # the dominant cold cost on big token columns)
+    x = x.astype(np.uint64, copy=True)
+    t = x >> _U(30)
+    x ^= t
+    x *= _U(0xBF58476D1CE4E5B9)
+    np.right_shift(x, _U(27), out=t)
+    x ^= t
+    x *= _U(0x94D049BB133111EB)
+    np.right_shift(x, _U(31), out=t)
+    x ^= t
+    return x
 
 
 def _string_col_hash(arr: pa.Array) -> np.ndarray:
@@ -78,19 +87,23 @@ def row_hashes(batch: pa.Table) -> np.ndarray:
         valid = pa.compute.is_valid(arr).to_numpy(zero_copy_only=False)
         h ^= _mix64(valid.astype(np.uint64) + _U(7919) * _U(i + 1))
         if arr.null_count:
-            if pa.types.is_list(t) or pa.types.is_struct(t):
-                import hashlib as _hl
-
-                ch = np.array(
-                    [int.from_bytes(_hl.sha1(repr(x).encode()).digest()[:8], "little") for x in arr.to_pylist()],
-                    dtype=np.uint64,
-                )
+            if pa.types.is_list(t) and pa.types.is_integer(t.value_type):
+                # hash valid rows with the vectorized kernel and scatter:
+                # a row's hash never depends on its batch-mates' nulls
+                # (validity itself is already mixed in above)
+                ch = np.zeros(len(arr), dtype=np.uint64)
+                vidx = np.flatnonzero(valid)
+                if len(vidx):
+                    ch[vidx] = _list_int_col_hash(arr.drop_null())
                 h ^= _mix64(ch + _U(1000003) * _U(i + 1))
                 continue
-            try:
-                arr = pa.compute.fill_null(arr, pa.scalar("" if pa.types.is_string(t) else 0 if not pa.types.is_floating(t) else 0.0, type=t))
-            except Exception:
-                arr = pa.compute.fill_null(arr, arr[0])
+            if not (pa.types.is_list(t) or pa.types.is_struct(t)):
+                try:
+                    arr = pa.compute.fill_null(arr, pa.scalar("" if pa.types.is_string(t) else 0 if not pa.types.is_floating(t) else 0.0, type=t))
+                except Exception:
+                    arr = pa.compute.fill_null(arr, arr[0])
+            # other list/struct: fall through to the per-row repr fallback,
+            # which hashes None deterministically regardless of batching
         if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
             ch = _string_col_hash(arr if not pa.types.is_binary(t) else arr.cast(pa.binary()))
         elif pa.types.is_list(t) and pa.types.is_integer(t.value_type):

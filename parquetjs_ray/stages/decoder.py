@@ -18,7 +18,19 @@ from .encoder import EncoderState
 
 __all__ = ["decode_chunk"]
 
-_INT_TYPES = {"int32": (pa.int32(), np.int32), "int64": (pa.int64(), np.int64)}
+# every Arrow integer type the encoder fast path accepts (the reference
+# supports INT_8..UINT_64, `/root/reference/lib/types.js:30-100`); the
+# codecs work in the column's own width and decode back to it exactly
+_INT_TYPES = {
+    "int8": (pa.int8(), np.int8),
+    "int16": (pa.int16(), np.int16),
+    "int32": (pa.int32(), np.int32),
+    "int64": (pa.int64(), np.int64),
+    "uint8": (pa.uint8(), np.uint8),
+    "uint16": (pa.uint16(), np.uint16),
+    "uint32": (pa.uint32(), np.uint32),
+    "uint64": (pa.uint64(), np.uint64),
+}
 
 
 def _segment(chunk: memoryview, seg: list[int]) -> memoryview:

@@ -81,8 +81,9 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
         arr = arr.drop_null()
 
     if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # .offsets is already slice-adjusted (len(arr)+1); .values is the
+        # full unsliced child — rebase by offsets[0] only (see arrow_util)
         offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
         lengths = np.diff(offsets)
         codec, segs, params = encode_int_stream(lengths, cb)
         child = arr.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))

@@ -325,3 +325,35 @@ def test_resume_reuses_salt_map_despite_changed_target(ray_session, tmp_path):
     assert rep2["n_fragments"] == rep["n_fragments"]
     v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
     assert v["equal"]
+
+
+def test_row_hashes_batch_composition_independent():
+    """A row's hash must not depend on whether its batch-mates have nulls
+    (regression: nested columns switched hashing strategy per batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquetjs_ray.pipelines.verify import row_hashes
+
+    tbl = pa.table(
+        {
+            "l": pa.array([[1, 2], None, [3], [4, 5], [6], None], pa.list_(pa.int64())),
+            "s": pa.array(["a", "b", None, "d", "e", "f"]),
+            "x": pa.array([1.5, 2.5, 3.5, None, 5.5, 6.5], pa.float64()),
+        }
+    )
+
+    def multiset(splits):
+        h = np.zeros(1, dtype=np.uint64)
+        for lo, n in splits:
+            h += row_hashes(tbl.slice(lo, n)).sum(dtype=np.uint64)
+        return int(h[0])
+
+    whole = multiset([(0, 6)])
+    # split so some batches are null-free and others aren't
+    assert multiset([(0, 1), (1, 2), (3, 3)]) == whole
+    assert multiset([(0, 3), (3, 1), (4, 2)]) == whole
+    # per-row hashes themselves must be stable across slicing
+    a = row_hashes(tbl)
+    b = np.concatenate([row_hashes(tbl.slice(i, 1)) for i in range(6)])
+    assert a.tolist() == b.tolist()

@@ -103,3 +103,48 @@ def test_compression_still_applies_on_shredded_ints():
     state = EncoderState(EncodePlan())
     chunk, man = encode_table(tbl, state)
     assert man["enc_bytes"] < 0.2 * man["raw_bytes"]
+
+
+_ALL_INT_TYPES = [
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+]
+
+
+@pytest.mark.parametrize("t", _ALL_INT_TYPES, ids=str)
+def test_every_integer_dtype_roundtrips(t):
+    # the encoder fast path accepts ANY null-free integer column; the
+    # decoder must read every one of them back (reference supports
+    # INT_8..UINT_64, lib/types.js) — regression for a uint32 KeyError
+    info = np.iinfo(t.to_pandas_dtype())
+    vals = [info.min, info.min + 1, 0 if info.min < 0 else info.min, info.max - 1, info.max] * 20
+    _assert_rt(pa.table({"c": pa.array(vals, t)}))
+    # and as list<t> via the list_int fast path
+    lists = [vals[i : i + 3] for i in range(0, 60, 3)]
+    _assert_rt(pa.table({"l": pa.array(lists, pa.list_(t))}))
+
+
+@pytest.mark.parametrize("t", _ALL_INT_TYPES, ids=str)
+def test_integer_dtype_roundtrip_random(t):
+    rng = np.random.default_rng(7)
+    info = np.iinfo(t.to_pandas_dtype())
+    v = rng.integers(info.min, info.max, size=3000, dtype=t.to_pandas_dtype(), endpoint=True)
+    # inject runs so both for_rle and pfor branches get exercised
+    v[100:400] = v[100]
+    _assert_rt(pa.table({"c": pa.array(v, t)}))
+
+
+def test_sliced_list_array_encodes_correctly():
+    # ListArray.offsets is already slice-adjusted; regression for a
+    # double-applied offset that silently dropped rows on sliced inputs
+    full = pa.array([[1, 2], [3], [4, 5, 6], [7], [8, 9]], pa.list_(pa.int32()))
+    sliced = full.slice(1, 3)
+    from parquetjs_ray.arrow_util import list_buffers
+
+    flat, lens = list_buffers(sliced)
+    assert lens.tolist() == [1, 3, 1]
+    assert flat.tolist() == [3, 4, 5, 6, 7]
+    _assert_rt(pa.table({"l": sliced}))
+    # sliced nullable list through the shred path too
+    fulln = pa.array([[1], None, [2, 3], [4], None, [5]], pa.list_(pa.int64()))
+    _assert_rt(pa.table({"l": fulln.slice(1, 4)}))

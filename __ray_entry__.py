@@ -45,7 +45,7 @@ def _flagship(rows: int, tag: str) -> pd.DataFrame:
     encode_dataset(
         paths,
         outdir,
-        mode="grouped",
+        mode="files",  # shuffle-free scale default; grouped stays opt-in
         target_rows_per_partition=max(1024, rows // 8),
         sample_rows=min(rows, 50_000),
     )

@@ -103,10 +103,14 @@ def run_headline() -> dict:
     rows = int(os.environ.get("GRAFT_BENCH_ROWS", "0")) or int(ROWS_PER_SF * _sf())
     paths = _gen_input(rows, n_shards=64)  # fixed shard count: identical input at every CPU level
 
-    # ── untimed warmup: full pipeline over the full input ──
+    # ── untimed warmup: full pipeline over the full input, INCLUDING the
+    # decode+verify path (fingerprint kernels allocate large fresh buffers;
+    # without this warmup the timed verify measures first-touch page faults,
+    # not the engine) ──
     warm_dir = os.path.join(OUT_BASE, f"warm_{NCPU}")
     shutil.rmtree(warm_dir, ignore_errors=True)
     encode_dataset(paths, warm_dir, mode="files", target_rows_per_partition=32_768)
+    verify_roundtrip(rd.read_parquet(paths), decode_dataset(warm_dir))
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # ── timed encode: best of 2 (reduces scheduler noise) ──

@@ -35,6 +35,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_dedup",
     "simhash_signatures",
+    "simhash_dedup",
+    "label_propagate_clusters",
     "embedding_near_dup",
 ]
 
@@ -164,6 +166,236 @@ def _band_rows(sigs: np.ndarray, ids: pa.Array, bands: int) -> pa.Table:
     )
 
 
+_EMPTY_PAIRS = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+_EMPTY_CLUSTERS = {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+
+
+def _all_bucket_pairs(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """All in-bucket candidate pairs (a < b), vectorized via triu indices.
+
+    All pairs — not a star around the min id — so downstream pairwise
+    verification matches connected-components-over-all-true-pairs
+    exactly (a star edge can fail verification while a non-star edge
+    inside the same bucket passes)."""
+    n = group.num_rows
+    if n < 2:
+        return pa.table(_EMPTY_PAIRS)
+    ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
+    ii, jj = np.triu_indices(n, 1)
+    return pa.table({"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())})
+
+
+def _dedupe_pairs(pairs: rd.Dataset) -> rd.Dataset:
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+
+
+def _candidate_texts(
+    ds: rd.Dataset, pairs: rd.Dataset, id_col: str, text_col: str
+) -> rd.Dataset:
+    """(id, text) for every id appearing in ``pairs`` — a broadcast-filter
+    semi-join: only the (small) candidate ID ARRAY reaches the driver and
+    workers; texts stay distributed and are filtered with ``pc.is_in``
+    (vectorized, no per-row Python)."""
+    import pyarrow.compute as pc
+
+    both = pairs.map_batches(
+        lambda b: pa.table({"i": pa.concat_arrays([b["a"].combine_chunks(), b["b"].combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    cand = both.unique("i")
+    cand_arr = pa.array(sorted(cand), pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_col], value_set=cand_arr)
+        return batch.filter(mask).select([id_col, text_col])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _verify_pairs(
+    pairs: rd.Dataset,
+    attrs: rd.Dataset,
+    id_col: str,
+    val_col: str,
+    val_type: pa.DataType,
+    check,
+) -> rd.Dataset:
+    """(a,b) pairs + (id, value) attrs → verified (a,b) where
+    ``check(value_a, value_b)`` holds.
+
+    Distribution-by-key via ``union + groupby`` (a repartition-join: the
+    same all-to-all a hash join does, expressed with the stable groupby
+    operator): first co-locate each pair with its two attribute values
+    keyed by doc id, then co-locate the two sides of each pair keyed by
+    (a,b) and apply ``check``. All shuffled data is candidate-sized,
+    never the corpus."""
+
+    def pair_side_rows(b: pa.Table) -> pa.Table:
+        a = b["a"].combine_chunks()
+        bb = b["b"].combine_chunks()
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, bb]),
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([bb, bb]),
+                "val": pa.nulls(2 * n, val_type),
+            }
+        )
+
+    def attr_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b[id_col],
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "val": b[val_col].cast(val_type),
+            }
+        )
+
+    empty_sides = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "val": pa.array([], val_type),
+        }
+    )
+
+    def spread(group: pa.Table) -> pa.Table:
+        # group = one doc id: its attr row + every pair row referencing it
+        vmask = pa.compute.is_valid(group["val"])
+        vrows = group.filter(vmask)
+        prows = group.filter(pa.compute.invert(vmask))
+        if vrows.num_rows == 0 or prows.num_rows == 0:
+            return empty_sides
+        val = vrows["val"][0]
+        return pa.table(
+            {
+                "a": prows["a"],
+                "b": prows["b"],
+                "key": prows["key"],
+                "val": pa.compute.fill_null(pa.nulls(prows.num_rows, val_type), val),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        # group = one (a,b) pair: two rows (key=a value, key=b value)
+        if group.num_rows != 2:
+            return pa.table(_EMPTY_PAIRS)
+        a = group["a"][0].as_py()
+        b = group["b"][0].as_py()
+        keys = group["key"].to_pylist()
+        vals = group["val"].to_pylist()
+        va = vals[0] if keys[0] == a else vals[1]
+        vb = vals[1] if keys[0] == a else vals[0]
+        if check(va, vb):
+            return pa.table({"a": pa.array([a], pa.int64()), "b": pa.array([b], pa.int64())})
+        return pa.table(_EMPTY_PAIRS)
+
+    unioned = pairs.map_batches(pair_side_rows, batch_format="pyarrow").union(
+        attrs.map_batches(attr_rows, batch_format="pyarrow")
+    )
+    sides = unioned.groupby("key").map_groups(spread, batch_format="pyarrow")
+    return sides.groupby(["a", "b"]).map_groups(verify, batch_format="pyarrow")
+
+
+def _verify_pairs_jaccard(
+    pairs: rd.Dataset, texts: rd.Dataset, id_col: str, text_col: str,
+    shingle_k: int, thr_milli: int,
+) -> rd.Dataset:
+    """Exact char-shingle Jaccard ≥ thr_milli/1000 over candidate pairs
+    (integer compare — no float-boundary drift vs a SQL oracle)."""
+
+    def check(ta: str, tb: str) -> bool:
+        sa = _char_shingles(ta, shingle_k)
+        sb = _char_shingles(tb, shingle_k)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        return 1000 * inter >= thr_milli * max(1, union)
+
+    return _verify_pairs(pairs, texts, id_col, text_col, pa.string(), check)
+
+
+def _char_shingles(text: str, k: int) -> set:
+    return {text[j : j + k] for j in range(max(1, len(text) - k + 1))}
+
+
+def label_propagate_clusters(edges: rd.Dataset, *, max_iters: int = 64) -> pa.Table:
+    """Connected components over an (a, b) edge dataset via distributed
+    min-label propagation — iterate a union+groupby repartition-join
+    until the label sum reaches a fixpoint. The driver sees one scalar
+    per iteration; per-iteration shuffle volume is edge-sized, never the
+    corpus. Returns (doc_id, cluster_id) sorted, cluster_id = component
+    min. Every node in an edge belongs to a ≥2 cluster by construction.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b["a"].combine_chunks()
+        bb = b["b"].combine_chunks()
+        # both directions + self loops (so a node's own label propagates)
+        return pa.table(
+            {
+                "u": pa.concat_arrays([a, bb, a, bb]),
+                "v": pa.concat_arrays([bb, a, a, bb]),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if sym.count() == 0:
+        return pa.table(_EMPTY_CLUSTERS)
+    labels = sym.groupby("u").aggregate(Min("v", alias_name="label")).materialize()
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": b["v"], "u": b["u"], "label": pa.nulls(b.num_rows, pa.int64())}
+        )
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": b["u"], "u": pa.nulls(b.num_rows, pa.int64()), "label": b["label"]}
+        )
+
+    def send(group: pa.Table) -> pa.Table:
+        # group = one node v: its label row + edges u→v; send L(v) to each u
+        lmask = pa.compute.is_valid(group["label"])
+        lrows = group.filter(lmask)
+        erows = group.filter(pa.compute.invert(lmask))
+        if lrows.num_rows == 0 or erows.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        lab = lrows["label"][0]
+        return pa.table(
+            {
+                "u": erows["u"],
+                "label": pa.compute.fill_null(pa.nulls(erows.num_rows, pa.int64()), lab),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        unioned = sym.map_batches(edge_rows, batch_format="pyarrow").union(
+            labels.map_batches(label_rows, batch_format="pyarrow")
+        )
+        labels = (
+            unioned.groupby("key")
+            .map_groups(send, batch_format="pyarrow")
+            .groupby("u")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = labels.to_pandas().rename(columns={"u": "doc_id", "label": "cluster_id"})
+    out = out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def minhash_dedup(
     ds: rd.Dataset,
     *,
@@ -177,10 +409,17 @@ def minhash_dedup(
 ) -> pa.Table:
     """Near-duplicate clusters → table (doc_id, cluster_id).
 
-    cluster_id = min doc_id of the verified near-dup cluster; singleton
-    docs are omitted. Candidate pairs come from LSH band collisions;
-    pairs are verified with exact shingle Jaccard before clustering
-    (union-find on the small verified edge set, driver-side)."""
+    Scale-safe end to end: LSH bands propose in-bucket candidate pairs;
+    texts semi-join back to pairs via union+groupby repartition-joins
+    (candidate-sized, no driver text dict); exact char-shingle Jaccard
+    verifies each pair with INTEGER threshold arithmetic
+    (1000*|∩| ≥ thr_milli*|∪| — no float-boundary drift vs a SQL
+    oracle); clusters come from distributed min-label propagation
+    (edge-sized shuffles only). The driver materializes nothing larger
+    than the result itself (plus the candidate ID array).
+
+    cluster_id = min doc_id of the cluster; singletons are omitted."""
+    thr_milli = round(jaccard_threshold * 1000)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         sigs, ids = minhash_signatures(
@@ -188,70 +427,28 @@ def minhash_dedup(
         )
         return _band_rows(sigs, ids, bands)
 
-    def collisions(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ids = sorted(group["doc_id"].to_pylist())
-        rep = ids[0]
-        return pa.table(
-            {"a": pa.array([rep] * (len(ids) - 1), pa.int64()), "b": pa.array(ids[1:], pa.int64())}
-        )
-
-    edges = (
+    pairs = _dedupe_pairs(
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
-        .map_groups(collisions, batch_format="pyarrow")
-        .take_all()
-    )
-    if not edges:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        .map_groups(_all_bucket_pairs, batch_format="pyarrow")
+    ).materialize()
+    if pairs.count() == 0:
+        return pa.table(_EMPTY_CLUSTERS)
 
-    # verify candidate pairs with exact Jaccard over shingle sets
-    cand_ids = sorted({e["a"] for e in edges} | {e["b"] for e in edges})
-    texts = _collect_texts(ds, cand_ids, id_col, text_col)
-    shingles = {
-        i: {texts[i][j : j + shingle_k] for j in range(max(1, len(texts[i]) - shingle_k + 1))}
-        for i in cand_ids
-        if i in texts
-    }
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for e in edges:
-        a, b = int(e["a"]), int(e["b"])
-        sa, sb = shingles.get(a), shingles.get(b)
-        if not sa or not sb:
-            continue
-        jac = len(sa & sb) / max(1, len(sa | sb))
-        if jac >= jaccard_threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    clusters: dict[int, list[int]] = {}
-    for x in list(parent):
-        clusters.setdefault(find(x), []).append(x)
-    rows = [
-        {"doc_id": m, "cluster_id": root}
-        for root, members in clusters.items()
-        if len(members) > 1
-        for m in sorted(members)
-    ]
-    if not rows:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
-    return pa.Table.from_pylist(sorted(rows, key=lambda r: (r["cluster_id"], r["doc_id"])))
+    texts = _candidate_texts(ds, pairs, id_col, text_col).materialize()
+    verified = _verify_pairs_jaccard(pairs, texts, id_col, text_col, shingle_k, thr_milli)
+    return label_propagate_clusters(verified)
 
 
 def _collect_texts(ds: rd.Dataset, ids: list[int], id_col: str, text_col: str) -> dict[int, str]:
-    """Fetch the texts of candidate ids (small set) via a broadcast filter."""
-    idset = set(ids)
+    """Fetch the texts of candidate ids (small set) via a broadcast filter
+    (vectorized ``pc.is_in`` — no per-row Python over the corpus)."""
+    import pyarrow.compute as pc
+
+    id_arr = pa.array(sorted(set(ids)), pa.int64())
 
     def pick(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i in idset for i in batch[id_col].to_pylist()])
+        mask = pc.is_in(batch[id_col], value_set=id_arr)
         return batch.filter(mask).select([id_col, text_col])
 
     rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
@@ -274,6 +471,76 @@ def simhash_signatures(batch: pa.Table, *, text_col: str = "text", id_col: str =
         ones = np.add.reduceat(bits, starts) if len(bits) else np.zeros(n, dtype=np.int64)
         sig |= ((ones * 2 > nsh).astype(np.uint64)) << _U(bit)
     return pa.table({id_col: batch[id_col], "simhash": pa.array(sig.view(np.int64))})
+
+
+def simhash_dedup(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> pa.Table:
+    """Near-duplicate clusters by SimHash → table (doc_id, cluster_id).
+
+    Hamming-band LSH with GUARANTEED recall: the 64-bit signature is cut
+    into ``max_hamming + 1`` bands, so any pair within ``max_hamming``
+    bits must agree on at least one whole band (pigeonhole) and collides
+    in that band's bucket. Candidates are verified with exact Hamming
+    distance (popcount of xor), then clustered by distributed min-label
+    propagation — the same scale shape as :func:`minhash_dedup`; the
+    corpus text never shuffles, only (band, signature, id) rows do."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    widths = [width + (1 if i < 64 % bands else 0) for i in range(bands)]
+    shifts = np.cumsum([0] + widths[:-1])
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        st = simhash_signatures(batch, text_col=text_col, id_col=id_col)
+        sig = st["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(sig)
+        parts = []
+        for i in range(bands):
+            mask = _U((1 << widths[i]) - 1) if widths[i] < 64 else _U(0xFFFFFFFFFFFFFFFF)
+            band_val = ((sig >> _U(int(shifts[i]))) & mask).view(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": st[id_col],
+                        "band_id": pa.array(np.full(n, i, dtype=np.int32)),
+                        "band_hash": pa.array(band_val),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    pairs = _dedupe_pairs(
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(_all_bucket_pairs, batch_format="pyarrow")
+    ).materialize()
+    if pairs.count() == 0:
+        return pa.table(_EMPTY_CLUSTERS)
+
+    # attribute dataset: (id, simhash) for candidate ids only
+    import pyarrow.compute as pc
+
+    both = pairs.map_batches(
+        lambda b: pa.table({"i": pa.concat_arrays([b["a"].combine_chunks(), b["b"].combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    cand_arr = pa.array(sorted(both.unique("i")), pa.int64())
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.is_in(batch[id_col], value_set=cand_arr))
+        return simhash_signatures(keep, text_col=text_col, id_col=id_col)
+
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+
+    def check(sa: int, sb: int) -> bool:
+        return bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming
+
+    verified = _verify_pairs(pairs, sigs, id_col, "simhash", pa.int64(), check)
+    return label_propagate_clusters(verified)
 
 
 # ─────────────── embedding cosine near-dup ───────────────

@@ -1,14 +1,22 @@
 """The flagship pipeline: read_parquet → stats → salted repartition →
 actor-pool encode → partition writer → global manifest.
 
-Ray-Data-first lifecycle (SURVEY.md §3.4). Two execution modes:
+Ray-Data-first lifecycle (SURVEY.md §3.4). Execution modes:
 
-* ``grouped`` (default, the north rule's shape): a vectorized
-  ``map_batches`` stamps every row with a salted partition key
-  ``<source>-<hash(doc_id) % k_source>`` where ``k_source`` is sized from
-  the sampled source histogram so one hot source (Zipf skew) spreads
-  over many partitions; ``groupby(key).map_groups`` then encodes each
-  partition. Partition identity == group key → deterministic resume.
+* ``files`` (default — the 100 TB shape): one task per input file, NO
+  data shuffle; each task splits its rows by the salted partition key
+  and writes key-homogeneous fragments named by (file index, row-group
+  range) — fully deterministic resume, only kilobyte metadata rows flow
+  to the driver. Encoding is per-row-group work, so moving every token
+  byte through a groupby buys nothing at scale.
+* ``grouped`` (opt-in, the north rule's explicit-shuffle shape): a
+  vectorized ``map_batches`` stamps every row with a salted partition
+  key ``<source>-<hash(doc_id) % k_source>`` where ``k_source`` is sized
+  from the sampled source histogram so one hot source (Zipf skew)
+  spreads over many partitions; ``groupby(key).map_groups`` then encodes
+  each partition into ONE consolidated chunk. Partition identity ==
+  group key → deterministic resume. Use when consumers need each
+  partition in a single chunk (or run files mode + compact_dataset).
 * ``sharded`` (no shuffle): encode each incoming batch as its own
   partition, id = content hash of the ``doc_id`` column. Fastest path
   when source-homogeneous chunks aren't required; resume converges only
@@ -365,7 +373,7 @@ def encode_dataset(
     input_paths: str | list[str],
     out_dir: str,
     *,
-    mode: str = "grouped",
+    mode: str = "files",
     target_rows_per_partition: int = 16_384,
     sample_rows: int = 100_000,
     plan: EncodePlan | None = None,

@@ -40,23 +40,58 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _mix64_inplace(x: np.ndarray) -> np.ndarray:
+    """_mix64 mutating a caller-owned uint64 temp (no copy)."""
+    t = x >> _U(30)
+    x ^= t
+    x *= _U(0xBF58476D1CE4E5B9)
+    np.right_shift(x, _U(27), out=t)
+    x ^= t
+    x *= _U(0x94D049BB133111EB)
+    np.right_shift(x, _U(31), out=t)
+    x ^= t
+    return x
+
+
+_HASH_CHUNK = 1 << 22  # values per kernel chunk (32 MB of uint64 temps)
+
+
+def _positional_value_hash(values: np.ndarray, offsets: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """mix64(value + P1*(in_row_pos+1)) summed per row, then mixed with
+    the row length. Processed in bounded row-aligned chunks with in-place
+    ops: peak temporaries stay ~2×32 MB regardless of batch size, so the
+    kernel never grows a worker heap by the column size (fresh first-touch
+    pages are the dominant cold cost on token columns in this sandbox)."""
+    n = len(lens)
+    sums = np.zeros(n, dtype=np.uint64)
+    row = 0
+    while row < n:
+        # rows [row, end): at most _HASH_CHUNK values, at least one row
+        end = int(np.searchsorted(offsets, offsets[row] + _HASH_CHUNK, side="right")) - 1
+        end = min(max(end, row + 1), n)
+        v0, v1 = int(offsets[row]), int(offsets[end])
+        pos = np.arange(v0, v1, dtype=np.uint64)
+        pos -= np.repeat(offsets[row:end], lens[row:end]).astype(np.uint64, copy=False)
+        pos += _U(1)
+        pos *= _U(0x9E3779B97F4A7C15)
+        pos += values[v0:v1].astype(np.uint64)
+        _mix64_inplace(pos)
+        lslice = lens[row:end]
+        nonempty = lslice > 0
+        if nonempty.any():
+            sums[row:end][nonempty] = np.add.reduceat(pos, (offsets[row:end] - v0)[nonempty])
+        row = end
+    sums ^= lens.astype(np.uint64)
+    return _mix64_inplace(sums)
+
+
 def _string_col_hash(arr: pa.Array) -> np.ndarray:
     """Full-content per-string hash: every byte weighted by its in-row position."""
     data, offsets = string_buffers(arr)
     lens = np.diff(offsets)
-    n = len(lens)
     if len(data) == 0:
         return _mix64(lens.astype(np.uint64))
-    inrow = np.arange(len(data), dtype=np.int64) - np.repeat(offsets[:-1], lens)
-    mixed = _mix64(data.astype(np.uint64) + _U(0x9E3779B97F4A7C15) * (inrow.astype(np.uint64) + _U(1)))
-    starts = offsets[:-1].copy()
-    # reduceat needs non-empty slices; empty rows contribute 0
-    sums = np.zeros(n, dtype=np.uint64)
-    nonempty = lens > 0
-    if nonempty.any():
-        red = np.add.reduceat(mixed, starts[nonempty])
-        sums[nonempty] = red
-    return _mix64(sums ^ lens.astype(np.uint64))
+    return _positional_value_hash(data, offsets, lens)
 
 
 def _list_int_col_hash(arr: pa.Array) -> np.ndarray:
@@ -66,13 +101,7 @@ def _list_int_col_hash(arr: pa.Array) -> np.ndarray:
     np.cumsum(lens, out=offsets[1:])
     if len(flat) == 0:
         return _mix64(lens.astype(np.uint64))
-    inrow = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lens)
-    mixed = _mix64(flat.astype(np.int64).astype(np.uint64) + _U(0x9E3779B97F4A7C15) * (inrow.astype(np.uint64) + _U(1)))
-    sums = np.zeros(n, dtype=np.uint64)
-    nonempty = lens > 0
-    if nonempty.any():
-        sums[nonempty] = np.add.reduceat(mixed, offsets[:-1][nonempty])
-    return _mix64(sums ^ lens.astype(np.uint64))
+    return _positional_value_hash(flat, offsets, lens)
 
 
 def row_hashes(batch: pa.Table) -> np.ndarray:

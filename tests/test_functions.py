@@ -233,3 +233,36 @@ def test_multimodal_resize_and_frame_sample(ray_session):
         multimodal.frame_sample, batch_format="pyarrow"
     ).take_all()
     assert frames and all(len(f["frame_payload"]) == 192 for f in frames)
+
+
+def test_simhash_dedup_pipeline(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import simhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running " * 3
+    near = base.replace("lazy", "hazy")  # few-bit simhash delta
+    other = "entirely unrelated string with other words altogether zebra quantum"
+    ds = rd.from_arrow(_doc_table([base, near, other, base], ids=[1, 2, 3, 4]))
+    out = simhash_dedup(ds, max_hamming=8)
+    got = {(r["doc_id"], r["cluster_id"]) for r in out.to_pylist()}
+    assert (1, 1) in got and (4, 1) in got  # exact dup always clusters
+    assert 3 not in {d for d, _ in got}  # unrelated doc untouched
+    # guaranteed-recall banding: the near-dup's true distance ≤ max_hamming ⇒ found
+    from parquetjs_ray.functions.dedup import simhash_signatures
+
+    sigs = simhash_signatures(_doc_table([base, near], ids=[1, 2]))["simhash"].to_pylist()
+    if bin(sigs[0] ^ sigs[1]).count("1") <= 8:
+        assert (2, 1) in got
+
+
+def test_label_propagate_clusters(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import label_propagate_clusters
+
+    # chain 1-2-3-4 plus separate pair (10,11): min-label must traverse the chain
+    edges = pa.table({"a": pa.array([1, 2, 3, 10], pa.int64()), "b": pa.array([2, 3, 4, 11], pa.int64())})
+    out = label_propagate_clusters(rd.from_arrow(edges)).to_pylist()
+    got = {(r["doc_id"], r["cluster_id"]) for r in out}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}

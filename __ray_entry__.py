@@ -304,6 +304,14 @@ def q_simhash_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_simhash_dedup_docs(sf_dir: str):
+    """Hamming-band SimHash dedup (guaranteed-recall banding + exact
+    popcount verify + distributed label propagation)."""
+    from parquetjs_ray.functions.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir), max_hamming=3)
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
 
@@ -311,18 +319,35 @@ def _emb(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """EXACT distributed all-pairs cosine pairs ≥ 0.38 (SQL-checkable).
+
+    The 0.38 threshold sits in this testdata's random-similarity
+    continuum (top pair ≈ 0.51), where no LSH scheme reaches recall 1 —
+    so the oracle-checked query is the exact block-matmul variant; the
+    LSH scale path is exposed as ``embedding_near_dup_lsh``."""
+    from parquetjs_ray.functions.dedup import embedding_near_dup_exact
+
+    return embedding_near_dup_exact(_emb(sf_dir), cosine_threshold=0.38)
+
+
+def q_embedding_near_dup_lsh(sf_dir: str):
+    """Sign-LSH bucketed near-dup (the 10^12-scale path; candidate
+    recall < 1 at continuum thresholds — pytest pins planted-dup recall)."""
     from parquetjs_ray.functions.dedup import embedding_near_dup
 
     return embedding_near_dup(_emb(sf_dir), cosine_threshold=0.38, planes=6)
 
 
 def _query_vectors(sf_dir: str, n: int = 5):
+    """The n lowest-vec_id embeddings, in vec_id order (deterministic and
+    SQL-expressible: query_id = row_number() over vec_id order − 1)."""
     import numpy as np
+    import pyarrow.parquet as pq
 
-    rows = [r for r in _emb(sf_dir).take(n)]
-    import numpy as np
-
-    return np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())[:n]
+    m = np.asarray(t["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False)).reshape(len(t), -1)
+    return m[order].astype(np.float64)
 
 
 def q_ann_topk_bruteforce(sf_dir: str):
@@ -333,9 +358,19 @@ def q_ann_topk_bruteforce(sf_dir: str):
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    from parquetjs_ray.functions.ann import topk_ivf
+    """IVF with real partition pruning: the index (one directory per
+    inverted list) is built once per sf_dir and cached; the query reads
+    ONLY the probed lists."""
+    from parquetjs_ray.functions.ann import build_ivf_index, topk_ivf
 
-    out = topk_ivf(_emb(sf_dir), _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=6)
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_ivf_{tag}_v{FORMAT_VERSION}")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_ivf_index(_emb(sf_dir), index_dir, n_clusters=16, sample_rows=2048)
+    out, stats = topk_ivf(index_dir, _query_vectors(sf_dir), k=10, nprobe=6)
+    assert stats["rows_scanned"] < stats["n_queries"] * stats["rows_total"], stats  # pruning is real
     return out.select(["query_id", "rank", "vec_id"])
 
 
@@ -370,7 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": q_langid_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_dedup_docs": q_simhash_dedup_docs,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
@@ -436,4 +473,65 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (floor(epoch_us(ts)/900000000) - i.i) * 900000000 + 3600000000 > epoch_us(ts) "
             "GROUP BY user_id, win_start_us"
         ),
+        "langid_docs": _langid_sql(),
+        "minhash_dedup_docs": (
+            # the oracle computes ground truth DIRECTLY (no LSH): all-pairs
+            # exact 5-gram Jaccard >= 0.8 (integer compare, matching the
+            # pipeline's thr_milli arithmetic) then transitive closure;
+            # matching it requires the LSH candidate stage to reach recall 1
+            "WITH RECURSIVE pos AS ("
+            " SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS i FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c "
+            " FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id), "
+            "pairs AS (SELECT i.a, i.b FROM inter i "
+            " JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id "
+            " WHERE 1000 * i.c >= 800 * (sa.n + sb.n - i.c)), "
+            "edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs), "
+            "reach AS (SELECT u, v FROM edges "
+            " UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+            "SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"
+        ),
+        "embedding_near_dup": (
+            "SELECT x.vec_id AS a, y.vec_id AS b FROM embeddings x JOIN embeddings y "
+            "ON x.vec_id < y.vec_id "
+            "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.38"
+        ),
+        "ann_topk_bruteforce": (
+            "WITH q AS (SELECT embedding AS qe, row_number() OVER (ORDER BY vec_id) - 1 AS query_id "
+            " FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score "
+            " FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, row_number() OVER "
+            " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
+            "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
     }
+
+
+def _langid_sql() -> str:
+    """SQL replica of functions.text.langid_batch: per-language stopword
+    hit counts over ' '||text||' ' (greedy non-overlapping, the same
+    semantics as pc.count_substring and SQL replace), argmax with
+    alphabetical tie-break, 'und' when no stopword hits."""
+    from parquetjs_ray.functions.text import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    scores = []
+    for lang in langs:
+        terms = " + ".join(
+            f"((length(p) - length(replace(p, ' {w} ', ''))) // {len(w) + 2})"
+            for w in _STOPWORDS[lang]
+        )
+        scores.append(f"({terms}) AS s_{lang}")
+    case = [f"WHEN greatest({', '.join('s_' + l for l in langs)}) = 0 THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join("s_" + l for l in langs[i + 1 :])
+        cmp = f"greatest({rest})" if len(langs) - i - 1 > 1 else "s_" + langs[-1]
+        case.append(f"WHEN s_{lang} >= {cmp} THEN '{lang}'")
+    return (
+        f"WITH p0 AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents), "
+        f"sc AS (SELECT doc_id, {', '.join(scores)} FROM p0) "
+        f"SELECT doc_id, CASE {' '.join(case)} ELSE '{langs[-1]}' END AS lang_pred FROM sc"
+    )

@@ -1,40 +1,73 @@
-"""Approximate-nearest-neighbor search over an embedding column.
+"""Nearest-neighbor search over an embedding column.
 
-* brute-force cosine top-k: the baseline — query matrix broadcast via
-  ``ray.put`` once, per-batch numpy matmul + partial top-k, driver merge
-  of the per-batch candidates (k × batches rows, tiny).
+* brute-force cosine top-k: the exact baseline — query matrix broadcast
+  via ``ray.put`` once, per-batch numpy matmul (float64 for rank
+  stability vs a SQL oracle) + partial top-k, driver merge of the
+  per-batch candidates (k × batches rows, tiny).
 * IVF top-k: the scale path — a kmeans-lite codebook trained on a
-  sample (driver-side numpy), every batch assigns its vectors to the
-  nearest centroid; queries probe only ``nprobe`` closest lists. Same
-  merge; recall measured against brute force in tests.
+  sample; :func:`build_ivf_index` writes ONE PARTITION PER INVERTED
+  LIST (the engine's partition layout applied to ANN), and
+  :func:`topk_ivf` reads ONLY the ``nprobe`` probed lists — unprobed
+  partitions are pruned before any byte is read, so the query reads
+  strictly fewer rows than brute force. Recall is measured against
+  brute force in tests.
 """
 
 from __future__ import annotations
 
-import heapq
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
 
-__all__ = ["topk_bruteforce", "kmeans_lite", "topk_ivf"]
+__all__ = ["topk_bruteforce", "kmeans_lite", "build_ivf_index", "topk_ivf"]
 
 
 def _matrix(batch: pa.Table, vec_col: str, dim: int) -> np.ndarray:
     arr = batch[vec_col].combine_chunks() if isinstance(batch[vec_col], pa.ChunkedArray) else batch[vec_col]
-    return np.asarray(arr.values.to_numpy(zero_copy_only=False), dtype=np.float32).reshape(-1, dim)
+    return np.asarray(arr.values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _batch_topk(sims: np.ndarray, ids: np.ndarray, k: int) -> pa.Table:
+    """Vectorized per-batch candidate extraction: (n, nq) sims → one
+    table (query_id, vec_id, score) with ≤ k rows per query."""
+    n, nq = sims.shape
+    kk = min(k, n)
+    top = np.argpartition(-sims, kk - 1, axis=0)[:kk] if kk < n else np.broadcast_to(
+        np.arange(n)[:, None], (n, nq)
+    )
+    scores = np.take_along_axis(sims, top, axis=0)  # (kk, nq)
+    return pa.table(
+        {
+            "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk)),
+            "vec_id": pa.array(ids[top.T.reshape(-1)].astype(np.int64)),
+            "score": pa.array(scores.T.reshape(-1)),
+        }
+    )
 
 
 def _merge_topk(parts: list[dict], k: int) -> pa.Table:
-    """Driver-side merge of per-batch candidates → exact global top-k."""
+    """Driver-side merge of per-batch candidates → exact global top-k.
+
+    Tie-break on equal scores is ascending vec_id (the SQL
+    ``ORDER BY score DESC, vec_id`` convention); scores for identical
+    vectors are bit-identical across batches (same row-local float64
+    computation), so ranking is deterministic."""
     per_query: dict[int, list] = {}
     for row in parts:
         per_query.setdefault(row["query_id"], []).append((row["score"], row["vec_id"]))
     out = []
     for q, cands in sorted(per_query.items()):
-        best = heapq.nlargest(k, cands)
+        best = sorted(cands, key=lambda t: (-t[0], t[1]))[:k]
         out += [
             {"query_id": q, "rank": r + 1, "vec_id": vid, "score": float(s)}
             for r, (s, vid) in enumerate(best)
@@ -52,22 +85,14 @@ def topk_bruteforce(
     dim: int = 64,
 ) -> pa.Table:
     """Exact cosine top-k; (query_id, rank, vec_id, score)."""
-    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-    q_ref = ray.put(qn.astype(np.float32))
+    q_ref = ray.put(_normalize(np.asarray(queries, dtype=np.float64)))
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        q = ray.get(q_ref)
-        m = _matrix(batch, vec_col, dim)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ q.T  # (n, nq)
-        ids = np.asarray(batch[id_col].to_pylist())
-        kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # per-query candidates
-        rows = []
-        for qi in range(q.shape[0]):
-            for r in top[:, qi]:
-                rows.append({"query_id": qi, "vec_id": int(ids[r]), "score": float(sims[r, qi])})
-        return pa.Table.from_pylist(rows)
+        q = ray.get(q_ref)  # zero-copy numpy view from the object store
+        mn = _normalize(_matrix(batch, vec_col, dim))
+        sims = mn @ q.T  # (n, nq) float64
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return _batch_topk(sims, ids, k)
 
     parts = ds.map_batches(per_batch, batch_format="pyarrow").take_all()
     return _merge_topk(parts, k)
@@ -84,58 +109,143 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int =
             pts = sample[assign == c]
             if len(pts):
                 centers[c] = pts.mean(axis=0)
-    return centers.astype(np.float32)
+    return centers
 
 
-def topk_ivf(
+def build_ivf_index(
     ds: rd.Dataset,
-    queries: np.ndarray,
+    index_dir: str,
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 10,
     dim: int = 64,
     n_clusters: int = 16,
-    nprobe: int = 4,
     sample_rows: int = 2048,
     seed: int = 3,
-) -> pa.Table:
-    """IVF-flat: probe only the ``nprobe`` nearest centroid lists.
+) -> dict:
+    """Partition the corpus into one directory per inverted list.
 
-    Per-batch the non-probed vectors are masked out before the matmul —
-    at scale the assignment would also drive partition pruning (store
-    one partition per list, skip unprobed partitions at the read)."""
-    sample = np.stack(
-        [np.asarray(r[vec_col], dtype=np.float32) for r in ds.take(sample_rows)]
-    )
+    Layout: ``index_dir/list-<i>/part-*.parquet`` + ``centers.npy`` +
+    ``meta.json``. Assignment is a vectorized per-batch argmin against
+    the broadcast codebook; each task writes its rows grouped by list —
+    no shuffle (the same shuffle-free fragment shape as the encoder's
+    files mode)."""
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in ds.take(sample_rows)])
     centers = kmeans_lite(sample, n_clusters, seed=seed)
-    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-    qd = ((qn[:, None, :] - centers[None, :, :] / np.maximum(np.linalg.norm(centers, axis=1), 1e-12)[None, :, None]) ** 2).sum(axis=2)
-    probed = np.argsort(qd, axis=1)[:, :nprobe]  # (nq, nprobe)
-    bundle_ref = ray.put((qn.astype(np.float32), centers, probed))
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centers.npy"), centers)
+    c_ref = ray.put(centers)
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        q, cent, probes = ray.get(bundle_ref)
+    def write_lists(batch: pa.Table) -> pa.Table:
+        cent = ray.get(c_ref)
         m = _matrix(batch, vec_col, dim)
-        ids = np.asarray(batch[id_col].to_pylist())
         d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = mn @ q.T
         rows = []
-        for qi in range(q.shape[0]):
-            mask = np.isin(assign, probes[qi])
-            if not mask.any():
-                continue
-            cand = np.flatnonzero(mask)
-            kk = min(k, len(cand))
-            top = cand[np.argpartition(-sims[cand, qi], kk - 1)[:kk]]
-            rows += [
-                {"query_id": qi, "vec_id": int(ids[r]), "score": float(sims[r, qi])} for r in top
-            ]
-        return pa.Table.from_pylist(rows) if rows else pa.table(
-            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-        )
+        import uuid
 
-    parts = ds.map_batches(per_batch, batch_format="pyarrow").take_all()
-    return _merge_topk(parts, k)
+        for li in np.unique(assign):
+            sub = batch.take(pa.array(np.flatnonzero(assign == li)))
+            sub = sub.append_column("list_id", pa.array(np.full(sub.num_rows, int(li), dtype=np.int64)))
+            ldir = os.path.join(index_dir, f"list-{int(li)}")
+            os.makedirs(ldir, exist_ok=True)
+            tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex[:12]}")
+            pq.write_table(sub, tmp)
+            os.replace(tmp, os.path.join(ldir, f"part-{uuid.uuid4().hex[:12]}.parquet"))
+            rows.append({"list_id": int(li), "rows": sub.num_rows})
+        return pa.Table.from_pylist(rows)
+
+    stats = ds.map_batches(write_lists, batch_format="pyarrow").take_all()
+    list_rows: dict[int, int] = {}
+    for r in stats:
+        list_rows[r["list_id"]] = list_rows.get(r["list_id"], 0) + r["rows"]
+    meta = {
+        "n_clusters": n_clusters,
+        "dim": dim,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "list_rows": {str(k): v for k, v in sorted(list_rows.items())},
+        "total_rows": int(sum(list_rows.values())),
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def topk_ivf(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> tuple[pa.Table, dict]:
+    """IVF-flat query over a :func:`build_ivf_index` layout.
+
+    Only the ``nprobe`` lists nearest each query are READ — pruning
+    happens at the parquet-path level before any vector byte moves.
+    Returns (topk table, stats): ``rows_read_union`` = rows in the union
+    of probed lists (bytes actually read), ``rows_scanned`` = Σ per-query
+    probed-list rows (distance computations actually done; brute force
+    would do ``n_queries × rows_total``), ``rows_total``."""
+    centers = np.load(os.path.join(index_dir, "centers.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    cn = _normalize(centers)
+    qd = ((qn[:, None, :] - cn[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argsort(qd, axis=1)[:, :nprobe]  # (nq, nprobe)
+    import glob as globmod
+
+    lists_needed = sorted({int(li) for li in probed.reshape(-1) if str(int(li)) in meta["list_rows"]})
+    paths = [
+        p
+        for li in lists_needed
+        for p in sorted(globmod.glob(os.path.join(index_dir, f"list-{li}", "part-*.parquet")))
+    ]
+    rows_read = sum(meta["list_rows"][str(li)] for li in lists_needed)
+    rows_scanned = int(
+        sum(
+            meta["list_rows"].get(str(int(li)), 0)
+            for qi in range(len(qn))
+            for li in probed[qi]
+        )
+    )
+
+    # per-list query mask: which queries probe which list
+    probe_sets = {li: np.array([qi for qi in range(len(qn)) if li in probed[qi]]) for li in lists_needed}
+    bundle_ref = ray.put((qn, probe_sets))
+    vec_col, id_col, dim = meta["vec_col"], meta["id_col"], meta["dim"]
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        q, psets = ray.get(bundle_ref)
+        lids = batch["list_id"].to_numpy(zero_copy_only=False)
+        mn = _normalize(_matrix(batch, vec_col, dim))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tables = []
+        for li in np.unique(lids):  # a Ray batch may coalesce several lists
+            qs = psets.get(int(li))
+            if qs is None or not len(qs):
+                continue
+            rowsel = np.flatnonzero(lids == li)
+            sims = mn[rowsel] @ q[qs].T  # only the queries probing this list
+            out = _batch_topk(sims, ids[rowsel], k)
+            # map local query indices back to global query ids
+            tables.append(
+                out.set_column(0, "query_id", pa.array(qs[out["query_id"].to_numpy()], type=pa.int64()))
+            )
+        return pa.concat_tables(tables) if tables else empty
+
+    parts = (
+        rd.read_parquet(paths).map_batches(per_batch, batch_format="pyarrow").take_all()
+        if paths
+        else []
+    )
+    return _merge_topk(parts, k), {
+        "rows_read_union": rows_read,
+        "rows_scanned": rows_scanned,
+        "rows_total": meta["total_rows"],
+        "n_queries": len(qn),
+    }

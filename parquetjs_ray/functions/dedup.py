@@ -38,6 +38,7 @@ __all__ = [
     "simhash_dedup",
     "label_propagate_clusters",
     "embedding_near_dup",
+    "embedding_near_dup_exact",
 ]
 
 _U = np.uint64
@@ -544,6 +545,59 @@ def simhash_dedup(
 
 
 # ─────────────── embedding cosine near-dup ───────────────
+
+
+def embedding_near_dup_exact(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    cosine_threshold: float = 0.95,
+) -> pa.Table:
+    """EXACT all-pairs cosine near-dup → sorted (a, b) id pairs.
+
+    Distributed block-row computation: the normalized corpus matrix is
+    broadcast ONCE (``ray.put``); each batch computes its (rows × all)
+    float64 similarity block and emits pairs ``id_row < id_col`` above
+    the threshold — O(n²/P) compute with zero shuffle, exact by
+    construction (SQL-oracle-checkable). Applicable while n·d floats fit
+    the object store (~10^8 vectors at d=64); beyond that use the LSH
+    variant :func:`embedding_near_dup` (candidate recall < 1 in the
+    random-similarity regime, documented)."""
+    import ray as _ray
+
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    full = pa.concat_tables([_ray.get(r) for r in refs]).combine_chunks()
+    ids_np = full[id_col].to_numpy(zero_copy_only=False)
+    m = np.asarray(full[vec_col].combine_chunks().values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(len(full), dim)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    bundle = _ray.put((ids_np, mn))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_mn = _ray.get(bundle)  # zero-copy numpy from plasma
+        bm = np.asarray(
+            batch[vec_col].combine_chunks().values.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(batch.num_rows, dim)
+        bn = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        sims = bn @ all_mn.T  # (rows, n)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        ii, jj = np.nonzero(sims >= cosine_threshold)
+        keep = bids[ii] < all_ids[jj]  # a < b, once per unordered pair
+        return pa.table(
+            {
+                "a": pa.array(bids[ii][keep], pa.int64()),
+                "b": pa.array(all_ids[jj][keep], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(block, batch_format="pyarrow").take_all()
+    rows = sorted({(int(r["a"]), int(r["b"])) for r in out})
+    if not rows:
+        return pa.table(_EMPTY_PAIRS)
+    return pa.table(
+        {"a": pa.array([r[0] for r in rows], pa.int64()), "b": pa.array([r[1] for r in rows], pa.int64())}
+    )
 
 
 def embedding_near_dup(

@@ -126,7 +126,17 @@ def test_ann_bruteforce_and_ivf(ray_session):
     for qi in range(3):
         top1 = [r for r in bfl if r["query_id"] == qi and r["rank"] == 1]
         assert top1[0]["vec_id"] == qi
-    ivf = topk_ivf(ds, queries, k=5, n_clusters=8, nprobe=4, sample_rows=200)
+    import tempfile
+
+    from parquetjs_ray.functions.ann import build_ivf_index
+
+    with tempfile.TemporaryDirectory() as index_dir:
+        meta = build_ivf_index(ds, index_dir, n_clusters=8, sample_rows=200)
+        assert meta["total_rows"] == 300
+        ivf, stats = topk_ivf(index_dir, queries, k=5, nprobe=4)
+        # partition pruning is REAL: per-query scanned rows strictly fewer
+        # than brute force's n_queries x total
+        assert stats["rows_scanned"] < stats["n_queries"] * stats["rows_total"], stats
     # recall@5 of IVF vs brute force ≥ 0.6 with nprobe=half the lists
     bf_sets = {qi: {r["vec_id"] for r in bfl if r["query_id"] == qi} for qi in range(3)}
     iv = ivf.to_pylist()
@@ -266,3 +276,24 @@ def test_label_propagate_clusters(ray_session):
     out = label_propagate_clusters(rd.from_arrow(edges)).to_pylist()
     got = {(r["doc_id"], r["cluster_id"]) for r in out}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_embedding_near_dup_exact(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import embedding_near_dup_exact
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((5, 64)).astype(np.float32)
+    vecs = np.vstack([base, base[0] + rng.standard_normal(64).astype(np.float32) * 0.01])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(vecs.reshape(-1)), 64).cast(
+                pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = embedding_near_dup_exact(rd.from_arrow(tbl), cosine_threshold=0.95)
+    # exact all-pairs: exactly the planted pair, nothing else
+    assert [(r["a"], r["b"]) for r in out.to_pylist()] == [(0, 5)]

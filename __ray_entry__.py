@@ -150,18 +150,24 @@ def q_events_tumbling_hourly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    from ray.data.aggregate import Sum
+
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         epoch_us = batch["ts"].cast(pa.int64())
         hour = pc.floor(pc.divide(epoch_us, 3_600_000_000))
-        return pa.table({"user_id": batch["user_id"], "hour_bucket": hour.cast(pa.int64())})
+        t = pa.table({"user_id": batch["user_id"], "hour_bucket": hour.cast(pa.int64())})
+        # combiner: partial counts within the batch, so the shuffle moves
+        # one row per (user, hour) per batch instead of one per event
+        return t.group_by(["user_id", "hour_bucket"]).aggregate([([], "count_all")])
 
-    return (
+    out = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"))
+        .aggregate(Sum("count_all", alias_name="n_events"))
     )
+    return out.select_columns(["user_id", "hour_bucket", "n_events"])
 
 
 def q_encode_roundtrip_tokens(sf_dir: str):

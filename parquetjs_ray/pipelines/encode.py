@@ -38,6 +38,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from .. import storage as st
 from ..arrow_util import string_buffers
 from ..stages import stats as stats_mod
 from ..stages.decoder import decode_chunk
@@ -131,6 +132,12 @@ def _get_state(plan_ref) -> EncoderState:
     return st
 
 
+def _open_parquet(path: str) -> pq.ParquetFile:
+    """ParquetFile over any storage backend (local path or URI)."""
+    f, p = st.get_fs(path)
+    return pq.ParquetFile(f.open_input_file(p))
+
+
 def _content_part_id(batch: pa.Table, id_col: str = "doc_id") -> str:
     """Content hash over the FULL id column (not just endpoints): two
     distinct batches must never silently alias to one resume part-id."""
@@ -149,10 +156,7 @@ def _encode_and_write(
     compression: str | None = None,
 ) -> dict:
     if partition_done(out_dir, part_id):  # resume: skip finished partitions
-        import json
-
-        with open(os.path.join(out_dir, f"part-{part_id}", "manifest.json")) as f:
-            m = json.load(f)
+        m = st.read_json(st.join(out_dir, f"part-{part_id}", "manifest.json"))
         return {
             "partition": part_id,
             "rows": m["rows"],
@@ -220,7 +224,7 @@ def _encode_one_file(
     ids stay deterministic (file index + row-group range), preserving
     exact-recompute resume."""
     state = _get_state(plan_ref)
-    pf = pq.ParquetFile(path)
+    pf = _open_parquet(path)
     n_rg = pf.metadata.num_row_groups
     rows = []
     for rg0 in range(0, n_rg, _MAX_ROWGROUPS_PER_UNIT):
@@ -269,8 +273,6 @@ def _run_files_mode(
     every token byte through a groupby (an all-to-all exchange of the
     whole corpus) buys nothing; the salted ``grouped`` mode remains for
     pipelines that need each partition consolidated into one chunk."""
-    import glob as globmod
-
     items = [{"path": p, "file_idx": i} for i, p in enumerate(paths)]
 
     def encode_files(batch: pa.Table) -> pa.Table:
@@ -291,16 +293,16 @@ def _run_files_mode(
     )
     # authoritative sweep of committed fragments (covers resumed ones too);
     # compacted partitions (single consolidated chunk) pass through untouched
-    import json as jsonmod
-
     fragments: list[dict] = []
     compacted_rows: list[dict] = []
-    for pdir in globmod.glob(os.path.join(out_dir, "part-*")):
-        pid = os.path.basename(pdir)[len("part-") :]
-        mpath = os.path.join(pdir, "manifest.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                pm = jsonmod.load(f)
+    for name in st.list_names(out_dir):
+        if not name.startswith("part-"):
+            continue
+        pid = name[len("part-") :]
+        pdir = st.join(out_dir, name)
+        mpath = st.join(pdir, "manifest.json")
+        if st.exists(mpath):
+            pm = st.read_json(mpath)
             if "source_fragments" in pm:
                 compacted_rows.append(
                     {
@@ -330,7 +332,7 @@ def _run_files_mode(
 def _schema_blob(paths: list[str]) -> str:
     import base64
 
-    return base64.b64encode(pq.ParquetFile(paths[0]).schema_arrow.serialize().to_pybytes()).decode()
+    return base64.b64encode(_open_parquet(paths[0]).schema_arrow.serialize().to_pybytes()).decode()
 
 
 def dataset_info(out_dir: str) -> dict:
@@ -356,11 +358,14 @@ def dataset_info(out_dir: str) -> dict:
 
 
 def _input_row_count(paths: list[str]) -> int:
-    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    return sum(_open_parquet(p).metadata.num_rows for p in paths)
 
 
 def _resolve_paths(paths: str | list[str]) -> list[str]:
     if isinstance(paths, str):
+        if "://" in paths:
+            names = [n for n in st.list_names(paths) if n.endswith(".parquet")]
+            return [st.join(paths, n) for n in names] if names else [paths]
         if os.path.isdir(paths):
             return sorted(
                 os.path.join(paths, f) for f in os.listdir(paths) if f.endswith(".parquet")
@@ -391,12 +396,12 @@ def encode_dataset(
     reference size comparison honest. ``user_metadata`` lands in the
     global manifest (the reference's setMetadata footer KV)."""
     paths = _resolve_paths(input_paths)
-    os.makedirs(out_dir, exist_ok=True)
+    st.makedirs(out_dir)
 
     # ── sampling pass → plan (reuse a persisted plan when resuming) ──
     if plan is None:
-        plan_path = os.path.join(out_dir, "_artifacts", "plan.json")
-        if os.path.exists(plan_path):
+        plan_path = st.join(out_dir, "_artifacts", "plan.json")
+        if st.exists(plan_path):
             plan = load_plan(out_dir)
         else:
             plan = stats_mod.build_plan(
@@ -414,12 +419,9 @@ def encode_dataset(
     # The salt map is PERSISTED with the artifact: partition keys derive
     # from it, so a resumed run must reuse the original map even if the
     # sample (or the caller's target) changed in between.
-    import json as _json
-
-    salts_path = os.path.join(out_dir, "_artifacts", "salts.json")
-    if os.path.exists(salts_path):
-        with open(salts_path) as f:
-            salt_per_source = {k: int(v) for k, v in _json.load(f).items()}
+    salts_path = st.join(out_dir, "_artifacts", "salts.json")
+    if st.exists(salts_path):
+        salt_per_source = {k: int(v) for k, v in st.read_json(salts_path).items()}
     else:
         total_rows = _input_row_count(paths)
         hist = (plan.source_hist or {s: 1 for s in plan.source_dict} or {"": 1}) if source_col else {"": 1}
@@ -428,11 +430,8 @@ def encode_dataset(
             s: max(1, math.ceil((c / tot) * total_rows / target_rows_per_partition))
             for s, c in hist.items()
         }
-        os.makedirs(os.path.dirname(salts_path), exist_ok=True)
-        tmp_sp = salts_path + ".tmp"
-        with open(tmp_sp, "w") as f:
-            _json.dump(salt_per_source, f)
-        os.replace(tmp_sp, salts_path)
+        st.makedirs(st.join(out_dir, "_artifacts"))
+        st.write_json_atomic(salts_path, salt_per_source)
 
     if mode == "files":
         return _run_files_mode(
@@ -508,24 +507,18 @@ def _decode_state(out_dir: str) -> EncoderState:
 
 
 def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = None) -> pa.Table:
-    import json
-
     state = _decode_state(out_dir)
     tables = []
     for part_id, frag_id in zip(
         batch.column("partition").to_pylist(), batch.column("fragment").to_pylist()
     ):
-        pdir = os.path.join(out_dir, f"part-{part_id}")
+        pdir = st.join(out_dir, f"part-{part_id}")
         if frag_id:  # files mode: one chunk per fragment
-            with open(os.path.join(pdir, f"frag-{frag_id}.json")) as f:
-                fm = json.load(f)
-            with open(os.path.join(pdir, f"frag-{frag_id}.bin"), "rb") as f:
-                chunk = f.read()
+            fm = st.read_json(st.join(pdir, f"frag-{frag_id}.json"))
+            chunk = st.read_bytes(st.join(pdir, f"frag-{frag_id}.bin"))
         else:  # grouped/sharded: single chunk per partition
-            with open(os.path.join(pdir, "manifest.json")) as f:
-                fm = json.load(f)
-            with open(os.path.join(pdir, "chunk.bin"), "rb") as f:
-                chunk = f.read()
+            fm = st.read_json(st.join(pdir, "manifest.json"))
+            chunk = st.read_bytes(st.join(pdir, "chunk.bin"))
         import zlib
 
         if fm.get("checksum_crc32") is not None and zlib.crc32(chunk) != fm["checksum_crc32"]:
@@ -558,21 +551,17 @@ def decode_dataset(
     Work units are individual fragments (files mode) or whole partitions
     (grouped/sharded), so decode parallelism matches the write layout and
     no task is stuck with a whole hot-source partition."""
-    import json
-
     manifest = read_global_manifest(out_dir)
     units: list[dict] = []
     for p in manifest["partitions"]:
         if sources is not None and p["partition"].rsplit("-", 1)[0] not in sources:
             continue
-        pdir = os.path.join(out_dir, f"part-{p['partition']}")
-        with open(os.path.join(pdir, "manifest.json")) as f:
-            pm = json.load(f)
+        pdir = st.join(out_dir, f"part-{p['partition']}")
+        pm = st.read_json(st.join(pdir, "manifest.json"))
         if "fragments" in pm:
             for fr in pm["fragments"]:
                 if id_range is not None:
-                    with open(os.path.join(pdir, f"frag-{fr}.json")) as f:
-                        fm_min_max = json.load(f)
+                    fm_min_max = st.read_json(st.join(pdir, f"frag-{fr}.json"))
                     lo, hi = id_range
                     if fm_min_max.get("id_max") is not None and (
                         fm_min_max["id_max"] < lo or fm_min_max["id_min"] > hi
@@ -600,8 +589,6 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
     mode partition (single ``chunk.bin``); its manifest keeps the absorbed
     fragment ids so a later encode resume still sees them as done.
     """
-    import json
-
     gm = read_global_manifest(out_dir)
     parts = [{"partition": p["partition"], "fragment": ""} for p in gm["partitions"]]
 
@@ -609,9 +596,8 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
         state = _decode_state(out_dir)
         rows = []
         for pid in batch.column("partition").to_pylist():
-            pdir = os.path.join(out_dir, f"part-{pid}")
-            with open(os.path.join(pdir, "manifest.json")) as f:
-                pm = json.load(f)
+            pdir = st.join(out_dir, f"part-{pid}")
+            pm = st.read_json(st.join(pdir, "manifest.json"))
             frags = pm.get("fragments", [])
             if len(frags) <= max_fragments:
                 rows.append({"partition": pid, "compacted": False, "n_fragments": len(frags)})
@@ -619,10 +605,8 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
             tables = []
             id_mins, id_maxs = [], []
             for fr in frags:
-                with open(os.path.join(pdir, f"frag-{fr}.json")) as f:
-                    fm = json.load(f)
-                with open(os.path.join(pdir, f"frag-{fr}.bin"), "rb") as f:
-                    chunk = decompress_chunk(f.read(), fm)
+                fm = st.read_json(st.join(pdir, f"frag-{fr}.json"))
+                chunk = decompress_chunk(st.read_bytes(st.join(pdir, f"frag-{fr}.bin")), fm)
                 tables.append(decode_chunk(chunk, fm, state))
                 if fm.get("id_min") is not None:
                     id_mins.append(fm["id_min"])
@@ -634,24 +618,14 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
             manifest["n_tokens"] = manifest.get("columns", {}).get("tokens", {}).get("n_values", 0)
             if id_mins:
                 manifest["id_min"], manifest["id_max"] = min(id_mins), max(id_maxs)
-            import uuid as uuidmod
             import zlib as zlibmod
 
             manifest["checksum_crc32"] = zlibmod.crc32(chunk)
-            tmp = os.path.join(pdir, f"chunk.bin.tmp-{uuidmod.uuid4().hex[:8]}")
-            with open(tmp, "wb") as f:
-                f.write(chunk)
-            os.replace(tmp, os.path.join(pdir, "chunk.bin"))
-            tmpj = os.path.join(pdir, f"manifest.json.tmp-{uuidmod.uuid4().hex[:8]}")
-            with open(tmpj, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmpj, os.path.join(pdir, "manifest.json"))  # commit point
+            st.write_bytes_atomic(st.join(pdir, "chunk.bin"), chunk)
+            st.write_json_atomic(st.join(pdir, "manifest.json"), manifest)  # commit point
             for fr in frags:  # cleanup (safe: manifest now points at chunk.bin)
                 for ext in (".bin", ".json"):
-                    try:
-                        os.remove(os.path.join(pdir, f"frag-{fr}{ext}"))
-                    except OSError:
-                        pass
+                    st.remove_quiet(st.join(pdir, f"frag-{fr}{ext}"))
             rows.append({"partition": pid, "compacted": True, "n_fragments": len(frags)})
         return pa.Table.from_pylist(rows)
 
@@ -661,13 +635,10 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
         .take_all()
     )
     # refresh the global manifest (sizes changed; rows unchanged)
-    import json
-
     part_rows = []
     for p in gm["partitions"]:
-        pdir = os.path.join(out_dir, f"part-{p['partition']}")
-        with open(os.path.join(pdir, "manifest.json")) as f:
-            pm = json.load(f)
+        pdir = st.join(out_dir, f"part-{p['partition']}")
+        pm = st.read_json(st.join(pdir, "manifest.json"))
         part_rows.append(
             {
                 "partition": p["partition"],

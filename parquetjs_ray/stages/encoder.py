@@ -35,6 +35,13 @@ __all__ = ["EncoderState", "encode_table"]
 
 DICT_MAX_CARD = 1 << 16
 FSST_MAX_RATIO = 0.9  # use FSST only if sampled ratio beats plain by ≥10%
+# FSST's greedy encode loop runs ~5 MB/s of string payload (Python jump
+# loop) — worth it for short key-like columns (doc_id/source) where the
+# symbol table wins big, but on long text columns the encode cost dwarfs
+# the byte savings at measured throughput. Policy: never select FSST
+# when the column's sampled mean length exceeds this bound; the skipped
+# estimate still lands in the manifest for audit.
+FSST_MAX_AVG_LEN = 64.0
 
 
 class EncoderState:
@@ -111,16 +118,23 @@ def _encode_string(
         if cand.null_count == 0:
             idx = cand
             est["dict_global"] = n * bit_width(len(state.source_dict) - 1) / 8 + 8
-    # FSST candidate (sampled ratio)
+    # FSST candidate (sampled ratio), gated by the encode-cost policy
     st = state.stats.get(name)
+    fsst_blocked = None
     if state.fsst_table is not None and st is not None and st.fsst_ratio is not None:
-        est["fsst"] = st.fsst_ratio * len(data) + n * bit_width(64) / 8 * 0.2 + 16
+        fsst_est = st.fsst_ratio * len(data) + n * bit_width(64) / 8 * 0.2 + 16
+        if st.avg_len <= FSST_MAX_AVG_LEN:
+            est["fsst"] = fsst_est
+        else:  # too long: encode cost beats savings; log the skipped estimate
+            fsst_blocked = fsst_est
 
     codec = min(est, key=lambda k: est[k])
     if codec == "fsst" and est["fsst"] > FSST_MAX_RATIO * est["plain"]:
         codec = "plain"
 
     meta: dict = {"codec": codec, "raw_bytes": raw_bytes, "estimates": est, "count": n}
+    if fsst_blocked is not None:
+        meta["estimates"] = dict(est, fsst_blocked_by_len_policy=fsst_blocked)
     if codec == "dict_global":
         indices = idx.to_numpy(zero_copy_only=False)
         from ..codecs import rle

@@ -106,7 +106,18 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
         meta["arrow_type"] = _type_blob(t)
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
         data, offsets = string_buffers(arr)
-        meta.update(codec="plain_binary", segments={"data": cb.add_segment(plain.encode_byte_array(data, offsets))})
+        raw = plain.encode_byte_array(data, offsets)
+        # media payload columns (images/audio) are large opaque blobs:
+        # zstd the whole segment when it pays ≥10%, else store raw
+        comp = pa.Codec("zstd").compress(raw, asbytes=True)
+        if len(comp) < 0.9 * len(raw):
+            meta.update(
+                codec="plain_binary_zstd",
+                uncompressed_size=len(raw),
+                segments={"data": cb.add_segment(comp)},
+            )
+        else:
+            meta.update(codec="plain_binary", segments={"data": cb.add_segment(raw)})
     elif pa.types.is_fixed_size_binary(t):
         # concatenate via to_pylist (fixed columns are narrow; offset-safe)
         buf = b"".join(arr.to_pylist())
@@ -162,8 +173,11 @@ def decode_any(chunk: memoryview, meta: dict, state: EncoderState) -> pa.Array:
         dense = decode_chunk(chunk, sub_manifest, state).column("c").combine_chunks()
         if dense.type != t:
             dense = dense.cast(t)
-    elif codec == "plain_binary":
-        data, offsets = plain.decode_byte_array(_segment(chunk, meta["segments"]["data"]), m)
+    elif codec in ("plain_binary", "plain_binary_zstd"):
+        seg = _segment(chunk, meta["segments"]["data"])
+        if codec == "plain_binary_zstd":
+            seg = pa.Codec("zstd").decompress(bytes(seg), meta["uncompressed_size"], asbytes=True)
+        data, offsets = plain.decode_byte_array(seg, m)
         from ..arrow_util import strings_from_buffers
 
         dense = strings_from_buffers(data, offsets, as_string=False)

@@ -4,12 +4,16 @@ Replaces the reference's append-ordered envelope writer
 (`/root/reference/lib/writer.js:177-254`) with an idempotent,
 retry-safe layout designed for Ray task retries and checkpoint-resume:
 
-* each partition is a directory ``part-<id>/`` holding ``chunk.bin`` and
+* each partition is a directory ``part-<id>/`` holding chunk data and
   ``manifest.json`` (the per-partition lineage record);
-* writes go to a temp dir then a single ``os.rename`` — a concurrent or
-  retried writer loses the rename race and treats the partition as done;
-* a rerun consults ``manifest.json`` existence and skips finished
-  partitions — that is the resume contract;
+* data is written FIRST, the ``.json`` manifest LAST — the manifest is
+  the commit marker, so a reader never sees a committed marker without
+  its data. All bytes go through :mod:`parquetjs_ray.storage`
+  (``pyarrow.fs``), so artifacts work on local disks and shared object
+  stores alike (atomicity per backend documented there);
+* a rerun consults manifest existence and skips finished units — that is
+  the resume contract. Chunk bytes are DETERMINISTIC functions of the
+  data, so a racing retry overwrites with identical content;
 * the driver writes the global ``_MANIFEST.json`` (the footer analogue,
   cf. `lib/writer.js:520-569`) only after all partitions commit.
 
@@ -19,10 +23,9 @@ hash), never from task/batch ids, so retries and reruns converge.
 
 from __future__ import annotations
 
-import json
-import os
-import uuid
 import zlib
+
+from .. import storage as st
 
 __all__ = [
     "partition_done",
@@ -60,19 +63,19 @@ def decompress_chunk(chunk: bytes, manifest: dict) -> bytes:
 
 
 def _part_dir(out_dir: str, part_id: str) -> str:
-    return os.path.join(out_dir, f"part-{part_id}")
+    return st.join(out_dir, f"part-{part_id}")
 
 
 def partition_done(out_dir: str, part_id: str) -> bool:
-    return os.path.exists(os.path.join(_part_dir(out_dir, part_id), "manifest.json"))
+    return st.exists(st.join(_part_dir(out_dir, part_id), "manifest.json"))
 
 
 def write_partition(
     out_dir: str, part_id: str, chunk: bytes, manifest: dict, compression: str | None = None
 ) -> dict:
-    """Atomically write one partition; idempotent under retries.
+    """Write one partition: chunk first, manifest (commit marker) last.
 
-    Returns a flat summary row (for the manifest Dataset)."""
+    Idempotent under retries; returns a flat summary row."""
     pdir = _part_dir(out_dir, part_id)
     summary = {
         "partition": part_id,
@@ -82,7 +85,7 @@ def write_partition(
         "enc_bytes": manifest["enc_bytes"],
         "skipped": False,
     }
-    if os.path.exists(os.path.join(pdir, "manifest.json")):
+    if partition_done(out_dir, part_id):
         summary["skipped"] = True
         return summary
     manifest = dict(manifest)
@@ -90,26 +93,9 @@ def write_partition(
     manifest.update(comp_meta)
     manifest["partition"] = part_id
     manifest["checksum_crc32"] = zlib.crc32(chunk)
-    tmp = pdir + f".tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
-    with open(os.path.join(tmp, "chunk.bin"), "wb") as f:
-        f.write(chunk)
-    with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
-    try:
-        os.rename(tmp, pdir)
-    except OSError:
-        # lost the race to a concurrent retry — partition already committed
-        for fn in ("chunk.bin", "manifest.json"):
-            try:
-                os.remove(os.path.join(tmp, fn))
-            except OSError:
-                pass
-        try:
-            os.rmdir(tmp)
-        except OSError:
-            pass
-        summary["skipped"] = True
+    st.makedirs(pdir)
+    st.write_bytes_atomic(st.join(pdir, "chunk.bin"), chunk)
+    st.write_json_atomic(st.join(pdir, "manifest.json"), manifest)
     return summary
 
 
@@ -125,17 +111,13 @@ def write_global_manifest(out_dir: str, partitions: list[dict], extra: dict | No
     }
     if extra:
         doc.update(extra)
-    path = os.path.join(out_dir, "_MANIFEST.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-    os.replace(tmp, path)
+    path = st.join(out_dir, "_MANIFEST.json")
+    st.write_json_atomic(path, doc)
     return path
 
 
 def read_global_manifest(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
-        return json.load(f)
+    return st.read_json(st.join(out_dir, "_MANIFEST.json"))
 
 
 # ── fragment layout (files mode) ─────────────────────────────────────
@@ -149,15 +131,13 @@ def read_global_manifest(out_dir: str) -> dict:
 
 def fragment_done(out_dir: str, part_id: str, frag_id: str) -> bool:
     pdir = _part_dir(out_dir, part_id)
-    if os.path.exists(os.path.join(pdir, f"frag-{frag_id}.json")):
+    if st.exists(st.join(pdir, f"frag-{frag_id}.json")):
         return True
     # compaction replaces fragments with one consolidated chunk; the
     # compacted manifest remembers which fragment ids it absorbed
-    mpath = os.path.join(pdir, "manifest.json")
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            m = json.load(f)
-        return frag_id in m.get("source_fragments", ())
+    mpath = st.join(pdir, "manifest.json")
+    if st.exists(mpath):
+        return frag_id in st.read_json(mpath).get("source_fragments", ())
     return False
 
 
@@ -165,10 +145,10 @@ def write_fragment(
     out_dir: str, part_id: str, frag_id: str, chunk: bytes, manifest: dict,
     compression: str | None = None,
 ) -> dict:
-    """Atomically write one fragment; idempotent under retries/reruns."""
+    """Write one fragment: data first, ``.json`` commit marker last."""
     pdir = _part_dir(out_dir, part_id)
-    os.makedirs(pdir, exist_ok=True)
-    jpath = os.path.join(pdir, f"frag-{frag_id}.json")
+    st.makedirs(pdir)
+    jpath = st.join(pdir, f"frag-{frag_id}.json")
     summary = {
         "partition": part_id,
         "fragment": frag_id,
@@ -178,7 +158,7 @@ def write_fragment(
         "enc_bytes": manifest["enc_bytes"],
         "skipped": False,
     }
-    if os.path.exists(jpath):
+    if st.exists(jpath):
         summary["skipped"] = True
         return summary
     manifest = dict(manifest)
@@ -187,15 +167,8 @@ def write_fragment(
     manifest["partition"] = part_id
     manifest["fragment"] = frag_id
     manifest["checksum_crc32"] = zlib.crc32(chunk)
-    bpath = os.path.join(pdir, f"frag-{frag_id}.bin")
-    tmp = bpath + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "wb") as f:
-        f.write(chunk)
-    os.replace(tmp, bpath)
-    tmpj = jpath + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmpj, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmpj, jpath)  # the .json is the commit marker, written last
+    st.write_bytes_atomic(st.join(pdir, f"frag-{frag_id}.bin"), chunk)
+    st.write_json_atomic(jpath, manifest)  # commit marker, written last
     return summary
 
 
@@ -203,12 +176,9 @@ def load_fragment_summaries(out_dir: str, part_id: str) -> list[dict]:
     """Summaries of already-committed fragments (resume path)."""
     pdir = _part_dir(out_dir, part_id)
     out = []
-    if not os.path.isdir(pdir):
-        return out
-    for fn in sorted(os.listdir(pdir)):
+    for fn in st.list_names(pdir):
         if fn.startswith("frag-") and fn.endswith(".json"):
-            with open(os.path.join(pdir, fn)) as f:
-                m = json.load(f)
+            m = st.read_json(st.join(pdir, fn))
             out.append(
                 {
                     "partition": part_id,
@@ -247,10 +217,6 @@ def write_partition_manifests(
             "raw_bytes": sum(f["raw_bytes"] for f in frs),
             "enc_bytes": sum(f["enc_bytes"] for f in frs),
         }
-        path = os.path.join(_part_dir(out_dir, part_id), "manifest.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.replace(tmp, path)
+        st.write_json_atomic(st.join(_part_dir(out_dir, part_id), "manifest.json"), doc)
         part_rows.append({k: doc[k] for k in ("partition", "rows", "n_tokens", "raw_bytes", "enc_bytes")})
     return write_global_manifest(out_dir, part_rows, extra=extra)

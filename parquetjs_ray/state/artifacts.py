@@ -56,8 +56,10 @@ class EncodePlan:
 
 
 def save_plan(plan: EncodePlan, out_dir: str) -> str:
-    art = os.path.join(out_dir, "_artifacts")
-    os.makedirs(art, exist_ok=True)
+    from .. import storage as st
+
+    art = st.join(out_dir, "_artifacts")
+    st.makedirs(art)
     doc = {
         "version": plan.version,
         "source_dict": plan.source_dict,
@@ -65,17 +67,15 @@ def save_plan(plan: EncodePlan, out_dir: str) -> str:
         "fsst_symbols": [s.hex() for s in plan.fsst_symbols],
         "stats": {k: vars(v) for k, v in plan.stats.items()},
     }
-    path = os.path.join(art, "plan.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-    os.replace(tmp, path)
+    path = st.join(art, "plan.json")
+    st.write_json_atomic(path, doc)
     return path
 
 
 def load_plan(out_dir: str) -> EncodePlan:
-    with open(os.path.join(out_dir, "_artifacts", "plan.json")) as f:
-        doc = json.load(f)
+    from .. import storage as st
+
+    doc = st.read_json(st.join(out_dir, "_artifacts", "plan.json"))
     return EncodePlan(
         source_dict=doc["source_dict"],
         source_hist=doc.get("source_hist", {}),

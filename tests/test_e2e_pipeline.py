@@ -357,3 +357,25 @@ def test_row_hashes_batch_composition_independent():
     a = row_hashes(tbl)
     b = np.concatenate([row_hashes(tbl.slice(i, 1)) for i in range(6)])
     assert a.tolist() == b.tolist()
+
+
+def test_encode_decode_through_fs_uri(ray_session, tmp_path):
+    """The storage seam: whole pipeline through pyarrow.fs URIs (file://
+    here; same code path an object store would take — no bare open() on
+    chunk paths)."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.sources.synth import write_synth
+
+    indir = str(tmp_path / "in")
+    paths = write_synth(indir, 2_000, n_shards=2)
+    out_uri = "file://" + str(tmp_path / "out")
+    rep = encode_dataset(paths, out_uri, mode="files", target_rows_per_partition=500, sample_rows=2_000)
+    assert rep["rows"] == 2_000
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(out_uri))
+    assert v["equal"], v
+    # resume through the URI too: rerun skips all fragments
+    rep2 = encode_dataset(paths, out_uri, mode="files", target_rows_per_partition=500, sample_rows=2_000)
+    assert rep2["resumed_fragments"] == rep2["n_fragments"]

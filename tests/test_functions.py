@@ -297,3 +297,19 @@ def test_embedding_near_dup_exact(ray_session):
     out = embedding_near_dup_exact(rd.from_arrow(tbl), cosine_threshold=0.95)
     # exact all-pairs: exactly the planted pair, nothing else
     assert [(r["a"], r["b"]) for r in out.to_pylist()] == [(0, 5)]
+
+
+def test_decode_image_real_codec_when_pil_present():
+    """Runs only where PIL exists (production containers): the real
+    decode path must produce HxWx3 uint8 from an encoded PNG."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (8, 8), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = multimodal.decode_image(buf.getvalue())
+    assert arr.shape == (8, 8, 3)
+    assert (arr[0, 0] == [10, 20, 30]).all()

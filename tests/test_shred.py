@@ -148,3 +148,36 @@ def test_sliced_list_array_encodes_correctly():
     # sliced nullable list through the shred path too
     fulln = pa.array([[1], None, [2, 3], [4], None, [5]], pa.list_(pa.int64()))
     _assert_rt(pa.table({"l": fulln.slice(1, 4)}))
+
+
+def test_binary_payload_column_compresses():
+    # media-like compressible payloads: stored as zstd'd binary segment
+    payloads = [bytes([i % 7]) * 4096 for i in range(64)]
+    tbl = pa.table({"payload": pa.array(payloads, pa.binary())})
+    state = EncoderState(EncodePlan())
+    chunk, man = encode_table(tbl, state)
+    meta = man["columns"]["payload"]
+    assert meta["codec"] == "plain_binary_zstd", meta["codec"]
+    assert man["enc_bytes"] < 0.2 * man["raw_bytes"]
+    back = decode_chunk(chunk, man, state)
+    assert back["payload"].to_pylist() == payloads
+    # incompressible payloads stay raw (no size regression)
+    rng = np.random.default_rng(0)
+    rnd = [rng.bytes(2048) for _ in range(32)]
+    chunk2, man2 = encode_table(pa.table({"payload": pa.array(rnd, pa.binary())}), state)
+    assert man2["columns"]["payload"]["codec"] == "plain_binary"
+    assert decode_chunk(chunk2, man2, state)["payload"].to_pylist() == rnd
+
+
+def test_fsst_policy_blocks_long_strings():
+    # a long-text column must never select FSST (encode cost policy);
+    # the skipped estimate is still logged for audit
+    from parquetjs_ray.state.artifacts import ColumnStats, EncodePlan as EP
+
+    plan = EP(fsst_symbols=[b"ab", b"cd"], stats={"text": ColumnStats(avg_len=900.0, fsst_ratio=0.4)})
+    state = EncoderState(plan)
+    texts = ["x" * 900 for _ in range(50)]
+    chunk, man = encode_table(pa.table({"text": pa.array(texts)}), state)
+    meta = man["columns"]["text"]
+    assert meta["codec"] != "fsst"
+    assert "fsst_blocked_by_len_policy" in meta["estimates"]

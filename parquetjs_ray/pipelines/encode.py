@@ -151,9 +151,20 @@ def _content_part_id(batch: pa.Table, id_col: str = "doc_id") -> str:
     return h.hexdigest()[:16]
 
 
+def _fingerprint_into(manifest: dict, batch: pa.Table) -> None:
+    """Record the batch's multiset row fingerprint in the manifest —
+    decode-time verification then needs NO re-scan of the original
+    corpus (the parquet column-statistics idea applied to row content)."""
+    from .verify import row_hashes
+
+    h = row_hashes(batch)
+    manifest["fp_rows"] = int(len(h))
+    manifest["fp_hash_sum"] = int(h.sum(dtype="uint64"))
+
+
 def _encode_and_write(
     batch: pa.Table, part_id: str, state: EncoderState, out_dir: str,
-    compression: str | None = None,
+    compression: str | None = None, row_fingerprint: bool = False,
 ) -> dict:
     if partition_done(out_dir, part_id):  # resume: skip finished partitions
         m = st.read_json(st.join(out_dir, f"part-{part_id}", "manifest.json"))
@@ -166,22 +177,26 @@ def _encode_and_write(
             "skipped": True,
         }
     chunk, manifest = encode_table(batch, state)
+    if row_fingerprint:
+        _fingerprint_into(manifest, batch)
     return write_partition(out_dir, part_id, chunk, manifest, compression=compression)
 
 
 class EncoderActor:
     """Actor-pool stage for sharded mode: plan fetched once per actor."""
 
-    def __init__(self, plan_ref, out_dir: str, id_col: str = "doc_id", compression: str | None = None):
+    def __init__(self, plan_ref, out_dir: str, id_col: str = "doc_id", compression: str | None = None,
+                 row_fingerprint: bool = False):
         self.state = EncoderState(ray.get(plan_ref))
         self.out_dir = out_dir
         self.id_col = id_col
         self.compression = compression
+        self.row_fingerprint = row_fingerprint
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         row = _encode_and_write(
             batch, _content_part_id(batch, self.id_col), self.state, self.out_dir,
-            compression=self.compression,
+            compression=self.compression, row_fingerprint=self.row_fingerprint,
         )
         return pa.Table.from_pylist([row])
 
@@ -214,7 +229,7 @@ _MAX_ROWGROUPS_PER_UNIT = 8  # bound per-task memory: never read a whole big fil
 def _encode_one_file(
     path: str, file_idx: int, plan_ref, salt_per_source: dict[str, int], out_dir: str,
     id_col: str = "doc_id", source_col: str | None = "source",
-    compression: str | None = None,
+    compression: str | None = None, row_fingerprint: bool = False,
 ) -> list[dict]:
     """files-mode task body: stream one input file ROW-GROUP-wise, split
     each unit by salted key, write fragments ``(key, file_idx, rg_range)``.
@@ -235,7 +250,10 @@ def _encode_one_file(
         for key, sub in split_by_key(stamped):
             if fragment_done(out_dir, key, frag_id):
                 continue  # summary recovered from disk by the resume sweep
-            chunk, manifest = encode_table(sub.drop_columns(["__part"]).combine_chunks(), state)
+            stored = sub.drop_columns(["__part"]).combine_chunks()
+            chunk, manifest = encode_table(stored, state)
+            if row_fingerprint:
+                _fingerprint_into(manifest, stored)
             ids = sub.column(id_col)
             # per-fragment id min/max: the parquet row-group-stats analogue,
             # drives fragment pruning in decode_dataset(id_range=...)
@@ -262,6 +280,7 @@ def _run_files_mode(
     paths: list[str], out_dir: str, plan_ref, salt_per_source: dict[str, int],
     *, id_col: str = "doc_id", source_col: str | None = "source",
     compression: str | None = None, user_metadata: dict | None = None,
+    row_fingerprint: bool = False,
 ) -> dict:
     """files mode: one task per input file, NO data shuffle.
 
@@ -282,6 +301,7 @@ def _run_files_mode(
                 _encode_one_file(
                     path, int(fidx), plan_ref, salt_per_source, out_dir,
                     id_col=id_col, source_col=source_col, compression=compression,
+                    row_fingerprint=row_fingerprint,
                 )
             )
         return pa.Table.from_pylist(rows, schema=_SUMMARY_SCHEMA)
@@ -387,8 +407,15 @@ def encode_dataset(
     source_col: str | None = "source",
     compression: str | None = None,
     user_metadata: dict | None = None,
+    row_fingerprint: bool = False,
 ) -> dict:
     """Run the full encode pipeline; returns the report (totals + ratios).
+
+    ``row_fingerprint=True`` additionally records each unit's multiset
+    row fingerprint (count + 64-bit hash sum) in its manifest, enabling
+    :func:`parquetjs_ray.pipelines.verify.verify_artifact` to check a
+    decode against the artifact itself — no re-scan of the original
+    corpus at verification time.
 
     ``compression`` applies a general-purpose codec (zstd/gzip/snappy/
     lz4/brotli) over each chunk AFTER the lightweight codecs — the
@@ -411,6 +438,8 @@ def encode_dataset(
                 dict_columns=(source_col,) if source_col else (),
             )
             save_plan(plan, out_dir)
+    elif not st.exists(st.join(out_dir, "_artifacts", "plan.json")):
+        save_plan(plan, out_dir)  # caller-supplied plan: persist for decode/resume
     plan_ref = ray.put(plan)
 
     # size salts from the sampled source histogram + exact total row count
@@ -436,7 +465,7 @@ def encode_dataset(
     if mode == "files":
         return _run_files_mode(
             paths, out_dir, plan_ref, salt_per_source, id_col=id_col, source_col=source_col,
-            compression=compression, user_metadata=user_metadata,
+            compression=compression, user_metadata=user_metadata, row_fingerprint=row_fingerprint,
         )
 
     ds = rd.read_parquet(paths)
@@ -452,7 +481,7 @@ def encode_dataset(
             state = _get_state(plan_ref)
             row = _encode_and_write(
                 group.drop_columns(["__part"]), part_id, state, out_dir_local,
-                compression=compression,
+                compression=compression, row_fingerprint=row_fingerprint,
             )
             return pa.Table.from_pylist([row])
 
@@ -470,7 +499,7 @@ def encode_dataset(
             concurrency=concurrency or (2, 8),
             fn_constructor_kwargs={
                 "plan_ref": plan_ref, "out_dir": out_dir, "id_col": id_col,
-                "compression": compression,
+                "compression": compression, "row_fingerprint": row_fingerprint,
             },
         )
     else:

@@ -20,7 +20,7 @@ import ray.data as rd
 
 from ..arrow_util import list_buffers, string_buffers
 
-__all__ = ["row_hashes", "dataset_fingerprint", "verify_roundtrip"]
+__all__ = ["row_hashes", "dataset_fingerprint", "verify_roundtrip", "verify_artifact"]
 
 _U = np.uint64
 
@@ -177,6 +177,49 @@ def dataset_fingerprint(ds: rd.Dataset, columns: list[str] | None = None) -> tup
     for p in parts:
         hsum = (hsum + int(p["hash_sum"])) % (1 << 64)
     return count, hsum
+
+
+def verify_artifact(out_dir: str) -> dict:
+    """Verify a decode against fingerprints STORED in the artifact
+    (``encode_dataset(..., row_fingerprint=True)``): sums the per-unit
+    (count, hash-sum) partials from the manifests, fingerprints one
+    decode stream, compares. No re-scan of the original corpus — the
+    scale-correct verification shape (checks cost one decode pass).
+    """
+    from .. import storage as st
+    from .encode import decode_dataset
+    from ..stages.writer import read_global_manifest
+
+    gm = read_global_manifest(out_dir)
+    want_rows = 0
+    want_hash = 0
+    missing = 0
+    for p in gm["partitions"]:
+        pdir = st.join(out_dir, f"part-{p['partition']}")
+        pm = st.read_json(st.join(pdir, "manifest.json"))
+        units = (
+            [st.read_json(st.join(pdir, f"frag-{fr}.json")) for fr in pm["fragments"]]
+            if "fragments" in pm
+            else [pm]
+        )
+        for um in units:
+            if "fp_rows" not in um:
+                missing += 1
+                continue
+            want_rows += int(um["fp_rows"])
+            want_hash = (want_hash + int(um["fp_hash_sum"])) % (1 << 64)
+    if missing:
+        raise ValueError(
+            f"{missing} units lack stored fingerprints — encode with row_fingerprint=True"
+        )
+    got_rows, got_hash = dataset_fingerprint(decode_dataset(out_dir))
+    return {
+        "rows_expected": want_rows,
+        "rows_decoded": got_rows,
+        "hash_expected": want_hash,
+        "hash_decoded": got_hash,
+        "equal": (want_rows == got_rows) and (want_hash == got_hash),
+    }
 
 
 def verify_roundtrip(original: rd.Dataset, decoded: rd.Dataset) -> dict:

@@ -133,7 +133,29 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
     elif pa.types.is_floating(t):
         type_name = "DOUBLE" if t.bit_width == 64 else "FLOAT"
         vals = arr.to_numpy(zero_copy_only=False)
-        meta.update(codec="plain_num", num_type=type_name, segments={"data": cb.add_segment(plain.encode_numeric(vals, type_name))})
+        raw = plain.encode_numeric(vals, type_name)
+        # per-chunk float codec selection: PLAIN vs zstd(raw) vs
+        # byte-stream-split+zstd (the Parquet BYTE_STREAM_SPLIT idea:
+        # group the i-th byte of every value into one stream — exponent/
+        # sign bytes of similar-magnitude floats become repetitive, and
+        # low-precision values leave runs of zero mantissa bytes).
+        # Whichever is smallest wins, with a 10% margin over PLAIN.
+        itemsize = t.bit_width // 8
+        candidates: dict[str, bytes] = {}
+        if len(vals):
+            split = np.frombuffer(raw, dtype=np.uint8).reshape(-1, itemsize).T.copy().tobytes()
+            candidates["bss_zstd"] = pa.Codec("zstd").compress(split, asbytes=True)
+            candidates["num_zstd"] = pa.Codec("zstd").compress(raw, asbytes=True)
+        best = min(candidates, key=lambda k: len(candidates[k])) if candidates else None
+        if best is not None and len(candidates[best]) < 0.9 * len(raw):
+            meta.update(
+                codec=best,
+                num_type=type_name,
+                uncompressed_size=len(raw),
+                segments={"data": cb.add_segment(candidates[best])},
+            )
+        else:
+            meta.update(codec="plain_num", num_type=type_name, segments={"data": cb.add_segment(raw)})
     else:
         raise TypeError(f"unsupported Arrow type {t}")
     meta["leaf_count"] = len(arr)
@@ -199,6 +221,15 @@ def decode_any(chunk: memoryview, meta: dict, state: EncoderState) -> pa.Array:
             dense = dense.cast(t)
     elif codec == "plain_num":
         vals = plain.decode_numeric(bytes(_segment(chunk, meta["segments"]["data"])), meta["num_type"])
+        dense = pa.array(vals[:m], type=t)
+    elif codec in ("bss_zstd", "num_zstd"):
+        raw = pa.Codec("zstd").decompress(
+            bytes(_segment(chunk, meta["segments"]["data"])), meta["uncompressed_size"], asbytes=True
+        )
+        if codec == "bss_zstd":
+            itemsize = 8 if meta["num_type"] == "DOUBLE" else 4
+            raw = np.frombuffer(raw, dtype=np.uint8).reshape(itemsize, -1).T.copy().tobytes()
+        vals = plain.decode_numeric(raw, meta["num_type"])
         dense = pa.array(vals[:m], type=t)
     else:
         raise ValueError(f"unknown codec {codec}")

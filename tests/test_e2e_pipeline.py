@@ -379,3 +379,32 @@ def test_encode_decode_through_fs_uri(ray_session, tmp_path):
     # resume through the URI too: rerun skips all fragments
     rep2 = encode_dataset(paths, out_uri, mode="files", target_rows_per_partition=500, sample_rows=2_000)
     assert rep2["resumed_fragments"] == rep2["n_fragments"]
+
+
+def test_verify_artifact_from_stored_fingerprints(ray_session, tmp_path):
+    """encode(row_fingerprint=True) -> verify_artifact checks the decode
+    against manifest-stored fingerprints with NO original re-scan."""
+    from parquetjs_ray.pipelines.encode import encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_artifact
+    from parquetjs_ray.sources.synth import write_synth
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 2_000, n_shards=2)
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=500, sample_rows=2_000,
+        row_fingerprint=True,
+    )
+    v = verify_artifact(outdir)
+    assert v["equal"], v
+    assert v["rows_expected"] == 2_000
+    # corrupt one fragment -> checksum mismatch surfaces on decode
+    import glob
+
+    frag = sorted(glob.glob(str(tmp_path / "out" / "part-*" / "frag-*.bin")))[0]
+    raw = bytearray(open(frag, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(frag, "wb").write(bytes(raw))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        verify_artifact(outdir)

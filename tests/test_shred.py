@@ -181,3 +181,36 @@ def test_fsst_policy_blocks_long_strings():
     meta = man["columns"]["text"]
     assert meta["codec"] != "fsst"
     assert "fsst_blocked_by_len_policy" in meta["estimates"]
+
+
+def test_byte_stream_split_floats():
+    # low-precision floats (quantized metrics): byte-stream-split + zstd
+    # must win and round-trip bit-exactly (incl. float32)
+    rng = np.random.default_rng(0)
+    vals = (rng.integers(0, 1000, 20000) / 8.0).astype(np.float32)
+    tbl = pa.table({"f": pa.array(vals, pa.float32())})
+    state = EncoderState(EncodePlan())
+    chunk, man = encode_table(tbl, state)
+    meta = man["columns"]["f"]
+    assert meta["codec"] in ("bss_zstd", "num_zstd"), meta["codec"]
+    assert man["enc_bytes"] < 0.6 * man["raw_bytes"]
+    back = decode_chunk(chunk, man, state)
+    assert back["f"].to_pylist() == tbl["f"].to_pylist()
+    # doubles too, and special values survive bit-exactly
+    special = [0.0, -0.0, float("inf"), float("-inf"), 1e-300, -1e300] * 100
+    t2 = pa.table({"d": pa.array(special, pa.float64())})
+    c2, m2 = encode_table(t2, state)
+    b2 = decode_chunk(c2, m2, state)
+    import math
+    for got, want in zip(b2["d"].to_pylist(), special):
+        assert got == want or (math.isnan(want) and math.isnan(got))
+
+
+def test_json_logical_type_as_string_column():
+    # the reference's JSON logical type maps JSON.stringify -> BYTE_ARRAY
+    # (lib/types.js:280-287); Arrow-side that is exactly a string column,
+    # claimed explicitly here: JSON payloads round-trip byte-exact
+    import json as _json
+
+    docs = [_json.dumps({"k": i, "tags": ["a", "b"], "nested": {"x": i / 2}}) for i in range(200)]
+    _assert_rt(pa.table({"meta_json": pa.array(docs, pa.string())}))

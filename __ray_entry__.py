@@ -380,6 +380,115 @@ def q_ann_topk_ivf(sf_dir: str):
     return out.select(["query_id", "rank", "vec_id"])
 
 
+def q_events_asof_order(sf_dir: str):
+    """As-of join: for each event, the user's most recent order at event
+    time (backward as-of; ties on order date broken by max o_orderkey)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    out = asof_join(
+        ev, orders,
+        by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
+
+
+def q_events_range_count(sf_dir: str):
+    """Interval self-join: events of the same user within the preceding
+    5 minutes (inclusive; each event counts itself)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import range_join_count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"])
+    return range_join_count(
+        ev, by="user_id", on="ts", lo_off_us=-300_000_000, hi_off_us=0, id_col="event_id"
+    )
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Join chain orders → customer → nation via one merged broadcast map
+    (dimensions merged driver-side, ray.put once, pc.index_in lookup)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    import numpy as np
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy()
+    names = nat["n_name"].to_pylist()
+    lookup = {int(k): names[i] for i, k in enumerate(nk)}
+    ckeys = cust["c_custkey"].combine_chunks()
+    cnames = pa.array([lookup[int(x)] for x in cust["c_nationkey"].to_numpy()], pa.string())
+    dim_ref = ray.put(pa.table({"k": ckeys, "n_name": cnames}).combine_chunks())
+    key = dim_ref.hex()
+
+    def join(batch: pa.Table) -> pa.Table:
+        cached = _DIM_CACHE.get(key)
+        if cached is None:
+            t = ray.get(dim_ref)
+            cached = (t.column("k").chunk(0), t.column("n_name").chunk(0))
+            _DIM_CACHE[key] = cached
+        keys_arr, names_arr = cached
+        pos = pc.index_in(batch["o_custkey"], value_set=keys_arr)
+        cents = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"n_name": pc.take(names_arr, pos), "cents": pa.array(cents)})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+    )
+
+
+def q_parts_by_type(sf_dir: str):
+    """lineitem → part broadcast join, grouped by part type."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]).combine_chunks()
+    dim_ref = ray.put(part)
+    key = dim_ref.hex()
+
+    def join(batch: pa.Table) -> pa.Table:
+        cached = _DIM_CACHE.get(key)
+        if cached is None:
+            t = ray.get(dim_ref)
+            cached = (t.column("p_partkey").chunk(0), t.column("p_type").chunk(0))
+            _DIM_CACHE[key] = cached
+        keys_arr, types_arr = cached
+        pos = pc.index_in(batch["l_partkey"], value_set=keys_arr)
+        return pa.table(
+            {
+                "p_type": pc.take(types_arr, pos),
+                "qty": batch["l_quantity"].cast(pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_quantity"])
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="total_qty"))
+    )
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -416,6 +525,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "events_asof_order": q_events_asof_order,
+        "events_range_count": q_events_range_count,
+        "orders_by_nation": q_orders_by_nation,
+        "parts_by_type": q_parts_by_type,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -512,6 +625,29 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "events_asof_order": (
+            "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "
+            "(SELECT o.o_orderkey FROM orders o "
+            "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey "
+            "FROM events e"
+        ),
+        "events_range_count": (
+            "SELECT a.event_id, count(*) AS n_in_range FROM events a JOIN events b "
+            "ON a.user_id = b.user_id "
+            "AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 300000000 AND epoch_us(a.ts) "
+            "GROUP BY a.event_id"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n_name"
+        ),
+        "parts_by_type": (
+            "SELECT p_type, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p_type"
         ),
     }
 

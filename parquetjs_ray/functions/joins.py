@@ -1,0 +1,153 @@
+"""Distributed time-series joins Ray Data lacks natively.
+
+Both operators use the engine's cogroup shape — ``union + groupby(by)``
+(a repartition-join over the stable groupby operator) — and do the
+per-group work fully vectorized with numpy ``searchsorted`` over sorted
+timestamps. Shuffle volume is the projected join columns only, never
+whole tables; the partitioning assumption is that one group (one ``by``
+key's rows on both sides) fits a worker — the same per-user bound the
+session-window operator relies on.
+
+* :func:`asof_join` — for each left row, the LAST right row of the same
+  ``by`` key with time ≤ the left time (backward as-of), deterministic
+  tie-break on a caller-named column.
+* :func:`range_join_count` — for each row, how many same-key rows fall
+  in ``[t + lo_off, t + hi_off]`` (inclusive); the count form of an
+  interval self-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+__all__ = ["asof_join", "range_join_count"]
+
+
+def _as_epoch_i64(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_timestamp(arr.type):
+        return arr.cast(pa.int64())
+    return arr.cast(pa.int64())
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_by: str | None = None,
+    tiebreak: str | None = None,
+) -> rd.Dataset:
+    """Backward as-of join → left_cols + by + ``left_on`` (as epoch-us
+    int64, named ``<left_on>_us``) + right_cols (null when the key has no
+    right row at or before the left time).
+
+    Ties on the right time are broken by the greatest ``tiebreak``
+    column value (default: the first of ``right_cols``) so the result is
+    deterministic and SQL-reproducible."""
+    tb = tiebreak or right_cols[0]
+    rby = right_by or by
+    lschema = left.schema()
+    rschema = right.schema()
+    lmap = dict(zip(lschema.names, lschema.types))
+    rmap = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: lmap[n] for n in left_cols}
+    rtypes = {n: rmap[n] for n in right_cols + [tb]}
+    time_col = f"{left_on}_us"
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"__by": b[by].cast(pa.int64()), "__t": _as_epoch_i64(b[left_on]), "__side": pa.array(np.zeros(n, np.int8))}
+        for c in left_cols:
+            cols[f"l_{c}"] = b[c]
+        for c in rtypes:
+            cols[f"r_{c}"] = pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"__by": b[rby].cast(pa.int64()), "__t": _as_epoch_i64(b[right_on]), "__side": pa.array(np.ones(n, np.int8))}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(n, ltypes[c])
+        for c in rtypes:
+            cols[f"r_{c}"] = b[c]
+        return pa.table(cols)
+
+    out_fields = [(c, ltypes[c]) for c in left_cols] + [(by, pa.int64()), (time_col, pa.int64())]
+    out_fields += [(c, rtypes[c]) for c in right_cols]
+    empty = pa.table({n: pa.array([], t) for n, t in out_fields})
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        lsel = np.flatnonzero(side == 0)
+        if not len(lsel):
+            return empty
+        lt = group["__t"].to_numpy(zero_copy_only=False)[lsel]
+        rsel = np.flatnonzero(side == 1)
+        cols: dict[str, pa.Array] = {}
+        lidx = pa.array(lsel)
+        for c in left_cols:
+            cols[c] = pc.take(group[f"l_{c}"], lidx)
+        cols[by] = pc.take(group["__by"], lidx)
+        cols[time_col] = pa.array(lt, pa.int64())
+        if len(rsel):
+            rt = group["__t"].to_numpy(zero_copy_only=False)[rsel]
+            # take first: the right-row slice has no nulls, so numpy keeps
+            # the integer dtype (a raw to_numpy on the nullable column
+            # would degrade to float64)
+            rtb = pc.take(group[f"r_{tb}"], pa.array(rsel)).to_numpy(zero_copy_only=False)
+            order = np.lexsort((rtb, rt))  # time asc, tiebreak asc
+            rt_sorted = rt[order]
+            pos = np.searchsorted(rt_sorted, lt, side="right") - 1
+            have = pos >= 0
+            take_idx = np.where(have, rsel[order[np.maximum(pos, 0)]], -1)
+            mask = pa.array(have)
+            for c in right_cols:
+                taken = pc.take(group[f"r_{c}"], pa.array(np.maximum(take_idx, 0)))
+                cols[c] = pc.if_else(mask, taken, pa.scalar(None, rtypes[c]))
+        else:
+            for c in right_cols:
+                cols[c] = pa.nulls(len(lsel), rtypes[c])
+        return pa.table(cols)
+
+    unioned = left.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(right_rows, batch_format="pyarrow")
+    )
+    return unioned.groupby("__by").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join_count(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    on: str,
+    lo_off_us: int,
+    hi_off_us: int,
+    id_col: str,
+) -> rd.Dataset:
+    """Per-row count of same-``by`` rows whose time lies in
+    ``[t + lo_off_us, t + hi_off_us]`` (inclusive; a row counts itself
+    when 0 is inside the window) → (id_col, n_in_range)."""
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"__by": b[by].cast(pa.int64()), "__t": _as_epoch_i64(b[on]), id_col: b[id_col]})
+
+    def count(group: pa.Table) -> pa.Table:
+        t = group["__t"].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        ts = t[order]
+        lo = np.searchsorted(ts, t + lo_off_us, side="left")
+        hi = np.searchsorted(ts, t + hi_off_us, side="right")
+        return pa.table({id_col: group[id_col], "n_in_range": pa.array((hi - lo).astype(np.int64))})
+
+    return ds.map_batches(project, batch_format="pyarrow").groupby("__by").map_groups(
+        count, batch_format="pyarrow"
+    )

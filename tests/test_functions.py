@@ -313,3 +313,57 @@ def test_decode_image_real_codec_when_pil_present():
     arr = multimodal.decode_image(buf.getvalue())
     assert arr.shape == (8, 8, 3)
     assert (arr[0, 0] == [10, 20, 30]).all()
+
+
+def test_asof_join(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], pa.int64()),
+            "t": pa.array([100, 5, 50, 10], pa.int64()),
+            "lid": pa.array([10, 11, 12, 13], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "rt": pa.array([10, 50, 50, 60], pa.int64()),
+            "val": pa.array([7, 8, 9, 5], pa.int64()),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        by="k", left_on="t", right_on="rt",
+        left_cols=["lid"], right_cols=["val"], tiebreak="val",
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    # lid=10 (k=1,t=100): last rt<=100 is 50, tie -> max val = 9
+    # lid=11 (k=1,t=5): no rt<=5 -> null
+    # lid=12 (k=2,t=50): no rt<=50 (rt=60) -> null
+    # lid=13 (k=3): key has no right rows -> null
+    import math
+
+    vals = out["val"].tolist()
+    assert vals[0] == 9
+    assert all(v is None or (isinstance(v, float) and math.isnan(v)) for v in vals[1:])
+
+
+def test_range_join_count(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import range_join_count
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "t": pa.array([0, 4, 11, 0], pa.int64()),
+            "eid": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = range_join_count(
+        rd.from_arrow(tbl), by="k", on="t", lo_off_us=-5, hi_off_us=0, id_col="eid"
+    ).to_pandas().sort_values("eid")
+    # eid1: window [-5,0] -> itself; eid2: [−1,4] -> t=0,4 -> 2; eid3: [6,11] -> itself
+    assert out["n_in_range"].tolist() == [1, 2, 1, 1]

@@ -489,6 +489,58 @@ def q_parts_by_type(sf_dir: str):
     )
 
 
+def q_source_quantiles(sf_dir: str):
+    """Exact per-source discrete quantiles of doc length — distributed
+    via groupby().map_groups (one source's lengths bound a group, the
+    same per-key assumption as session windows)."""
+    import numpy as np
+
+    def qtile(group: pa.Table) -> pa.Table:
+        v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False))
+        # quantile_disc semantics: element at ceil(q*n)-1 (1-based)
+        def disc(q: float) -> int:
+            return int(v[max(0, int(np.ceil(q * len(v))) - 1)])
+
+        return pa.table(
+            {
+                "source": pa.array([group["source"][0].as_py()]),
+                "p50": pa.array([disc(0.5)], pa.int64()),
+                "p90": pa.array([disc(0.9)], pa.int64()),
+                "p99": pa.array([disc(0.99)], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["source", "n_chars"])
+        .groupby("source")
+        .map_groups(qtile, batch_format="pyarrow")
+    )
+
+
+def q_top_words(sf_dir: str):
+    """Word-count top-20 (flat_map + combiner + groupby sum + sort),
+    deterministic tie-break on the word itself."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def split_count(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        t = pa.table({"word": words})
+        # combiner: per-batch partial counts before the shuffle
+        return t.group_by(["word"]).aggregate([([], "count_all")])
+
+    counts = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(split_count, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -529,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_count": q_events_range_count,
         "orders_by_nation": q_orders_by_nation,
         "parts_by_type": q_parts_by_type,
+        "source_quantiles": q_source_quantiles,
+        "top_words": q_top_words,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -648,6 +702,16 @@ def oracle_sql() -> dict[str, str]:
         "parts_by_type": (
             "SELECT p_type, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
             "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p_type"
+        ),
+        "source_quantiles": (
+            "SELECT source, quantile_disc(n_chars, 0.5) AS p50, "
+            "quantile_disc(n_chars, 0.9) AS p90, quantile_disc(n_chars, 0.99) AS p99 "
+            "FROM documents GROUP BY source"
+        ),
+        "top_words": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            "GROUP BY word ORDER BY n DESC, word LIMIT 20"
         ),
     }
 

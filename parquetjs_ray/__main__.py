@@ -5,7 +5,8 @@ calls ray.init; see __ray_entry__ contract).
 
     python -m parquetjs_ray encode  IN_DIR OUT_DIR [--mode files] [--compression zstd]
     python -m parquetjs_ray decode  OUT_DIR DEST_PARQUET_DIR [--columns a,b]
-    python -m parquetjs_ray verify  IN_DIR OUT_DIR
+    python -m parquetjs_ray verify  IN_DIR OUT_DIR          # vs the original
+    python -m parquetjs_ray verify --artifact OUT_DIR        # vs stored fingerprints
     python -m parquetjs_ray info    OUT_DIR
     python -m parquetjs_ray compact OUT_DIR
 """
@@ -40,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--target-rows", type=int, default=16_384)
     pe.add_argument("--id-col", default="doc_id")
     pe.add_argument("--source-col", default="source")
+    pe.add_argument("--row-fingerprint", action="store_true",
+                    help="record per-unit row fingerprints for artifact self-verification")
 
     pd = sub.add_parser("decode")
     pd.add_argument("out_dir")
@@ -47,8 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--columns", default=None)
 
     pv = sub.add_parser("verify")
-    pv.add_argument("input")
-    pv.add_argument("out_dir")
+    pv.add_argument("input", nargs="?")
+    pv.add_argument("out_dir", nargs="?")
+    pv.add_argument("--artifact", default=None, metavar="OUT_DIR",
+                    help="verify against fingerprints stored in the artifact (no original scan)")
 
     pi = sub.add_parser("info")
     pi.add_argument("out_dir")
@@ -71,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
                 target_rows_per_partition=args.target_rows,
                 id_col=args.id_col,
                 source_col=args.source_col or None,
+                row_fingerprint=args.row_fingerprint,
             )
             print(json.dumps(report))
         elif args.cmd == "decode":
@@ -78,9 +84,17 @@ def main(argv: list[str] | None = None) -> int:
             decode_dataset(args.out_dir, columns=cols).write_parquet(args.dest)
             print(json.dumps({"dest": args.dest}))
         elif args.cmd == "verify":
-            import ray.data as rd
+            if args.artifact:
+                from .pipelines.verify import verify_artifact
 
-            v = verify_roundtrip(rd.read_parquet(args.input), decode_dataset(args.out_dir))
+                v = verify_artifact(args.artifact)
+            else:
+                import ray.data as rd
+
+                if not (args.input and args.out_dir):
+                    print("verify needs IN_DIR OUT_DIR, or --artifact OUT_DIR", file=sys.stderr)
+                    return 2
+                v = verify_roundtrip(rd.read_parquet(args.input), decode_dataset(args.out_dir))
             print(json.dumps(v))
             return 0 if v["equal"] else 2
         elif args.cmd == "info":

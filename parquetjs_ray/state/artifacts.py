@@ -23,7 +23,7 @@ from ..codecs.fsst import FsstTable
 
 __all__ = ["ColumnStats", "EncodePlan", "save_plan", "load_plan"]
 
-FORMAT_VERSION = 2  # v2: pfor codec, list_int sub-streams, fragments
+FORMAT_VERSION = 3  # v3: bss/num_zstd floats, zstd binary payloads, fp_* manifest keys (v2 artifacts remain readable)
 
 
 @dataclass

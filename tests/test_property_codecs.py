@@ -57,3 +57,64 @@ def test_plain_byte_array_roundtrip(values):
     out_data, out_offsets = plain.decode_byte_array(buf, len(values))
     assert out_data == data
     assert out_offsets.tolist() == offsets.tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=False, width=32)), max_size=80
+    )
+)
+def test_float_chunk_roundtrip_any_codec(values):
+    # exercises plain_num / num_zstd / bss_zstd selection under nulls
+    import pyarrow as pa
+
+    from parquetjs_ray.stages.decoder import decode_chunk
+    from parquetjs_ray.stages.encoder import EncoderState, encode_table
+    from parquetjs_ray.state.artifacts import EncodePlan
+
+    tbl = pa.table({"f": pa.array(values, pa.float32())})
+    state = EncoderState(EncodePlan())
+    chunk, man = encode_table(tbl, state)
+    back = decode_chunk(chunk, man, state)
+    assert back["f"].to_pylist() == tbl["f"].to_pylist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=120)), max_size=60))
+def test_binary_chunk_roundtrip_any_codec(values):
+    # exercises plain_binary / plain_binary_zstd under nulls
+    import pyarrow as pa
+
+    from parquetjs_ray.stages.decoder import decode_chunk
+    from parquetjs_ray.stages.encoder import EncoderState, encode_table
+    from parquetjs_ray.state.artifacts import EncodePlan
+
+    tbl = pa.table({"b": pa.array(values, pa.binary())})
+    state = EncoderState(EncodePlan())
+    chunk, man = encode_table(tbl, state)
+    back = decode_chunk(chunk, man, state)
+    assert back["b"].to_pylist() == tbl["b"].to_pylist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from(["int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"]),
+    st.data(),
+)
+def test_integer_dtype_property_roundtrip(dtype_name, data):
+    import pyarrow as pa
+
+    from parquetjs_ray.stages.decoder import decode_chunk
+    from parquetjs_ray.stages.encoder import EncoderState, encode_table
+    from parquetjs_ray.state.artifacts import EncodePlan
+
+    info = np.iinfo(np.dtype(dtype_name))
+    values = data.draw(
+        st.lists(st.integers(int(info.min), int(info.max)), min_size=1, max_size=200)
+    )
+    tbl = pa.table({"c": pa.array(values, getattr(pa, dtype_name)())})
+    state = EncoderState(EncodePlan())
+    chunk, man = encode_table(tbl, state)
+    back = decode_chunk(chunk, man, state)
+    assert back["c"].to_pylist() == values

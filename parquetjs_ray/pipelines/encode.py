@@ -536,6 +536,8 @@ def _decode_state(out_dir: str) -> EncoderState:
 
 
 def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = None) -> pa.Table:
+    from ..stages.decoder import SparseChunk, collect_segment_ranges
+
     state = _decode_state(out_dir)
     tables = []
     for part_id, frag_id in zip(
@@ -544,20 +546,31 @@ def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = Non
         pdir = st.join(out_dir, f"part-{part_id}")
         if frag_id:  # files mode: one chunk per fragment
             fm = st.read_json(st.join(pdir, f"frag-{frag_id}.json"))
-            chunk = st.read_bytes(st.join(pdir, f"frag-{frag_id}.bin"))
+            bin_path = st.join(pdir, f"frag-{frag_id}.bin")
         else:  # grouped/sharded: single chunk per partition
             fm = st.read_json(st.join(pdir, "manifest.json"))
-            chunk = st.read_bytes(st.join(pdir, "chunk.bin"))
-        import zlib
-
-        if fm.get("checksum_crc32") is not None and zlib.crc32(chunk) != fm["checksum_crc32"]:
-            raise IOError(
-                f"checksum mismatch in part-{part_id} frag-{frag_id or '<chunk>'}: corrupt artifact"
-            )
-        chunk = decompress_chunk(chunk, fm)
+            bin_path = st.join(pdir, "chunk.bin")
         if columns:  # projection pushdown: decode only requested columns
             fm = dict(fm)
             fm["columns"] = {k: v for k, v in fm["columns"].items() if k in columns}
+        if columns and not fm.get("compression"):
+            # push the projection into STORAGE: read only the projected
+            # columns' segment byte ranges (ranged GETs on object stores).
+            # The whole-chunk crc32 can't be checked on a partial read;
+            # per-stream structure still validates on decode.
+            ranges = []
+            for meta in fm["columns"].values():
+                ranges.extend(collect_segment_ranges(meta))
+            chunk = SparseChunk(ranges, st.read_ranges(bin_path, ranges))
+        else:
+            raw = st.read_bytes(bin_path)
+            import zlib
+
+            if fm.get("checksum_crc32") is not None and zlib.crc32(raw) != fm["checksum_crc32"]:
+                raise IOError(
+                    f"checksum mismatch in part-{part_id} frag-{frag_id or '<chunk>'}: corrupt artifact"
+                )
+            chunk = decompress_chunk(raw, fm)
         tables.append(decode_chunk(chunk, fm, state))
     return pa.concat_tables(tables)
 

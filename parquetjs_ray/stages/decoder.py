@@ -33,7 +33,43 @@ _INT_TYPES = {
 }
 
 
-def _segment(chunk: memoryview, seg: list[int]) -> memoryview:
+class SparseChunk:
+    """Chunk stand-in holding only SELECTED byte ranges (projection
+    pushdown all the way to storage: un-requested column segments are
+    never read). Supports exactly the slice accesses `_segment` makes."""
+
+    def __init__(self, ranges: list[tuple[int, int]], blobs: list[bytes]):
+        self._ranges = sorted(zip((r[0] for r in ranges), (r[1] for r in ranges), blobs))
+
+    def __getitem__(self, sl: slice) -> memoryview:
+        lo, hi = sl.start or 0, sl.stop
+        for off, ln, blob in self._ranges:
+            if off <= lo and hi <= off + ln:
+                return memoryview(blob)[lo - off : hi - off]
+        raise KeyError(f"byte range [{lo}, {hi}) was not loaded into this SparseChunk")
+
+
+def collect_segment_ranges(meta: dict) -> list[tuple[int, int]]:
+    """All (offset, length) byte ranges a column's decode will touch
+    (recursive over validity / lens / values / child / fields)."""
+    out: list[tuple[int, int]] = []
+
+    def walk(m: dict) -> None:
+        for seg in m.get("segments", {}).values():
+            out.append((int(seg[0]), int(seg[1])))
+        if "validity" in m:
+            out.append((int(m["validity"][0]), int(m["validity"][1])))
+        for sub in ("lens", "values", "child"):
+            if isinstance(m.get(sub), dict):
+                walk(m[sub])
+        for f in m.get("fields", {}).values():
+            walk(f)
+
+    walk(meta)
+    return out
+
+
+def _segment(chunk, seg: list[int]):
     off, ln = seg
     return chunk[off : off + ln]
 
@@ -50,8 +86,9 @@ def _decode_int_stream(chunk: memoryview, meta_sub: dict, np_t) -> np.ndarray:
     return fornum.decode(_segment(chunk, segs["data"]), params["for"], dtype=np_t)
 
 
-def decode_chunk(chunk: bytes | memoryview, manifest: dict, state: EncoderState) -> pa.Table:
-    chunk = memoryview(chunk)
+def decode_chunk(chunk, manifest: dict, state: EncoderState) -> pa.Table:
+    if isinstance(chunk, (bytes, bytearray)):
+        chunk = memoryview(chunk)
     rows = int(manifest["rows"])
     arrays = {}
     for name, meta in manifest["columns"].items():

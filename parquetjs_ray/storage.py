@@ -133,6 +133,19 @@ def list_names(path: str) -> list[str]:
     return sorted(i.base_name for i in infos)
 
 
+def read_ranges(path: str, ranges: list[tuple[int, int]]) -> list[bytes]:
+    """Read byte ranges ``(offset, length)`` from one file with a single
+    open + seeks — the column-chunk byte-range read (only requested
+    segments leave storage; on object stores these become ranged GETs)."""
+    f, p = get_fs(path)
+    out = []
+    with f.open_input_file(p) as fh:
+        for off, ln in ranges:
+            fh.seek(off)
+            out.append(fh.read(ln))
+    return out
+
+
 def remove_quiet(path: str) -> None:
     f, p = get_fs(path)
     try:

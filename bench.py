@@ -154,6 +154,10 @@ def run_headline() -> dict:
         with open(fp_cache, "w") as f:
             json.dump({"count": orig_count, "hash": orig_hash}, f)
     t0 = time.perf_counter()
+    n_dec = decode_dataset(out_dir).count()
+    t_decode = time.perf_counter() - t0
+    assert n_dec == rows, (n_dec, rows)
+    t0 = time.perf_counter()
     dec_count, dec_hash = dataset_fingerprint(decode_dataset(out_dir))
     t_verify = time.perf_counter() - t0
     verdict = {"equal": (orig_count == dec_count) and (orig_hash == dec_hash)}
@@ -163,7 +167,13 @@ def run_headline() -> dict:
     try:
         import __ray_entry__ as entrymod
 
-        for qname in ("per_source_doc_stats", "dedup_exact_docs", "events_tumbling_hourly"):
+        for qname in (
+            "per_source_doc_stats",
+            "dedup_exact_docs",
+            "events_tumbling_hourly",
+            "events_asof_order",
+            "minhash_dedup_docs",
+        ):
             t0 = time.perf_counter()
             res = entrymod.queries()[qname](SF_DIR)
             if hasattr(res, "materialize"):
@@ -185,7 +195,12 @@ def run_headline() -> dict:
         "verify_equal": verdict["equal"],
         "verify_sec": round(t_verify, 3),
         "n_partitions": report["n_partitions"],
-        "queries": {"encode": round(t_encode, 3), "decode_verify": round(t_verify, 3), **qtimes},
+        "queries": {
+            "encode": round(t_encode, 3),
+            "decode_only": round(t_decode, 3),
+            "decode_verify": round(t_verify, 3),
+            **qtimes,
+        },
     }
     scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_2v8.json")
     if os.path.exists(scaling_file):

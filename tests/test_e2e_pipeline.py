@@ -464,3 +464,31 @@ def test_projection_reads_only_selected_column_bytes(ray_session, tmp_path):
     want = sorted(pq.read_table(paths[0], columns=["n_tok"])["n_tok"].to_pylist()
                   + pq.read_table(paths[1], columns=["n_tok"])["n_tok"].to_pylist())
     assert sorted(out["n_tok"].tolist()) == want
+
+
+def test_uncommitted_fragment_data_is_recomputed(ray_session, tmp_path):
+    """Marker-last commit: a .bin without its .json (crash between data
+    and marker) is NOT treated as done — the rerun recomputes and
+    overwrites it, and the artifact verifies."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.sources.synth import write_synth
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 2_000, n_shards=2)
+    encode_dataset(paths, outdir, mode="files", target_rows_per_partition=500, sample_rows=2_000)
+    # simulate the crash: drop one commit marker, corrupt its data file
+    frag_json = sorted(glob.glob(os.path.join(outdir, "part-*", "frag-*.json")))[0]
+    frag_bin = frag_json[: -len(".json")] + ".bin"
+    os.remove(frag_json)
+    with open(frag_bin, "wb") as f:
+        f.write(b"torn write")
+    rep = encode_dataset(paths, outdir, mode="files", target_rows_per_partition=500, sample_rows=2_000)
+    assert rep["resumed_fragments"] == rep["n_fragments"] - 1  # exactly the torn one redone
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v["equal"], v

@@ -367,3 +367,17 @@ def test_range_join_count(ray_session):
     ).to_pandas().sort_values("eid")
     # eid1: window [-5,0] -> itself; eid2: [−1,4] -> t=0,4 -> 2; eid3: [6,11] -> itself
     assert out["n_in_range"].tolist() == [1, 2, 1, 1]
+
+
+def test_label_propagate_distributed_path(ray_session, monkeypatch):
+    """Force the scale path (distributed min-label propagation) and pin
+    it against the same chain fixture the fast path handles."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions import dedup as D
+
+    monkeypatch.setattr(D, "_SMALL_GRAPH_EDGES", 0)
+    edges = pa.table({"a": pa.array([1, 2, 3, 10], pa.int64()), "b": pa.array([2, 3, 4, 11], pa.int64())})
+    out = D.label_propagate_clusters(rd.from_arrow(edges)).to_pylist()
+    got = {(r["doc_id"], r["cluster_id"]) for r in out}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}

@@ -273,26 +273,31 @@ def _verify_pairs(
         prows = group.filter(pa.compute.invert(vmask))
         if vrows.num_rows == 0 or prows.num_rows == 0:
             return empty_sides
-        val = vrows["val"][0]
+        # replicate the attr value via take (vectorized for nested types)
+        val_col = vrows["val"].combine_chunks().take(
+            pa.array(np.zeros(prows.num_rows, dtype=np.int64))
+        )
         return pa.table(
             {
                 "a": prows["a"],
                 "b": prows["b"],
                 "key": prows["key"],
-                "val": pa.compute.fill_null(pa.nulls(prows.num_rows, val_type), val),
+                "val": val_col,
             }
         )
 
     def verify(group: pa.Table) -> pa.Table:
-        # group = one (a,b) pair: two rows (key=a value, key=b value)
-        if group.num_rows != 2:
-            return pa.table(_EMPTY_PAIRS)
+        # group = one (a,b) pair; duplicate pair rows (same pair proposed
+        # by several LSH bands) are tolerated: one row per side suffices
         a = group["a"][0].as_py()
         b = group["b"][0].as_py()
-        keys = group["key"].to_pylist()
-        vals = group["val"].to_pylist()
-        va = vals[0] if keys[0] == a else vals[1]
-        vb = vals[1] if keys[0] == a else vals[0]
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        ia = int(np.argmax(keys == a))
+        ib = int(np.argmax(keys == b))
+        if keys[ia] != a or keys[ib] != b:
+            return pa.table(_EMPTY_PAIRS)  # one side's attr missing
+        va = group["val"][ia].as_py()
+        vb = group["val"][ib].as_py()
         if check(va, vb):
             return pa.table({"a": pa.array([a], pa.int64()), "b": pa.array([b], pa.int64())})
         return pa.table(_EMPTY_PAIRS)
@@ -309,7 +314,12 @@ def _verify_pairs_jaccard(
     shingle_k: int, thr_milli: int,
 ) -> rd.Dataset:
     """Exact char-shingle Jaccard ≥ thr_milli/1000 over candidate pairs
-    (integer compare — no float-boundary drift vs a SQL oracle)."""
+    (integer compare — no float-boundary drift vs a SQL oracle).
+
+    The attribute co-located with each pair is the raw TEXT, not a
+    precomputed shingle set: k-shingle sets are ~k× larger than the text
+    itself, so shipping texts minimizes the cogroup shuffle and the sets
+    are rebuilt per pair (bounded by pair count × doc length)."""
 
     def check(ta: str, tb: str) -> bool:
         sa = _char_shingles(ta, shingle_k)
@@ -468,6 +478,9 @@ def minhash_dedup(
         )
         return _band_rows(sigs, ids, bands)
 
+    # near-identical docs collide in EVERY band, so raw pair rows carry
+    # up to bands× duplicates — deduping them first keeps the verify
+    # cogroup at one row per (pair, side)
     pairs = _dedupe_pairs(
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])

@@ -136,6 +136,18 @@ def run_headline() -> dict:
 
     totals = read_global_manifest(out_dir)["totals"]
 
+    # ── untimed: general-purpose compression on top of the lightweight
+    # codecs (the reference's GZIP/SNAPPY option, here zstd) — a second
+    # ratio datapoint; the headline stays uncompressed for honesty ──
+    zstd_dir = os.path.join(OUT_BASE, f"zstd_{NCPU}")
+    shutil.rmtree(zstd_dir, ignore_errors=True)
+    rep_z = encode_dataset(
+        paths, zstd_dir, mode="files", target_rows_per_partition=32_768, plan=plan,
+        compression="zstd",
+    )
+    ratio_zstd = round(rep_z["ratio"], 4)
+    shutil.rmtree(zstd_dir, ignore_errors=True)
+
     # ── timed decode + verify ──
     # The original corpus' fingerprint is a pure function of the (cached)
     # input, so it is computed once per input fixture and reused — the
@@ -192,6 +204,7 @@ def run_headline() -> dict:
         "n_tokens": totals["n_tokens"],
         "tokens_per_sec": round(totals["n_tokens"] / t_encode, 1),
         "compression_ratio": round(totals["enc_bytes"] / max(1, totals["raw_bytes"]), 4),
+        "compression_ratio_zstd": ratio_zstd,
         "verify_equal": verdict["equal"],
         "verify_sec": round(t_verify, 3),
         "n_partitions": report["n_partitions"],

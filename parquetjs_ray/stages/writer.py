@@ -77,6 +77,13 @@ def write_partition(
 
     Idempotent under retries; returns a flat summary row."""
     pdir = _part_dir(out_dir, part_id)
+    manifest = dict(manifest)
+    chunk, comp_meta = compress_chunk(chunk, compression)
+    if comp_meta:
+        # report the bytes actually stored; keep the codec-only size
+        manifest["enc_bytes_lightweight"] = manifest["enc_bytes"]
+        manifest["enc_bytes"] = len(chunk)
+    manifest.update(comp_meta)
     summary = {
         "partition": part_id,
         "rows": manifest["rows"],
@@ -88,9 +95,6 @@ def write_partition(
     if partition_done(out_dir, part_id):
         summary["skipped"] = True
         return summary
-    manifest = dict(manifest)
-    chunk, comp_meta = compress_chunk(chunk, compression)
-    manifest.update(comp_meta)
     manifest["partition"] = part_id
     manifest["checksum_crc32"] = zlib.crc32(chunk)
     st.makedirs(pdir)
@@ -149,6 +153,13 @@ def write_fragment(
     pdir = _part_dir(out_dir, part_id)
     st.makedirs(pdir)
     jpath = st.join(pdir, f"frag-{frag_id}.json")
+    manifest = dict(manifest)
+    chunk, comp_meta = compress_chunk(chunk, compression)
+    if comp_meta:
+        # report the bytes actually stored; keep the codec-only size
+        manifest["enc_bytes_lightweight"] = manifest["enc_bytes"]
+        manifest["enc_bytes"] = len(chunk)
+    manifest.update(comp_meta)
     summary = {
         "partition": part_id,
         "fragment": frag_id,
@@ -161,9 +172,6 @@ def write_fragment(
     if st.exists(jpath):
         summary["skipped"] = True
         return summary
-    manifest = dict(manifest)
-    chunk, comp_meta = compress_chunk(chunk, compression)
-    manifest.update(comp_meta)
     manifest["partition"] = part_id
     manifest["fragment"] = frag_id
     manifest["checksum_crc32"] = zlib.crc32(chunk)

@@ -231,6 +231,12 @@ def test_compression_metadata_projection(ray_session, tmp_path):
     )
     gm = read_global_manifest(outdir)
     assert gm["user_metadata"]["corpus"] == "fixture-v1"
+    # totals report bytes actually STORED (post-zstd), strictly below the
+    # lightweight-codec-only size of an uncompressed encode
+    plain_dir = str(tmp_path / "plain")
+    encode_dataset(paths, plain_dir, mode="files", target_rows_per_partition=500, sample_rows=2_000)
+    gm_plain = read_global_manifest(plain_dir)
+    assert gm["totals"]["enc_bytes"] < gm_plain["totals"]["enc_bytes"]
     v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
     assert v["equal"]
     # projection pushdown: only two columns decoded
@@ -492,3 +498,18 @@ def test_uncommitted_fragment_data_is_recomputed(ray_session, tmp_path):
     assert rep["resumed_fragments"] == rep["n_fragments"] - 1  # exactly the torn one redone
     v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
     assert v["equal"], v
+
+
+def test_verify_artifact_grouped_mode(ray_session, tmp_path):
+    from parquetjs_ray.pipelines.encode import encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_artifact
+    from parquetjs_ray.sources.synth import write_synth
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 2_000, n_shards=2)
+    encode_dataset(
+        paths, outdir, mode="grouped", target_rows_per_partition=500, sample_rows=2_000,
+        row_fingerprint=True,
+    )
+    v = verify_artifact(outdir)
+    assert v["equal"] and v["rows_expected"] == 2_000, v

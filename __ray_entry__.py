@@ -552,6 +552,19 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def q_audio_features(sf_dir: str):
+    """REAL PCM-16 WAV decode (stdlib wave) + per-clip spectral features
+    through the actor-pool stage (deterministic synth clips)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.multimodal import AudioFeatureActor, synth_audio_table
+
+    ds = rd.from_arrow(synth_audio_table(200))
+    return ds.map_batches(
+        AudioFeatureActor, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "per_source_doc_stats": q_per_source_doc_stats,
@@ -584,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
     }
 
 

@@ -381,3 +381,48 @@ def test_label_propagate_distributed_path(ray_session, monkeypatch):
     out = D.label_propagate_clusters(rd.from_arrow(edges)).to_pylist()
     got = {(r["doc_id"], r["cluster_id"]) for r in out}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_ppm_real_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    payload = multimodal.encode_ppm(img)
+    back = multimodal.decode_ppm(payload)
+    assert (back == img).all()
+    # decode_image routes PPM to the REAL path even without PIL
+    assert (multimodal.decode_image(payload) == img).all()
+
+
+def test_wav_real_codec_and_audio_features(ray_session):
+    import ray.data as rd
+
+    tbl = multimodal.synth_audio_table(24)
+    # real decode: a pure 260Hz sine clip centroids near 260Hz
+    pcm, rate = multimodal.decode_wav_pcm16(tbl["payload"][4].as_py())
+    assert rate == 8000 and len(pcm) == 2000
+    out = rd.from_arrow(tbl).map_batches(
+        multimodal.AudioFeatureActor, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 24
+    assert (out["duration_ms"] == 250).all()
+    # clip i has fundamental 100+40*(i%20); the noise floor adds a
+    # constant offset, but centroid must still ORDER by fundamental
+    c_low = out[out["media_id"] == "clip2000"].iloc[0]["centroid_hz"]   # 100 Hz
+    c_high = out[out["media_id"] == "clip2019"].iloc[0]["centroid_hz"]  # 860 Hz
+    assert 0 < c_low < c_high < 4000, (c_low, c_high)
+    assert (out["rms_x1e6"] > 200_000).all()  # ~0.5/sqrt(2) amplitude
+
+
+def test_image_feature_actor_on_real_ppm(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(12):
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        rows.append({"media_id": f"ppm{i}", "payload": multimodal.encode_ppm(img)})
+    tbl = pa.Table.from_pylist(rows)
+    out = rd.from_arrow(tbl).map_batches(
+        multimodal.ImageFeatureActor, batch_format="pyarrow", batch_size=6, concurrency=2
+    ).take_all()
+    assert len(out) == 12 and len(out[0]["features"]) == multimodal.ImageFeatureActor.FEAT_DIM

@@ -56,7 +56,7 @@ from ..stages.writer import (
 )
 from ..state.artifacts import EncodePlan, load_plan, save_plan
 
-__all__ = ["encode_dataset", "decode_dataset", "compact_dataset", "dataset_info", "salted_keys"]
+__all__ = ["encode_dataset", "encode_stream", "decode_dataset", "compact_dataset", "dataset_info", "salted_keys"]
 
 _U = np.uint64
 _STATE_CACHE: dict[bytes, EncoderState] = {}
@@ -511,6 +511,53 @@ def encode_dataset(
         extra["user_metadata"] = user_metadata
     path = write_global_manifest(out_dir, partitions, extra=extra)
     totals = read_global_manifest(out_dir)["totals"]
+    totals["n_partitions"] = len(partitions)
+    totals["resumed_partitions"] = sum(1 for p in partitions if p.get("skipped"))
+    totals["ratio"] = totals["enc_bytes"] / max(1, totals["raw_bytes"])
+    totals["manifest"] = path
+    return totals
+
+
+def encode_stream(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    plan: EncodePlan,
+    target_rows_per_partition: int = 16_384,
+    id_col: str = "doc_id",
+    compression: str | None = None,
+    row_fingerprint: bool = False,
+    concurrency: int | tuple[int, int] | None = None,
+    user_metadata: dict | None = None,
+) -> dict:
+    """Encode an arbitrary ``ray.data.Dataset`` — the transform-then-
+    encode path (the reference's ParquetTransformer shape,
+    `/root/reference/lib/writer.js:256-289`): upstream ``map_batches`` /
+    ``filter`` stages stream straight into the encoder actor pool with
+    no intermediate parquet. Sharded layout (partition id = content
+    hash); the caller supplies the plan (built once per corpus via
+    ``stats.build_plan`` or loaded from a previous artifact)."""
+    st.makedirs(out_dir)
+    if not st.exists(st.join(out_dir, "_artifacts", "plan.json")):
+        save_plan(plan, out_dir)
+    plan_ref = ray.put(plan)
+    manifest_ds = ds.map_batches(
+        EncoderActor,
+        batch_format="pyarrow",
+        batch_size=target_rows_per_partition,
+        zero_copy_batch=True,
+        concurrency=concurrency or (2, 8),
+        fn_constructor_kwargs={
+            "plan_ref": plan_ref, "out_dir": out_dir, "id_col": id_col,
+            "compression": compression, "row_fingerprint": row_fingerprint,
+        },
+    )
+    partitions = manifest_ds.take_all()  # small: one row per partition
+    extra: dict = {"mode": "sharded"}
+    if user_metadata:
+        extra["user_metadata"] = user_metadata
+    path = write_global_manifest(out_dir, partitions, extra=extra)
+    totals = dict(read_global_manifest(out_dir)["totals"])
     totals["n_partitions"] = len(partitions)
     totals["resumed_partitions"] = sum(1 for p in partitions if p.get("skipped"))
     totals["ratio"] = totals["enc_bytes"] / max(1, totals["raw_bytes"])

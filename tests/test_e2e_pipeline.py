@@ -513,3 +513,36 @@ def test_verify_artifact_grouped_mode(ray_session, tmp_path):
     )
     v = verify_artifact(outdir)
     assert v["equal"] and v["rows_expected"] == 2_000, v
+
+
+def test_encode_stream_transform_pipeline(ray_session, tmp_path):
+    """ParquetTransformer shape: filter + transform stages stream straight
+    into the encoder actor pool (no intermediate parquet), then decode
+    back exactly."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_stream
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.sources.synth import write_synth
+    from parquetjs_ray.stages import stats as stats_mod
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 3_000, n_shards=2)
+    plan = stats_mod.build_plan(paths, sample_rows=3_000, fsst_columns=("doc_id",), dict_columns=("source",))
+
+    def drop_short(batch):
+        return batch.filter(pc.greater(batch["n_tok"], 100))
+
+    transformed = rd.read_parquet(paths).map_batches(drop_short, batch_format="pyarrow")
+    rep = encode_stream(transformed, outdir, plan=plan, target_rows_per_partition=800, row_fingerprint=True)
+    assert 0 < rep["rows"] < 3_000
+    # round-trip equals the transformed stream, and stored fingerprints agree
+    v = verify_roundtrip(
+        rd.read_parquet(paths).map_batches(drop_short, batch_format="pyarrow"),
+        decode_dataset(outdir),
+    )
+    assert v["equal"], v
+    from parquetjs_ray.pipelines.verify import verify_artifact
+
+    assert verify_artifact(outdir)["equal"]

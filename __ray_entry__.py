@@ -565,6 +565,69 @@ def q_audio_features(sf_dir: str):
     )
 
 
+def q_corpus_clean_encode(sf_dir: str):
+    """The full training-data story composed end to end: quality filter →
+    exact-dedup survivors → transform-streamed encode (no intermediate
+    parquet) → artifact self-verification. Returns the per-partition
+    manifest summary (rows-only check; the compose itself is the point)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from parquetjs_ray.functions.text import fingerprint64
+    from parquetjs_ray.pipelines.encode import encode_stream
+    from parquetjs_ray.pipelines.verify import verify_artifact
+    from parquetjs_ray.stages import stats as stats_mod
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    import numpy as np
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    outdir = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_clean_{tag}_v{FORMAT_VERSION}")
+    shutil.rmtree(outdir, ignore_errors=True)
+
+    # pass 1 (metadata-only): representative id per duplicate text group
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"], "__fp": pa.array(fingerprint64(batch["text"]).view(np.int64))})
+
+    from ray.data.aggregate import Min
+
+    reps = (
+        rd.read_parquet(docs_path)
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("__fp")
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+    )
+    keep_arr = pa.array(sorted(r["keep_id"] for r in reps.take_all()), pa.int64())
+    keep_ref = ray.put(keep_arr)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        batch = batch.filter(pc.is_in(batch["doc_id"], value_set=keep))  # dedup
+        batch = batch.filter(pc.greater(pc.utf8_length(batch["text"]), 80))  # quality
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.string()),
+                "text": batch["text"],
+                "source": batch["source"],
+            }
+        )
+
+    stream = rd.read_parquet(docs_path).map_batches(clean, batch_format="pyarrow")
+    plan = stats_mod.build_plan([docs_path], sample_rows=5_000, fsst_columns=("doc_id",), dict_columns=("source",))
+    encode_stream(stream, outdir, plan=plan, target_rows_per_partition=2_000, row_fingerprint=True)
+    v = verify_artifact(outdir)
+    assert v["equal"], v
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    df = pd.DataFrame(read_global_manifest(outdir)["partitions"])
+    df["verified"] = True
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "per_source_doc_stats": q_per_source_doc_stats,
@@ -598,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": q_top_words,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
+        "corpus_clean_encode": q_corpus_clean_encode,
     }
 
 

@@ -55,7 +55,9 @@ _INT_CAST = {
 
 def _storage_int_type(t: pa.DataType) -> pa.DataType | None:
     if pa.types.is_integer(t):
-        return pa.int64() if t.bit_width == 64 else pa.int32()
+        # keep the NATIVE width: the codecs handle every integer dtype
+        # (a cast to int64 would reject uint64 values ≥ 2^63)
+        return t
     for prefix, target in _INT_CAST.items():
         if str(t).startswith(prefix):
             return target
@@ -213,8 +215,13 @@ def decode_any(chunk: memoryview, meta: dict, state: EncoderState) -> pa.Array:
         vals = plain.decode_boolean(bytes(_segment(chunk, meta["segments"]["data"])), m)
         dense = pa.array(vals, type=pa.bool_())
     elif codec in ("for_rle", "pfor"):
+        from .decoder import _INT_TYPES
+
         it = pa.type_for_alias(meta["dtype"])
-        np_t = np.int64 if it.bit_width == 64 else np.int32
+        if meta["dtype"] in _INT_TYPES:
+            np_t = _INT_TYPES[meta["dtype"]][1]
+        else:
+            np_t = np.int64 if it.bit_width == 64 else np.int32
         vals = _decode_int_stream(chunk, meta, np_t)
         dense = pa.array(vals, type=it)
         if dense.type != t:

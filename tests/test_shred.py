@@ -214,3 +214,10 @@ def test_json_logical_type_as_string_column():
 
     docs = [_json.dumps({"k": i, "tags": ["a", "b"], "nested": {"x": i / 2}}) for i in range(200)]
     _assert_rt(pa.table({"meta_json": pa.array(docs, pa.string())}))
+
+
+def test_nullable_uint64_full_range():
+    # regression: the nullable path cast to int64 and rejected >= 2^63
+    v = [17513526460540557097, None, 5, 2**64 - 1, 0]
+    _assert_rt(pa.table({"c": pa.array(v, pa.uint64())}))
+    _assert_rt(pa.table({"l": pa.array([[2**64 - 1, 1], None, []], pa.list_(pa.uint64()))}))

@@ -546,3 +546,50 @@ def test_encode_stream_transform_pipeline(ray_session, tmp_path):
     from parquetjs_ray.pipelines.verify import verify_artifact
 
     assert verify_artifact(outdir)["equal"]
+
+
+def test_pipeline_soak_randomized_schema(ray_session, tmp_path):
+    """Full pipeline over a randomized messy schema: NaN floats, nullable
+    structs/lists, timestamps, bools, mixed compression — round-trip and
+    stored-fingerprint verification both hold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_artifact, verify_roundtrip
+
+    rng = np.random.default_rng(777)
+    n = 1500
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"id{i:06d}" for i in range(n)]),
+            "source": pa.array([f"s{int(x)}" for x in rng.integers(0, 5, n)]),
+            "tokens": pa.array(
+                [rng.integers(0, 50000, int(l)).tolist() if rng.random() > 0.05 else None
+                 for l in rng.integers(0, 50, n)],
+                pa.list_(pa.int32()),
+            ),
+            "score": pa.array(np.where(rng.random(n) < 0.1, np.nan, rng.standard_normal(n))),
+            "meta": pa.array(
+                [{"k": int(rng.integers(0, 9)), "tags": ["a", "b"][: int(rng.integers(0, 3))]}
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.struct([("k", pa.int64()), ("tags", pa.list_(pa.string()))]),
+            ),
+            "flags": pa.array(rng.random(n) < 0.5),
+            "ts": pa.array(rng.integers(0, 2**40, n), pa.timestamp("us")),
+        }
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    paths = [str(indir / "a.parquet"), str(indir / "b.parquet")]
+    pq.write_table(tbl.slice(0, 800), paths[0])
+    pq.write_table(tbl.slice(800), paths[1])
+    outdir = str(tmp_path / "out")
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=400, sample_rows=n,
+        row_fingerprint=True, compression="zstd",
+    )
+    assert verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))["equal"]
+    assert verify_artifact(outdir)["equal"]

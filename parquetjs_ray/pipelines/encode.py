@@ -639,27 +639,50 @@ def decode_dataset(
 
     Work units are individual fragments (files mode) or whole partitions
     (grouped/sharded), so decode parallelism matches the write layout and
-    no task is stuck with a whole hot-source partition."""
+    no task is stuck with a whole hot-source partition.
+
+    Unit discovery itself is DISTRIBUTED: only the partition list comes
+    from the global manifest on the driver; per-partition manifests (and
+    per-fragment pruning stats) are read inside ``map_batches`` tasks —
+    the driver never performs O(#partitions) serial storage reads."""
     manifest = read_global_manifest(out_dir)
-    units: list[dict] = []
-    for p in manifest["partitions"]:
-        if sources is not None and p["partition"].rsplit("-", 1)[0] not in sources:
-            continue
-        pdir = st.join(out_dir, f"part-{p['partition']}")
-        pm = st.read_json(st.join(pdir, "manifest.json"))
-        if "fragments" in pm:
-            for fr in pm["fragments"]:
-                if id_range is not None:
-                    fm_min_max = st.read_json(st.join(pdir, f"frag-{fr}.json"))
-                    lo, hi = id_range
-                    if fm_min_max.get("id_max") is not None and (
-                        fm_min_max["id_max"] < lo or fm_min_max["id_min"] > hi
-                    ):
-                        continue
-                units.append({"partition": p["partition"], "fragment": fr})
-        else:
-            units.append({"partition": p["partition"], "fragment": ""})
-    return rd.from_items(units).map_batches(
+    parts = [
+        p["partition"]
+        for p in manifest["partitions"]
+        if sources is None or p["partition"].rsplit("-", 1)[0] in sources
+    ]
+
+    def list_units(batch: pa.Table) -> pa.Table:
+        rows = []
+        for pid in batch.column("p").to_pylist():
+            pdir = st.join(out_dir, f"part-{pid}")
+            pm = st.read_json(st.join(pdir, "manifest.json"))
+            if "fragments" in pm:
+                for fr in pm["fragments"]:
+                    if id_range is not None:
+                        fm_min_max = st.read_json(st.join(pdir, f"frag-{fr}.json"))
+                        lo, hi = id_range
+                        if fm_min_max.get("id_max") is not None and (
+                            fm_min_max["id_max"] < lo or fm_min_max["id_min"] > hi
+                        ):
+                            continue
+                    rows.append({"partition": pid, "fragment": fr})
+            else:
+                rows.append({"partition": pid, "fragment": ""})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("partition", pa.string()), ("fragment", pa.string())])
+        )
+
+    # run the listing as parallel tasks, collect the (kilobyte) unit rows,
+    # then re-feed them so decode parallelism is one block per few units —
+    # chaining directly would fuse listing+decode into #partition-blocks
+    # tasks and collapse decode parallelism
+    unit_rows = (
+        rd.from_items([{"p": p} for p in parts])
+        .map_batches(list_units, batch_format="pyarrow", batch_size=16)
+        .take_all()
+    )
+    return rd.from_items(unit_rows).map_batches(
         _decode_units,
         batch_format="pyarrow",
         batch_size=4,

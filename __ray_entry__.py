@@ -231,7 +231,24 @@ def q_quality_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
-_DIM_CACHE: dict[str, tuple[pa.Array, pa.Array]] = {}
+_DIM_CACHE: dict[str, tuple[str, tuple]] = {}
+
+
+def _dim_columns(name: str, dim_ref, cols: tuple[str, ...]) -> tuple:
+    """Worker-side broadcast-table cache, ONE SLOT PER QUERY NAME: the
+    driver ``ray.put``s the dimension once per invocation; each worker
+    deserializes it on first use and REPLACES the slot when the same
+    query arrives with a fresh ref — no unbounded ref-keyed growth
+    pinning old copies for the life of the session."""
+    import ray
+
+    key = dim_ref.hex()
+    entry = _DIM_CACHE.get(name)
+    if entry is None or entry[0] != key:
+        t = ray.get(dim_ref)
+        entry = (key, tuple(t.column(c).chunk(0) for c in cols))
+        _DIM_CACHE[name] = entry
+    return entry[1]
 
 
 def q_events_by_segment(sf_dir: str):
@@ -248,15 +265,9 @@ def q_events_by_segment(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     ).combine_chunks()
     dim_ref = ray.put(dim)
-    key = dim_ref.hex()
 
     def join(batch: pa.Table) -> pa.Table:
-        cached = _DIM_CACHE.get(key)
-        if cached is None:
-            t = ray.get(dim_ref)
-            cached = (t.column("c_custkey").chunk(0), t.column("c_mktsegment").chunk(0))
-            _DIM_CACHE[key] = cached
-        keys_arr, segs_arr = cached
+        keys_arr, segs_arr = _dim_columns("events_by_segment", dim_ref, ("c_custkey", "c_mktsegment"))
         pos = pc.index_in(batch["user_id"], value_set=keys_arr)
         return pa.table({"c_mktsegment": pc.take(segs_arr, pos)})
 
@@ -427,21 +438,15 @@ def q_orders_by_nation(sf_dir: str):
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
-    nk = nat["n_nationkey"].to_numpy()
-    names = nat["n_name"].to_pylist()
-    lookup = {int(k): names[i] for i, k in enumerate(nk)}
+    # merge the two dimensions driver-side with the same vectorized
+    # index_in lookup the workers use (no per-row Python dict)
+    pos_n = pc.index_in(cust["c_nationkey"].combine_chunks(), value_set=nat["n_nationkey"].combine_chunks())
+    cnames = pc.take(nat["n_name"].combine_chunks(), pos_n)
     ckeys = cust["c_custkey"].combine_chunks()
-    cnames = pa.array([lookup[int(x)] for x in cust["c_nationkey"].to_numpy()], pa.string())
     dim_ref = ray.put(pa.table({"k": ckeys, "n_name": cnames}).combine_chunks())
-    key = dim_ref.hex()
 
     def join(batch: pa.Table) -> pa.Table:
-        cached = _DIM_CACHE.get(key)
-        if cached is None:
-            t = ray.get(dim_ref)
-            cached = (t.column("k").chunk(0), t.column("n_name").chunk(0))
-            _DIM_CACHE[key] = cached
-        keys_arr, names_arr = cached
+        keys_arr, names_arr = _dim_columns("orders_by_nation", dim_ref, ("k", "n_name"))
         pos = pc.index_in(batch["o_custkey"], value_set=keys_arr)
         cents = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table({"n_name": pc.take(names_arr, pos), "cents": pa.array(cents)})
@@ -464,15 +469,9 @@ def q_parts_by_type(sf_dir: str):
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]).combine_chunks()
     dim_ref = ray.put(part)
-    key = dim_ref.hex()
 
     def join(batch: pa.Table) -> pa.Table:
-        cached = _DIM_CACHE.get(key)
-        if cached is None:
-            t = ray.get(dim_ref)
-            cached = (t.column("p_partkey").chunk(0), t.column("p_type").chunk(0))
-            _DIM_CACHE[key] = cached
-        keys_arr, types_arr = cached
+        keys_arr, types_arr = _dim_columns("parts_by_type", dim_ref, ("p_partkey", "p_type"))
         pos = pc.index_in(batch["l_partkey"], value_set=keys_arr)
         return pa.table(
             {

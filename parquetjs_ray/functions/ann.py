@@ -129,11 +129,25 @@ def build_ivf_index(
     ``meta.json``. Assignment is a vectorized per-batch argmin against
     the broadcast codebook; each task writes its rows grouped by list —
     no shuffle (the same shuffle-free fragment shape as the encoder's
-    files mode)."""
+    files mode).
+
+    Retry/crash safety (same contract as ``stages/writer.py``):
+    fragment names are DETERMINISTIC content hashes of (list_id, id
+    column bytes), so a Ray task retry rewrites the same file instead of
+    leaving a duplicate; the whole index is built in a ``.tmp`` sibling
+    and atomically published only after ``meta.json`` lands — a crash
+    mid-build leaves no half-index at ``index_dir`` for a later run's
+    meta.json-existence cache to pick up."""
+    import hashlib
+    import shutil
+
+    build_dir = os.path.normpath(index_dir) + ".tmp"
+    shutil.rmtree(build_dir, ignore_errors=True)
+
     sample = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in ds.take(sample_rows)])
     centers = kmeans_lite(sample, n_clusters, seed=seed)
-    os.makedirs(index_dir, exist_ok=True)
-    np.save(os.path.join(index_dir, "centers.npy"), centers)
+    os.makedirs(build_dir, exist_ok=True)
+    np.save(os.path.join(build_dir, "centers.npy"), centers)
     c_ref = ray.put(centers)
 
     def write_lists(batch: pa.Table) -> pa.Table:
@@ -141,23 +155,31 @@ def build_ivf_index(
         m = _matrix(batch, vec_col, dim)
         d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
+        ids_all = batch[id_col].to_numpy(zero_copy_only=False)
         rows = []
-        import uuid
-
         for li in np.unique(assign):
             sub = batch.take(pa.array(np.flatnonzero(assign == li)))
             sub = sub.append_column("list_id", pa.array(np.full(sub.num_rows, int(li), dtype=np.int64)))
-            ldir = os.path.join(index_dir, f"list-{int(li)}")
+            ldir = os.path.join(build_dir, f"list-{int(li)}")
             os.makedirs(ldir, exist_ok=True)
-            tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex[:12]}")
-            pq.write_table(sub, tmp)
-            os.replace(tmp, os.path.join(ldir, f"part-{uuid.uuid4().hex[:12]}.parquet"))
-            rows.append({"list_id": int(li), "rows": sub.num_rows})
+            frag = hashlib.sha1(
+                f"{int(li)}:".encode() + np.ascontiguousarray(ids_all[assign == li]).tobytes()
+            ).hexdigest()[:16]
+            final = os.path.join(ldir, f"part-{frag}.parquet")
+            if not os.path.exists(final):  # idempotent on task retry
+                tmp = os.path.join(ldir, f".tmp-{frag}")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, final)
+            rows.append({"list_id": int(li), "rows": sub.num_rows, "frag": frag})
         return pa.Table.from_pylist(rows)
 
     stats = ds.map_batches(write_lists, batch_format="pyarrow").take_all()
     list_rows: dict[int, int] = {}
+    seen: set[tuple[int, str]] = set()
     for r in stats:
+        if (r["list_id"], r["frag"]) in seen:  # retried task double-reported
+            continue
+        seen.add((r["list_id"], r["frag"]))
         list_rows[r["list_id"]] = list_rows.get(r["list_id"], 0) + r["rows"]
     meta = {
         "n_clusters": n_clusters,
@@ -167,8 +189,12 @@ def build_ivf_index(
         "list_rows": {str(k): v for k, v in sorted(list_rows.items())},
         "total_rows": int(sum(list_rows.values())),
     }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    with open(os.path.join(build_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
+    # atomic publish: meta.json is already inside, so a reader either
+    # sees the complete index or none at all
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(build_dir, index_dir)
     return meta
 
 

@@ -51,6 +51,14 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U(31))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x - ((x >> _U(1)) & _U(0x5555555555555555))
+    x = (x & _U(0x3333333333333333)) + ((x >> _U(2)) & _U(0x3333333333333333))
+    x = (x + (x >> _U(4))) & _U(0x0F0F0F0F0F0F0F0F)
+    return ((x * _U(0x0101010101010101)) >> _U(56)).astype(np.int64)
+
+
 # ───────────────────────── exact ─────────────────────────
 
 
@@ -149,7 +157,7 @@ def minhash_signatures(
     return sigs, batch[id_col]
 
 
-def _band_rows(sigs: np.ndarray, ids: pa.Array, bands: int) -> pa.Table:
+def _band_rows(sigs: np.ndarray, ids: pa.Array, bands: int, fp: np.ndarray) -> pa.Table:
     n, num_perm = sigs.shape
     r = num_perm // bands
     band_hash = _mix64(
@@ -158,11 +166,13 @@ def _band_rows(sigs: np.ndarray, ids: pa.Array, bands: int) -> pa.Table:
     )
     band_id = np.broadcast_to(np.arange(bands, dtype=np.int32), (n, bands))
     ids_rep = pa.concat_arrays([ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids] * 1)
+    rep_idx = pa.array(np.repeat(np.arange(n), bands))
     return pa.table(
         {
-            "doc_id": pa.compute.take(ids_rep, pa.array(np.repeat(np.arange(n), bands))),
+            "doc_id": pa.compute.take(ids_rep, rep_idx),
             "band_id": pa.array(band_id.reshape(-1)),
             "band_hash": pa.array(band_hash.reshape(-1).view(np.int64)),
+            "__fp": pa.array(np.repeat(fp.view(np.int64), bands)),
         }
     )
 
@@ -171,25 +181,60 @@ _EMPTY_PAIRS = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
 _EMPTY_CLUSTERS = {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
 
 
-def _all_bucket_pairs(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """All in-bucket candidate pairs (a < b), vectorized via triu indices.
+_BUCKET_CAP = 4096  # max DISTINCT contents per LSH bucket before capping
 
-    All pairs — not a star around the min id — so downstream pairwise
-    verification matches connected-components-over-all-true-pairs
-    exactly (a star edge can fail verification while a non-star edge
-    inside the same bucket passes)."""
+
+def _all_bucket_pairs(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """In-bucket candidate pairs (a < b), vectorized, EXACT-DUPLICATE
+    FOLDED and size-capped.
+
+    Correctness shape: all-pairs among distinct contents — not a star
+    around the min id — so downstream pairwise verification matches
+    connected-components-over-all-true-pairs exactly (a star edge can
+    fail verification while a non-star edge inside the same bucket
+    passes). Exact duplicates (equal ``__fp`` content fingerprint) ARE
+    folded to a star around their min id: identical texts verify at
+    Jaccard/Hamming 0 by definition, and every true pair through a
+    member is mirrored through its representative, so components are
+    unchanged while a bucket of n identical docs emits O(n) edges
+    instead of O(n²) — the 100 TB boilerplate-bucket guard.
+
+    Buckets with more than ``_BUCKET_CAP`` DISTINCT contents are capped
+    (pairs emitted for the first cap reps by id; overflow logged): a
+    degenerate band hash at that cardinality is adversarial input, and
+    unbounded n² pair generation is worse than bounded recall loss."""
     n = group.num_rows
     if n < 2:
         return pa.table(_EMPTY_PAIRS)
-    ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
-    ii, jj = np.triu_indices(n, 1)
-    return pa.table({"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())})
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    fp = group["__fp"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, fp))
+    fps, idss = fp[order], ids[order]
+    first = np.ones(n, bool)
+    first[1:] = fps[1:] != fps[:-1]
+    reps = idss[first]  # min id per distinct content (ids sorted within fp)
+    rep_for_row = reps[np.cumsum(first) - 1]
+    star_a = rep_for_row[~first]  # rep < member by construction
+    star_b = idss[~first]
+    u = len(reps)
+    reps_sorted = np.sort(reps)
+    if u > _BUCKET_CAP:
+        import logging
 
-
-def _dedupe_pairs(pairs: rd.Dataset) -> rd.Dataset:
-    from ray.data.aggregate import Count
-
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+        logging.getLogger(__name__).warning(
+            "LSH bucket overflow: %d distinct contents > cap %d; "
+            "pair generation capped (recall may drop for this bucket)",
+            u, _BUCKET_CAP,
+        )
+        reps_sorted = reps_sorted[:_BUCKET_CAP]
+        u = _BUCKET_CAP
+    if u >= 2:
+        ii, jj = np.triu_indices(u, 1)
+        a = np.concatenate([reps_sorted[ii], star_a])
+        b = np.concatenate([reps_sorted[jj], star_b])
+    else:
+        a, b = star_a, star_b
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
 def _candidate_texts(
@@ -206,13 +251,33 @@ def _candidate_texts(
         batch_format="pyarrow",
     )
     cand = both.unique("i")
-    cand_arr = pa.array(sorted(cand), pa.int64())
+    # broadcast via ray.put ONCE — captured by ObjectRef, not re-shipped
+    # in every serialized task closure
+    import ray as _ray
+
+    cand_ref = _ray.put(pa.array(sorted(cand), pa.int64()))
 
     def pick(batch: pa.Table) -> pa.Table:
+        cand_arr = _ray.get(cand_ref)  # zero-copy from plasma per call
         mask = pc.is_in(batch[id_col], value_set=cand_arr)
         return batch.filter(mask).select([id_col, text_col])
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+_VERIFY_PARTS = 16  # hash partitions for the vectorized pair-verify cogroup
+# (each candidate's attr is shipped to ≤_VERIFY_PARTS judge partitions;
+# more partitions = more parallelism but more attr duplication — raise
+# together with cluster size when the candidate set outgrows 16 workers)
+
+
+def _hash_part(x: np.ndarray) -> np.ndarray:
+    return (_mix64(x.astype(np.uint64) * _P1) % _U(_VERIFY_PARTS)).astype(np.int64)
+
+
+def _pair_part(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    h = _mix64(a.astype(np.uint64) * _P1 ^ _mix64(b.astype(np.uint64)))
+    return (h % _U(_VERIFY_PARTS)).astype(np.int64)
 
 
 def _verify_pairs(
@@ -221,92 +286,226 @@ def _verify_pairs(
     id_col: str,
     val_col: str,
     val_type: pa.DataType,
-    check,
+    batch_check,
 ) -> rd.Dataset:
     """(a,b) pairs + (id, value) attrs → verified (a,b) where
-    ``check(value_a, value_b)`` holds.
+    ``batch_check`` holds, with DOC-DEDUPED shipping and compute.
 
-    Distribution-by-key via ``union + groupby`` (a repartition-join: the
-    same all-to-all a hash join does, expressed with the stable groupby
-    operator): first co-locate each pair with its two attribute values
-    keyed by doc id, then co-locate the two sides of each pair keyed by
-    (a,b) and apply ``check``. All shuffled data is candidate-sized,
-    never the corpus."""
+    Two union+groupby repartition-joins (the same all-to-all a hash
+    join does, over the stable groupby operator), grouped by HASH
+    PARTITION (``_VERIFY_PARTS`` buckets), not by individual key — so
+    Python group invocations are O(partitions), not O(pairs).
 
-    def pair_side_rows(b: pa.Table) -> pa.Table:
-        a = b["a"].combine_chunks()
-        bb = b["b"].combine_chunks()
+    Shape that makes it scale: a candidate doc's attribute (its text /
+    signature) is shipped to each judge partition AT MOST ONCE, not
+    once per pair — at LSH-clique densities (50+ pairs per doc) that is
+    the difference between shuffling the candidate set and shuffling
+    50× the candidate set, and it lets the judge compute each doc's
+    derived form (shingle set) once per partition instead of once per
+    pair. ``batch_check(unique_vals, ia, ib)`` receives the partition's
+    unique attr values plus aligned index arrays into them (one entry
+    per pair) and returns a boolean mask."""
+
+    def pair_side_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks()
+        bb = t["b"].combine_chunks()
         n = len(a)
+        key = pa.concat_arrays([a, bb])
         return pa.table(
             {
-                "key": pa.concat_arrays([a, bb]),
+                "part": pa.array(_hash_part(np.asarray(key))),
+                "key": key,
                 "a": pa.concat_arrays([a, a]),
                 "b": pa.concat_arrays([bb, bb]),
+                "side": pa.array(np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])),
                 "val": pa.nulls(2 * n, val_type),
             }
         )
 
-    def attr_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
+    def attr_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = t[id_col].combine_chunks()
         return pa.table(
             {
-                "key": b[id_col],
+                "part": pa.array(_hash_part(np.asarray(key))),
+                "key": key,
                 "a": pa.nulls(n, pa.int64()),
                 "b": pa.nulls(n, pa.int64()),
-                "val": b[val_col].cast(val_type),
+                "side": pa.array(np.full(n, -1, np.int8)),
+                "val": t[val_col].cast(val_type),
             }
         )
 
-    empty_sides = pa.table(
+    empty_mid = pa.table(
         {
+            "part2": pa.array([], pa.int64()),
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
-            "key": pa.array([], pa.int64()),
+            "doc": pa.array([], pa.int64()),
             "val": pa.array([], val_type),
         }
     )
 
-    def spread(group: pa.Table) -> pa.Table:
-        # group = one doc id: its attr row + every pair row referencing it
-        vmask = pa.compute.is_valid(group["val"])
-        vrows = group.filter(vmask)
-        prows = group.filter(pa.compute.invert(vmask))
-        if vrows.num_rows == 0 or prows.num_rows == 0:
-            return empty_sides
-        # replicate the attr value via take (vectorized for nested types)
-        val_col = vrows["val"].combine_chunks().take(
-            pa.array(np.zeros(prows.num_rows, dtype=np.int64))
-        )
+    def attach(group: pa.Table) -> pa.Table:
+        # group = one hash partition of doc ids: attr rows (side == -1)
+        # + pair-side rows keyed here. Emits (1) each pair ONCE (from
+        # its side-0 row) routed to its judge partition, and (2) each
+        # (doc, judge-partition) attr value ONCE, deduped via lexsort.
+        side = group["side"].to_numpy(zero_copy_only=False)
+        amask = side < 0
+        if amask.all() or not amask.any():
+            return empty_mid
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        akeys = keys[amask]
+        aidx = np.flatnonzero(amask)
+        order = np.argsort(akeys, kind="stable")
+        akeys_sorted = akeys[order]
+        pmask = ~amask
+        prow_all = np.flatnonzero(pmask)
+        pkeys = keys[pmask]
+        pos = np.minimum(np.searchsorted(akeys_sorted, pkeys), len(akeys_sorted) - 1)
+        ok = akeys_sorted[pos] == pkeys  # pair rows whose key has a local attr
+        attr_row = aidx[order[pos]]  # valid where ok
+        # take through Arrow: the a/b columns hold nulls on attr rows, so a
+        # whole-column to_numpy would degrade to float64 (lossy past 2^53)
+        pa_all = pa.array(prow_all, pa.int64())
+        a_np = np.asarray(group["a"].combine_chunks().take(pa_all))
+        b_np = np.asarray(group["b"].combine_chunks().take(pa_all))
+        part2 = _pair_part(a_np, b_np)
+        side_p = side[prow_all]
+        # (1) pair rows, once each, only when this (=a's) attr exists.
+        # All copies of a pair's side-0 row hash to THIS partition
+        # (key = a), so deduping here is a GLOBAL pair dedupe for free —
+        # no separate groupby(["a","b"]) pass over the pair stream
+        psel = np.flatnonzero(ok & (side_p == 0))
+        if len(psel) > 1:
+            o3 = np.lexsort((b_np[psel], a_np[psel]))
+            ps = psel[o3]
+            firstp = np.ones(len(ps), bool)
+            firstp[1:] = (a_np[ps[1:]] != a_np[ps[:-1]]) | (b_np[ps[1:]] != b_np[ps[:-1]])
+            psel = ps[firstp]
+        # (2) (doc, part2) fanout rows with the attr value, deduped
+        cand = np.flatnonzero(ok)
+        o2 = np.lexsort((part2[cand], pkeys[cand]))
+        cc = cand[o2]
+        first = np.ones(len(cc), bool)
+        first[1:] = (pkeys[cc[1:]] != pkeys[cc[:-1]]) | (part2[cc[1:]] != part2[cc[:-1]])
+        drows = cc[first]
+        vals_col = group["val"].combine_chunks()
+        n_p, n_d = len(psel), len(drows)
         return pa.table(
             {
-                "a": prows["a"],
-                "b": prows["b"],
-                "key": prows["key"],
-                "val": val_col,
+                "part2": pa.array(np.concatenate([part2[psel], part2[drows]])),
+                "a": pa.concat_arrays(
+                    [pa.array(a_np[psel], pa.int64()), pa.nulls(n_d, pa.int64())]
+                ),
+                "b": pa.concat_arrays(
+                    [pa.array(b_np[psel], pa.int64()), pa.nulls(n_d, pa.int64())]
+                ),
+                "doc": pa.concat_arrays(
+                    [pa.nulls(n_p, pa.int64()), pa.array(pkeys[drows], pa.int64())]
+                ),
+                "val": pa.concat_arrays(
+                    [pa.nulls(n_p, val_type), vals_col.take(pa.array(attr_row[drows], pa.int64()))]
+                ),
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        # group = one (a,b) pair; duplicate pair rows (same pair proposed
-        # by several LSH bands) are tolerated: one row per side suffices
-        a = group["a"][0].as_py()
-        b = group["b"][0].as_py()
-        keys = group["key"].to_numpy(zero_copy_only=False)
-        ia = int(np.argmax(keys == a))
-        ib = int(np.argmax(keys == b))
-        if keys[ia] != a or keys[ib] != b:
-            return pa.table(_EMPTY_PAIRS)  # one side's attr missing
-        va = group["val"][ia].as_py()
-        vb = group["val"][ib].as_py()
-        if check(va, vb):
-            return pa.table({"a": pa.array([a], pa.int64()), "b": pa.array([b], pa.int64())})
-        return pa.table(_EMPTY_PAIRS)
+    def judge(group: pa.Table) -> pa.Table:
+        # group = one judge partition: its pairs + each referenced doc's
+        # attr value exactly once; resolve pair endpoints against the
+        # sorted local doc index and evaluate the whole batch at once
+        dmask = np.asarray(pa.compute.is_valid(group["doc"]))
+        didx = pa.array(np.flatnonzero(dmask), pa.int64())
+        pidx = pa.array(np.flatnonzero(~dmask), pa.int64())
+        if len(didx) == 0 or len(pidx) == 0:
+            return pa.table(_EMPTY_PAIRS)
+        docs = np.asarray(group["doc"].combine_chunks().take(didx))
+        vals = group["val"].combine_chunks().take(didx)
+        order = np.argsort(docs, kind="stable")
+        docs_sorted = docs[order]
+        vals_sorted = vals.take(pa.array(order, pa.int64()))
+        a_np = np.asarray(group["a"].combine_chunks().take(pidx))
+        b_np = np.asarray(group["b"].combine_chunks().take(pidx))
+        ia = np.minimum(np.searchsorted(docs_sorted, a_np), len(docs_sorted) - 1)
+        ib = np.minimum(np.searchsorted(docs_sorted, b_np), len(docs_sorted) - 1)
+        ok = (docs_sorted[ia] == a_np) & (docs_sorted[ib] == b_np)  # both attrs present
+        sel = np.flatnonzero(ok)
+        if not len(sel):
+            return pa.table(_EMPTY_PAIRS)
+        mask = np.asarray(batch_check(vals_sorted, ia[sel], ib[sel]), dtype=bool)
+        keep = sel[mask]
+        return pa.table(
+            {"a": pa.array(a_np[keep], pa.int64()), "b": pa.array(b_np[keep], pa.int64())}
+        )
 
     unioned = pairs.map_batches(pair_side_rows, batch_format="pyarrow").union(
         attrs.map_batches(attr_rows, batch_format="pyarrow")
     )
-    sides = unioned.groupby("key").map_groups(spread, batch_format="pyarrow")
-    return sides.groupby(["a", "b"]).map_groups(verify, batch_format="pyarrow")
+    attached = unioned.groupby("part").map_groups(attach, batch_format="pyarrow")
+    return attached.groupby("part2").map_groups(judge, batch_format="pyarrow")
+
+
+def _char_shingle_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hashes of every char k-shingle of every text (CHARACTER
+    semantics, matching SQL ``substr`` — not utf8 bytes), plus row
+    offsets into the hash stream. Texts shorter than ``k`` contribute
+    their single truncated shingle, disambiguated by length so it can
+    only equal another whole short text. One vectorized pass over the
+    codepoint stream; the only Python-level work is the list join."""
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    nsh = np.maximum(lens - k + 1, 1)
+    sh_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nsh, out=sh_off[1:])
+    total = int(sh_off[-1])
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    starts = np.repeat(off[:-1], nsh) + (np.arange(total) - np.repeat(sh_off[:-1], nsh))
+    row_end = np.repeat(off[1:], nsh)
+    wlen = np.minimum(k, row_end - starts)  # < k only for short/empty rows
+    cp_pad = np.concatenate([cp, np.zeros(k, np.uint64)])
+    h = np.full(total, _U(0xCBF29CE484222325))
+    for i in range(k):  # FNV-style rolling over ≤k codepoints, masked past row end
+        c = np.where(i < wlen, cp_pad[np.minimum(starts + i, len(cp_pad) - 1)], _U(0))
+        h = (h ^ c) * _U(0x100000001B3)
+    return _mix64(h ^ wlen.astype(np.uint64)), sh_off
+
+
+def _segment_unique(h: np.ndarray, off: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicate hashes within each segment → (segment ids, hashes) of
+    the unique (segment, hash) pairs, vectorized via one lexsort."""
+    n = len(off) - 1
+    seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    order = np.lexsort((h, seg))
+    hs, ss = h[order], seg[order]
+    first = np.ones(len(h), bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    return ss[first], hs[first]
+
+
+def _shingle_attrs(texts: rd.Dataset, id_col: str, text_col: str, shingle_k: int) -> rd.Dataset:
+    """(id, text) → (id, shingles=list<int64> of SORTED UNIQUE char-
+    shingle hashes). Each candidate is shingled exactly ONCE here, in
+    parallel over corpus-order blocks — the verify cogroup then ships
+    and uses the precomputed arrays instead of re-deriving them per
+    judge partition (re-shingling per partition is ~fanout× the work,
+    and large numpy temporaries are extra-expensive in this sandbox).
+    Hashes are kept/sorted in the int64 domain so the per-pair
+    ``searchsorted`` merges compare consistently."""
+
+    def build(batch: pa.Table) -> pa.Table:
+        texts_py = batch[text_col].to_pylist()
+        h, off = _char_shingle_hashes(texts_py, shingle_k)
+        segs, hu = _segment_unique(h.view(np.int64), off)
+        counts = np.bincount(segs, minlength=len(texts_py)).astype(np.int64)
+        l_off = np.zeros(len(texts_py) + 1, dtype=np.int64)
+        np.cumsum(counts, out=l_off[1:])
+        shingles = pa.LargeListArray.from_arrays(pa.array(l_off), pa.array(hu))
+        return pa.table({id_col: batch[id_col], "shingles": shingles})
+
+    return texts.map_batches(build, batch_format="pyarrow")
 
 
 def _verify_pairs_jaccard(
@@ -316,19 +515,34 @@ def _verify_pairs_jaccard(
     """Exact char-shingle Jaccard ≥ thr_milli/1000 over candidate pairs
     (integer compare — no float-boundary drift vs a SQL oracle).
 
-    The attribute co-located with each pair is the raw TEXT, not a
-    precomputed shingle set: k-shingle sets are ~k× larger than the text
-    itself, so shipping texts minimizes the cogroup shuffle and the sets
-    are rebuilt per pair (bounded by pair count × doc length)."""
+    The attribute co-located with each pair is the doc's precomputed
+    sorted-unique shingle-hash array (:func:`_shingle_attrs`), shipped
+    once per judge partition; each pair is then an O(|A|+|B|) sorted
+    merge (`searchsorted` + equality count) — no text ever re-shingled
+    downstream."""
+    attrs = _shingle_attrs(texts, id_col, text_col, shingle_k)
+    val_type = pa.large_list(pa.int64())
 
-    def check(ta: str, tb: str) -> bool:
-        sa = _char_shingles(ta, shingle_k)
-        sb = _char_shingles(tb, shingle_k)
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        return 1000 * inter >= thr_milli * max(1, union)
+    def batch_check(vals: pa.Array, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        la = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        l_off = np.asarray(la.offsets, dtype=np.int64)  # slice-adjusted by pyarrow
+        flat = np.asarray(la.values)
+        out = np.empty(len(ia), dtype=bool)
+        for t in range(len(ia)):  # per-pair merge of two ~doc-sized sorted arrays
+            A = flat[l_off[ia[t]] : l_off[ia[t] + 1]]
+            B = flat[l_off[ib[t]] : l_off[ib[t] + 1]]
+            if len(A) > len(B):
+                A, B = B, A
+            if not len(A):
+                out[t] = False
+                continue
+            pos = np.minimum(np.searchsorted(B, A), len(B) - 1)
+            inter = int(np.count_nonzero(B[pos] == A))
+            union = len(A) + len(B) - inter
+            out[t] = 1000 * inter >= thr_milli * max(union, 1)
+        return out
 
-    return _verify_pairs(pairs, texts, id_col, text_col, pa.string(), check)
+    return _verify_pairs(pairs, attrs, id_col, "shingles", val_type, batch_check)
 
 
 def _char_shingles(text: str, k: int) -> set:
@@ -427,6 +641,7 @@ def label_propagate_clusters(edges: rd.Dataset, *, max_iters: int = 64) -> pa.Ta
         )
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         unioned = sym.map_batches(edge_rows, batch_format="pyarrow").union(
             labels.map_batches(label_rows, batch_format="pyarrow")
@@ -440,8 +655,16 @@ def label_propagate_clusters(edges: rd.Dataset, *, max_iters: int = 64) -> pa.Ta
         )
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # one-hop propagation advances one graph-diameter step per iter;
+        # stopping silently would return WRONG (split) components
+        raise RuntimeError(
+            f"label propagation did not reach a fixpoint in {max_iters} iterations "
+            f"(component diameter > {max_iters}); rerun with a larger max_iters"
+        )
     out = labels.to_pandas().rename(columns={"u": "doc_id", "label": "cluster_id"})
     out = out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -476,12 +699,13 @@ def minhash_dedup(
         sigs, ids = minhash_signatures(
             batch, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed
         )
-        return _band_rows(sigs, ids, bands)
+        return _band_rows(sigs, ids, bands, fingerprint64(batch[text_col]))
 
     # near-identical docs collide in EVERY band, so raw pair rows carry
-    # up to bands× duplicates — deduping them first keeps the verify
-    # cogroup at one row per (pair, side)
-    pairs = _dedupe_pairs(
+    # up to bands× duplicates; the verify cogroup's attach stage dedupes
+    # them globally for free (all copies of a pair hash to one attach
+    # partition), so no separate groupby(["a","b"]) pass is needed
+    pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(_all_bucket_pairs, batch_format="pyarrow")
@@ -548,9 +772,17 @@ def simhash_dedup(
     widths = [width + (1 if i < 64 % bands else 0) for i in range(bands)]
     shifts = np.cumsum([0] + widths[:-1])
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    # ONE signature pass over the corpus: the (id, simhash, __fp) table
+    # is 24 bytes/row and feeds BOTH the banding stage and the verify
+    # attributes — no second text scan
+    def sigs_fp(batch: pa.Table) -> pa.Table:
         st = simhash_signatures(batch, text_col=text_col, id_col=id_col)
-        sig = st["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return st.append_column("__fp", pa.array(fingerprint64(batch[text_col]).view(np.int64)))
+
+    sig_ds = ds.map_batches(sigs_fp, batch_format="pyarrow").materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sig = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         n = len(sig)
         parts = []
         for i in range(bands):
@@ -559,41 +791,45 @@ def simhash_dedup(
             parts.append(
                 pa.table(
                     {
-                        "doc_id": st[id_col],
+                        "doc_id": batch[id_col],
                         "band_id": pa.array(np.full(n, i, dtype=np.int32)),
                         "band_hash": pa.array(band_val),
+                        "__fp": batch["__fp"],
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    pairs = _dedupe_pairs(
-        ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = (
+        sig_ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(_all_bucket_pairs, batch_format="pyarrow")
     ).materialize()
     if pairs.count() == 0:
         return pa.table(_EMPTY_CLUSTERS)
 
-    # attribute dataset: (id, simhash) for candidate ids only
+    # attribute dataset: (id, simhash) for candidate ids only, reusing
+    # the already-computed signatures (broadcast the candidate set once)
     import pyarrow.compute as pc
+    import ray as _ray
 
     both = pairs.map_batches(
         lambda b: pa.table({"i": pa.concat_arrays([b["a"].combine_chunks(), b["b"].combine_chunks()])}),
         batch_format="pyarrow",
     )
-    cand_arr = pa.array(sorted(both.unique("i")), pa.int64())
+    cand_ref = _ray.put(pa.array(sorted(both.unique("i")), pa.int64()))
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(pc.is_in(batch[id_col], value_set=cand_arr))
-        return simhash_signatures(keep, text_col=text_col, id_col=id_col)
+        cand_arr = _ray.get(cand_ref)
+        return batch.filter(pc.is_in(batch[id_col], value_set=cand_arr)).select([id_col, "simhash"])
 
-    sigs = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    sigs = sig_ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
 
-    def check(sa: int, sb: int) -> bool:
-        return bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming
+    def batch_check(vals: pa.Array, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        sig = np.asarray(vals).astype(np.uint64)
+        return _popcount64(sig[ia] ^ sig[ib]) <= max_hamming
 
-    verified = _verify_pairs(pairs, sigs, id_col, "simhash", pa.int64(), check)
+    verified = _verify_pairs(pairs, sigs, id_col, "simhash", pa.int64(), batch_check)
     return label_propagate_clusters(verified)
 
 
@@ -621,11 +857,23 @@ def embedding_near_dup_exact(
     import ray as _ray
 
     refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-    full = pa.concat_tables([_ray.get(r) for r in refs]).combine_chunks()
-    ids_np = full[id_col].to_numpy(zero_copy_only=False)
-    m = np.asarray(full[vec_col].combine_chunks().values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(len(full), dim)
-    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    bundle = _ray.put((ids_np, mn))
+
+    # assemble the broadcast matrix IN A TASK, never on the driver: the
+    # block refs stay in plasma, the concat+normalize happens worker-side,
+    # and the result ref is what gets broadcast — driver RSS stays flat
+    # regardless of corpus size (only the tiny ref list moves through it)
+    @_ray.remote(num_cpus=1)
+    def _assemble(block_refs: list) -> tuple:
+        tables = [_ray.get(r) for r in block_refs]  # nested refs resolve here
+        full = pa.concat_tables(tables).combine_chunks()
+        ids_np = np.asarray(full[id_col])
+        m = np.asarray(
+            full[vec_col].combine_chunks().values.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(full), dim)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return ids_np, mn
+
+    bundle = _assemble.remote(list(refs))
 
     def block(batch: pa.Table) -> pa.Table:
         all_ids, all_mn = _ray.get(bundle)  # zero-copy numpy from plasma

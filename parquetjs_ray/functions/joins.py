@@ -28,10 +28,22 @@ __all__ = ["asof_join", "range_join_count"]
 
 
 def _as_epoch_i64(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Normalize any temporal column to epoch-MICROSECOND int64 before
+    comparison — a date32 right side against a timestamp[us] left side
+    must not silently compare days against microseconds."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    if pa.types.is_timestamp(arr.type):
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            arr = arr.cast(pa.timestamp("us", t.tz))
         return arr.cast(pa.int64())
-    return arr.cast(pa.int64())
+    if pa.types.is_date(t):  # date32 (days) / date64 (ms) → midnight us
+        return arr.cast(pa.timestamp("us")).cast(pa.int64())
+    if pa.types.is_time(t):
+        return arr.cast(pa.time64("us")).cast(pa.int64())
+    if pa.types.is_integer(t):
+        return arr.cast(pa.int64())
+    raise TypeError(f"unsupported temporal join key type: {t}")
 
 
 def asof_join(

@@ -68,6 +68,27 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U(31))
 
 
+def _id_hashes(ids: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 64-bit hash of an id column of ANY hashable type:
+    string/binary via the utf8 buffers, fixed-width (int/uint/float/
+    temporal) via a mix of the raw values — salting must not assume
+    string ids (e.g. ``vec_id`` int64 tables)."""
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    t = ids.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        data, offsets = string_buffers(ids)
+        return hash_strings(data, offsets)
+    vals = ids.fill_null(0) if ids.null_count else ids
+    raw = np.ascontiguousarray(vals.to_numpy(zero_copy_only=False))
+    if raw.dtype.itemsize == 8:
+        w = raw.view(np.uint64)
+    else:
+        w = raw.astype(np.int64, copy=False).view(np.uint64)
+    # pure function of the VALUE (no batch-dependent terms): resume must
+    # re-derive identical salts however the rows are re-batched
+    return _mix64(w * _U(0x9E3779B97F4A7C15))
+
+
 def hash_strings(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit hash per string: first/last 8 bytes + length, mixed."""
     n = len(offsets) - 1
@@ -97,8 +118,7 @@ def salted_keys(
 
     With ``source_col=None`` (tables without a grouping column) the key
     is a pure hash bucket ``all-<salt>``."""
-    data, offsets = string_buffers(batch.column(id_col))
-    h = hash_strings(data, offsets)
+    h = _id_hashes(batch.column(id_col))
     if source_col is None:
         k = max(1, salt_per_source.get("", 1))
         salts = (h % np.uint64(k)).astype(np.int64)
@@ -140,14 +160,30 @@ def _open_parquet(path: str) -> pq.ParquetFile:
 
 def _content_part_id(batch: pa.Table, id_col: str = "doc_id") -> str:
     """Content hash over the FULL id column (not just endpoints): two
-    distinct batches must never silently alias to one resume part-id."""
+    distinct batches must never silently alias to one resume part-id.
+
+    Handles string/binary ids via the raw utf8 buffers and any
+    fixed-width id column (int*, uint*, float*, temporal) via its value
+    buffer — sharded mode and ``encode_stream`` accept e.g. ``vec_id``
+    int64 ids, not only string ``doc_id``s."""
     ids = batch.column(id_col)
     ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-    data, offsets = string_buffers(ids)
     h = hashlib.sha1()
     h.update(str(batch.num_rows).encode())
-    h.update(offsets.tobytes())
-    h.update(data.tobytes())
+    h.update(str(ids.type).encode())
+    if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type) or pa.types.is_binary(
+        ids.type
+    ) or pa.types.is_large_binary(ids.type):
+        data, offsets = string_buffers(ids)
+        h.update(offsets.tobytes())
+        h.update(data.tobytes())
+    else:
+        # fixed-width: hash the values (nulls become a fixed sentinel) +
+        # the validity mask so null placement is part of the identity
+        vals = ids.fill_null(0) if ids.null_count else ids
+        h.update(np.ascontiguousarray(vals.to_numpy(zero_copy_only=False)).tobytes())
+        if ids.null_count:
+            h.update(np.asarray(pa.compute.is_null(ids)).tobytes())
     return h.hexdigest()[:16]
 
 

@@ -593,3 +593,74 @@ def test_pipeline_soak_randomized_schema(ray_session, tmp_path):
     )
     assert verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))["equal"]
     assert verify_artifact(outdir)["equal"]
+
+
+def test_encode_stream_integer_id_column(ray_session, tmp_path):
+    """Resume part-ids must accept fixed-width id columns (e.g. vec_id
+    int64), not only string ids — regression for _content_part_id
+    indexing string buffers on an integer array."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_stream
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages import stats as stats_mod
+
+    rng = np.random.default_rng(5)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(2_000, dtype=np.int64)),
+            "tokens": pa.array([rng.integers(0, 1000, 20).tolist() for _ in range(2_000)],
+                               pa.list_(pa.int32())),
+            "source": pa.array(["s" + str(i % 3) for i in range(2_000)]),
+        }
+    )
+    path = str(tmp_path / "vecs.parquet")
+    pq.write_table(tbl, path)
+    outdir = str(tmp_path / "out")
+    plan = stats_mod.build_plan([path], sample_rows=2_000, fsst_columns=(), dict_columns=("source",))
+    rep = encode_stream(
+        rd.read_parquet(path), outdir, plan=plan, target_rows_per_partition=500,
+        id_col="vec_id", row_fingerprint=True,
+    )
+    assert rep["rows"] == 2_000
+    v = verify_roundtrip(rd.read_parquet(path), decode_dataset(outdir))
+    assert v["equal"], v
+
+
+def test_asof_join_date32_right_side(ray_session):
+    """A date32 right_on must be normalized to epoch-us before the
+    comparison — not compared as raw day counts against microseconds."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, d, 12, 0) for d in (1, 5, 9)], pa.timestamp("us")
+            ),
+            "ev": pa.array([10, 11, 12], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "d": pa.array([datetime.date(2024, 1, 3), datetime.date(2024, 1, 8)], pa.date32()),
+            "okey": pa.array([100, 200], pa.int64()),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        by="k", left_on="ts", right_on="d",
+        left_cols=["ev"], right_cols=["okey"], tiebreak="okey",
+    ).to_pandas().sort_values("ev")
+    # day 1 noon: no order yet; day 5 noon: last is Jan 3; day 9 noon: Jan 8
+    assert out["okey"].isna().tolist() == [True, False, False]
+    assert out["okey"].dropna().astype(int).tolist() == [100, 200]

@@ -426,3 +426,44 @@ def test_image_feature_actor_on_real_ppm(ray_session):
         multimodal.ImageFeatureActor, batch_format="pyarrow", batch_size=6, concurrency=2
     ).take_all()
     assert len(out) == 12 and len(out[0]["features"]) == multimodal.ImageFeatureActor.FEAT_DIM
+
+
+def test_minhash_degenerate_identical_bucket_is_linear(ray_session):
+    """5000 identical docs must NOT generate O(n²) candidate pairs: the
+    bucket-level exact-duplicate fold emits a star (O(n) edges) around
+    the content representative, and the result still matches the full
+    transitive-closure semantics (one cluster, id = min doc_id)."""
+    import time
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import minhash_dedup
+
+    base = "identical boilerplate document body repeated across the corpus many times over"
+    near = base.replace("corpus", "körpus")
+    texts = [base] * 5000 + [near, "totally different text about nothing shared with the others at all"]
+    ids = list(range(10, 10 + len(texts)))
+    ds = rd.from_arrow(_doc_table(texts, ids=ids))
+    t0 = time.perf_counter()
+    out = minhash_dedup(ds, jaccard_threshold=0.6)
+    wall = time.perf_counter() - t0
+    got = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert len(got) == 5001  # all identical docs + the near dup, not the unrelated one
+    assert set(got.values()) == {10}
+    # O(n²) would be 12.5M pairs through verify — minutes here; the star
+    # fold keeps it seconds even on this throttled sandbox
+    assert wall < 60, wall
+
+
+def test_simhash_degenerate_identical_bucket_is_linear(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import simhash_dedup
+
+    base = "identical boilerplate document body repeated across the corpus many times over"
+    texts = [base] * 3000 + ["totally different text about nothing shared with the others at all"]
+    ds = rd.from_arrow(_doc_table(texts, ids=list(range(len(texts)))))
+    out = simhash_dedup(ds, max_hamming=3)
+    got = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert len(got) == 3000
+    assert set(got.values()) == {0}

@@ -32,7 +32,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha1("\n".join(rows).encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None, skip_entry: bool = False) -> int:
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
@@ -48,12 +48,15 @@ def main(sf_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    e = mod.entry()
-    print(f"entry(): {len(to_pandas(e))} rows OK")
+    if not skip_entry:
+        e = mod.entry()
+        print(f"entry(): {len(to_pandas(e))} rows OK")
 
     oracles = mod.oracle_sql()
     failures = 0
     for name, fn in mod.queries().items():
+        if only and name not in only:
+            continue
         got = to_pandas(fn(sf_dir))
         if name not in oracles:
             print(f"{name}: rows-only ({len(got)} rows)")
@@ -73,4 +76,12 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only_arg = next((a for a in sys.argv[1:] if a.startswith("--only=")), None)
+    sys.exit(
+        main(
+            args[0] if args else "/root/testdata/sf0.01",
+            only=set(only_arg.split("=", 1)[1].split(",")) if only_arg else None,
+            skip_entry="--skip-entry" in sys.argv,
+        )
+    )

@@ -391,6 +391,41 @@ def q_ann_topk_ivf(sf_dir: str):
     return out.select(["query_id", "rank", "vec_id"])
 
 
+def q_ann_topk_ivf_full(sf_dir: str):
+    """IVF in its RECALL-1 configuration: nprobe = n_clusters, so every
+    inverted list is probed and the result provably equals brute force —
+    which makes the full IVF path (per-list partition layout, per-list
+    scan, global merge) SQL-oracle-checkable. The PRUNED configuration
+    (nprobe < n_clusters, rows_scanned strictly below brute force) stays
+    in ``ann_topk_ivf``; this query is its correctness anchor."""
+    from parquetjs_ray.functions.ann import build_ivf_index, topk_ivf
+
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_ivf_{tag}_v{FORMAT_VERSION}")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_ivf_index(_emb(sf_dir), index_dir, n_clusters=16, sample_rows=2048)
+    out, stats = topk_ivf(index_dir, _query_vectors(sf_dir), k=10, nprobe=16)
+    assert stats["rows_read_union"] == stats["rows_total"], stats  # every list read
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """The pairwise exact-Jaccard verify operator in isolation, over a
+    deterministic candidate set (consecutive pairs of the 40 lowest
+    doc_ids) — integer jaccard_x1000, SQL-reproducible."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.functions.dedup import ngram_jaccard
+
+    ids = sorted(
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])["doc_id"].to_pylist()
+    )[:40]
+    pairs = [(ids[i], ids[i + 1]) for i in range(0, 39, 2)]
+    return ngram_jaccard(_docs(sf_dir), pairs, shingle_k=5)
+
+
 def q_events_asof_order(sf_dir: str):
     """As-of join: for each event, the user's most recent order at event
     time (backward as-of; ties on order date broken by max o_orderkey)."""
@@ -652,6 +687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_full": q_ann_topk_ivf_full,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "orders_by_nation": q_orders_by_nation,
@@ -756,6 +793,34 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "ann_topk_ivf_full": (
+            # recall-1 IVF (all lists probed) must equal exact brute force
+            "WITH q AS (SELECT embedding AS qe, row_number() OVER (ORDER BY vec_id) - 1 AS query_id "
+            " FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score "
+            " FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, row_number() OVER "
+            " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
+            "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "ngram_jaccard_pairs": (
+            # consecutive pairs of the 40 lowest doc_ids; exact char
+            # 5-gram Jaccard with the pipeline's integer arithmetic
+            "WITH ids AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn "
+            " FROM documents ORDER BY doc_id LIMIT 40), "
+            "p AS (SELECT x.doc_id AS a, y.doc_id AS b FROM ids x JOIN ids y ON y.rn = x.rn + 1 "
+            " WHERE x.rn % 2 = 1), "
+            "pos AS (SELECT d.doc_id, d.text, unnest(generate_series(1, greatest(length(d.text)-4, 1))) AS i "
+            " FROM documents d WHERE d.doc_id IN (SELECT a FROM p UNION SELECT b FROM p)), "
+            "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT p.a, p.b, count(*) AS c FROM p "
+            " JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b AND y.g = x.g GROUP BY p.a, p.b) "
+            "SELECT p.a, p.b, "
+            "coalesce(1000 * i.c // greatest(sa.n + sb.n - i.c, 1), 0)::BIGINT AS jaccard_x1000 "
+            "FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b "
+            "LEFT JOIN inter i ON i.a = p.a AND i.b = p.b"
         ),
         "events_asof_order": (
             "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "

@@ -171,8 +171,24 @@ def run_headline() -> dict:
     assert n_dec == rows, (n_dec, rows)
     t0 = time.perf_counter()
     dec_count, dec_hash = dataset_fingerprint(decode_dataset(out_dir))
-    t_verify = time.perf_counter() - t0
+    t_verify_frag = time.perf_counter() - t0
     verdict = {"equal": (orig_count == dec_count) and (orig_hash == dec_hash)}
+
+    # ── timed compaction + verify of the compacted artifact ──
+    # files mode writes files×keys small fragments (shuffle-freedom has a
+    # fragment-count cost at bench scale); compaction consolidates each
+    # partition shuffle-free, and the production verify shape is
+    # fragment-write → compact → verify, so decode_verify reports the
+    # compacted read path with the compact cost itemized alongside.
+    from parquetjs_ray.pipelines.encode import compact_dataset
+
+    t0 = time.perf_counter()
+    compact_dataset(out_dir)
+    t_compact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cdec_count, cdec_hash = dataset_fingerprint(decode_dataset(out_dir))
+    t_verify = time.perf_counter() - t0
+    verdict["equal"] = verdict["equal"] and (orig_count == cdec_count) and (orig_hash == cdec_hash)
 
     # ── query timings over the driver's tables ──
     qtimes: dict[str, float] = {}
@@ -212,6 +228,8 @@ def run_headline() -> dict:
             "encode": round(t_encode, 3),
             "decode_only": round(t_decode, 3),
             "decode_verify": round(t_verify, 3),
+            "decode_verify_fragmented": round(t_verify_frag, 3),
+            "compact": round(t_compact, 3),
             **qtimes,
         },
     }

@@ -59,7 +59,7 @@ def collect_segment_ranges(meta: dict) -> list[tuple[int, int]]:
             out.append((int(seg[0]), int(seg[1])))
         if "validity" in m:
             out.append((int(m["validity"][0]), int(m["validity"][1])))
-        for sub in ("lens", "values", "child"):
+        for sub in ("lens", "values", "child", "inner"):
             if isinstance(m.get(sub), dict):
                 walk(m[sub])
         for f in m.get("fields", {}).values():
@@ -74,15 +74,31 @@ def _segment(chunk, seg: list[int]):
     return chunk[off : off + ln]
 
 
-def _decode_int_stream(chunk: memoryview, meta_sub: dict, np_t) -> np.ndarray:
+def _decode_int_stream(chunk: memoryview, meta_sub: dict, np_t, state: EncoderState | None = None) -> np.ndarray:
     codec = meta_sub["codec"]
     segs = meta_sub["segments"]
     params = meta_sub["params"]
+    if codec == "dict_ranks":
+        codes = _decode_int_stream(chunk, meta_sub["inner"], np.int64)
+        card = int(params["card"])
+        out = np.empty(len(codes), dtype=np.int64)
+        in_dict = codes < card
+        out[in_dict] = state.rank2val[codes[in_dict]]
+        if params["n_exc"]:
+            pos = fornum.decode(_segment(chunk, segs["exc_pos"]), params["exc_pos_for"])
+            val = fornum.decode(_segment(chunk, segs["exc_val"]), params["exc_val_for"])
+            out[pos] = val
+        return out.astype(np_t, copy=False)
     if codec == "pfor":
         from ..codecs import pfor as pfor_mod
 
         bufs = {k: _segment(chunk, segs[k]) for k in ("base", "exc_pos", "exc_val")}
         return pfor_mod.decode(bufs, params["pfor"], dtype=np_t)
+    if codec == "vpack":
+        from ..codecs import vpack as vpack_mod
+
+        bufs = {k: _segment(chunk, segs[k]) for k in ("sel", "c0", "c1", "c2", "c3")}
+        return vpack_mod.decode(bufs, params["vpack"], dtype=np_t)
     return fornum.decode(_segment(chunk, segs["data"]), params["for"], dtype=np_t)
 
 
@@ -116,14 +132,14 @@ def decode_chunk(chunk, manifest: dict, state: EncoderState) -> pa.Table:
         elif codec == "plain":
             data, offsets = plain.decode_byte_array(_segment(chunk, segs["data"]), n)
             arrays[name] = strings_from_buffers(data, offsets)
-        elif codec in ("for_rle", "pfor"):
+        elif codec in ("for_rle", "pfor", "vpack"):
             pa_t, np_t = _INT_TYPES[meta["dtype"]]
             vals = _decode_int_stream(chunk, meta, np_t)
             arrays[name] = pa.array(vals, type=pa_t)
         elif codec == "list_int":
             pa_t, np_t = _INT_TYPES[meta["dtype"]]
             lens = _decode_int_stream(chunk, meta["lens"], np.int64)
-            flat = _decode_int_stream(chunk, meta["values"], np_t)
+            flat = _decode_int_stream(chunk, meta["values"], np_t, state)
             arrays[name] = list_from_buffers(flat, lens, pa_t)
         else:
             raise ValueError(f"unknown codec {codec!r} for column {name}")

@@ -52,6 +52,16 @@ class EncoderState:
         self.source_dict = plan.source_dict_array() if plan.source_dict else None
         self.fsst_table = plan.fsst_table()
         self.stats = plan.stats
+        # token rank dict: rank → value array + dense value → rank LUT,
+        # built once per actor from the broadcast plan (never per batch)
+        self.token_dict_column = getattr(plan, "token_dict_column", None)
+        self.rank2val: np.ndarray | None = None
+        self.token_lut: np.ndarray | None = None
+        if self.token_dict_column and plan.token_dict_vals:
+            self.rank2val = np.asarray(plan.token_dict_vals, dtype=np.int64)
+            lut = np.full(int(self.rank2val.max()) + 1, len(self.rank2val), dtype=np.int32)
+            lut[self.rank2val] = np.arange(len(self.rank2val), dtype=np.int32)
+            self.token_lut = lut
 
 
 class _ChunkBuilder:
@@ -71,14 +81,16 @@ class _ChunkBuilder:
 
 
 def encode_int_stream(values: np.ndarray, cb: _ChunkBuilder) -> tuple[str, dict, dict]:
-    """Integer stream: choose FOR+RLE vs PFOR per chunk.
+    """Integer stream: choose FOR+RLE vs PFOR vs vpack per chunk.
 
     FOR+RLE wins on run-heavy data (repeated values collapse to runs);
-    PFOR wins on heavy-tailed value distributions (Zipf token ids) where
-    a few outliers would force the full tail width on every value. The
-    decision uses the chunk's own bit-length histogram + transition
+    PFOR wins on heavy-tailed distributions where a few outliers would
+    force the full tail width on every value; vpack (4 width classes +
+    2-bit selector) wins on SMOOTH heavy tails (Zipf token ids) where
+    even PFOR's single base width overpays for the huge low-rank head.
+    The decision uses the chunk's own bit-length histogram + transition
     count — the per-chunk auto-selection the north rule asks for."""
-    from ..codecs import pfor as pfor_mod
+    from ..codecs import pfor as pfor_mod, vpack as vpack_mod
     from ..codecs.bitpack import _unsigned_view
 
     v = np.ascontiguousarray(values)
@@ -94,11 +106,21 @@ def encode_int_stream(values: np.ndarray, cb: _ChunkBuilder) -> tuple[str, dict,
         transitions = int((np.diff(v) != 0).sum()) + 1
         est_for_upper = n * full_width / 8
         _, est_pfor = pfor_mod.choose_width(residuals, full_width)
+        counts_hist = np.bincount(vpack_mod._bitlens(residuals), minlength=65)
+        _, est_vpack = vpack_mod.choose_classes(counts_hist, full_width, n)
         run_heavy = transitions < 0.6 * n  # runs → RLE hybrid pays
-        if not run_heavy and est_pfor < 0.9 * est_for_upper:
-            bufs, params = pfor_mod.encode(v)
-            segments = {k: cb.add_segment(b) for k, b in bufs.items()}
-            return "pfor", segments, {"pfor": params}
+        if not run_heavy:
+            if est_vpack < 0.9 * min(est_for_upper, est_pfor):
+                bufs, params = vpack_mod.encode(v)
+                segments = {k: cb.add_segment(b) for k, b in bufs.items()}
+                return "vpack", segments, {
+                    "vpack": params,
+                    "estimates": {"for_upper": est_for_upper, "pfor": round(est_pfor, 1), "vpack": round(est_vpack, 1)},
+                }
+            if est_pfor < 0.9 * est_for_upper:
+                bufs, params = pfor_mod.encode(v)
+                segments = {k: cb.add_segment(b) for k, b in bufs.items()}
+                return "pfor", segments, {"pfor": params}
     buf, params = fornum.encode(v)
     return "for_rle", {"data": cb.add_segment(buf)}, {"for": params}
 
@@ -178,23 +200,102 @@ def _encode_int(name: str, arr: pa.Array, cb: _ChunkBuilder) -> dict:
     return meta
 
 
-def _encode_list_int(name: str, arr: pa.Array, cb: _ChunkBuilder) -> dict:
+def estimate_int_stream(values: np.ndarray) -> float:
+    """Best lightweight-codec size estimate for an int stream (no encode):
+    min of FOR-upper-bound, PFOR and vpack histogram costs."""
+    from ..codecs import pfor as pfor_mod, vpack as vpack_mod
+    from ..codecs.bitpack import _unsigned_view
+
+    v = np.ascontiguousarray(values)
+    n = len(v)
+    if n == 0:
+        return 0.0
+    lo = int(v.min())
+    full_width = max(bit_width(int(v.max()) - lo), 1)
+    if v.dtype.itemsize <= 4:
+        residuals = np.subtract(v, v.dtype.type(lo)).view(f"u{v.dtype.itemsize}")
+    else:
+        residuals = _unsigned_view(np.subtract(v, lo))
+    _, est_pfor = pfor_mod.choose_width(residuals, full_width)
+    counts = np.bincount(vpack_mod._bitlens(residuals), minlength=65)
+    _, est_vpack = vpack_mod.choose_classes(counts, full_width, n)
+    return min(n * full_width / 8, est_pfor, est_vpack)
+
+
+def _encode_token_values(flat: np.ndarray, state: EncoderState, cb: _ChunkBuilder) -> dict | None:
+    """dict-of-top-ids branch for a token value stream: remap values to
+    global frequency ranks (dense-LUT gather), keep out-of-dict values
+    as (position, value) exception side streams, and encode the rank
+    codes with the normal int-stream selector. Chosen per chunk only
+    when the mapped histogram estimate beats the raw one — both
+    estimates are logged either way."""
+    lut = state.token_lut
+    if lut is None or flat.dtype.kind not in "iu":
+        return None
+    v = flat.astype(np.int64, copy=False)
+    card = len(state.rank2val)
+    oob = (v < 0) | (v >= len(lut))
+    codes = np.where(oob, np.int64(card), lut[np.minimum(np.maximum(v, 0), len(lut) - 1)].astype(np.int64))
+    est_raw = estimate_int_stream(flat)
+    est_map = estimate_int_stream(codes)
+    n_exc = int((codes == card).sum())
+    est_map += n_exc * 6.0
+    if est_map >= 0.95 * est_raw:
+        return {"skipped": {"dict_ranks": round(est_map, 1), "raw": round(est_raw, 1)}}
+    exc_pos = np.flatnonzero(codes == card)
+    from ..codecs import fornum as fornum_mod
+
+    pos_buf, pos_params = fornum_mod.encode(exc_pos)
+    val_buf, val_params = fornum_mod.encode(v[exc_pos])
+    inner_codec, inner_segs, inner_params = encode_int_stream(codes, cb)
+    return {
+        "codec": "dict_ranks",
+        "inner": {"codec": inner_codec, "segments": inner_segs, "params": inner_params},
+        "segments": {"exc_pos": cb.add_segment(pos_buf), "exc_val": cb.add_segment(val_buf)},
+        "params": {
+            "card": card,
+            "n_exc": n_exc,
+            "exc_pos_for": pos_params,
+            "exc_val_for": val_params,
+        },
+        "estimates": {"dict_ranks": round(est_map, 1), "raw": round(est_raw, 1)},
+    }
+
+
+def _encode_list_int(name: str, arr: pa.Array, cb: _ChunkBuilder, state: EncoderState | None = None) -> dict:
     flat, lengths = list_buffers(arr)
     raw_bytes = flat.dtype.itemsize * len(flat) + 4 * (len(lengths) + 1)
     len_codec, len_segs, len_params = encode_int_stream(lengths, cb)
-    val_codec, val_segs, val_params = encode_int_stream(flat, cb)
+    values_meta = None
+    if state is not None and state.token_dict_column == name:
+        values_meta = _encode_token_values(flat, state, cb)
+    skipped = None
+    if values_meta is not None and "skipped" in values_meta:
+        skipped, values_meta = values_meta["skipped"], None
+    if values_meta is None:
+        val_codec, val_segs, val_params = encode_int_stream(flat, cb)
+        values_meta = {"codec": val_codec, "segments": val_segs, "params": val_params}
+        if skipped:
+            values_meta["estimates"] = skipped
     meta = {
         "codec": "list_int",
         "lens": {"codec": len_codec, "segments": len_segs, "params": len_params},
-        "values": {"codec": val_codec, "segments": val_segs, "params": val_params},
+        "values": values_meta,
         "segments": {},  # sub-streams carry their own segment refs
         "raw_bytes": raw_bytes,
         "count": len(arr),
         "n_values": len(flat),
         "dtype": str(arr.type.value_type),
     }
-    meta["enc_bytes"] = _seg_bytes(len_segs) + _seg_bytes(val_segs)
+    meta["enc_bytes"] = _seg_bytes(len_segs) + _enc_bytes_of(values_meta)
     return meta
+
+
+def _enc_bytes_of(values_meta: dict) -> int:
+    total = _seg_bytes(values_meta.get("segments", {}))
+    if "inner" in values_meta:
+        total += _seg_bytes(values_meta["inner"].get("segments", {}))
+    return total
 
 
 def encode_table(table: pa.Table, state: EncoderState) -> tuple[bytes, dict]:
@@ -221,7 +322,7 @@ def encode_table(table: pa.Table, state: EncoderState) -> tuple[bytes, dict]:
             and pa.types.is_integer(t.value_type)
             and arr.values.null_count == 0
         ):
-            columns[name] = _encode_list_int(name, arr, cb)
+            columns[name] = _encode_list_int(name, arr, cb, state)
         else:
             # general path: recursive Arrow shredding (nulls, nesting,
             # bool/float/temporal/fixed types — the reference's full surface)

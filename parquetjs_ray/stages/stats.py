@@ -28,6 +28,10 @@ __all__ = ["batch_stats", "merge_stats", "build_plan", "sample_paths"]
 
 _STR_SAMPLES_PER_BATCH = 64
 _DISTINCT_CAP = 4096
+_FREQ_CAP = 1 << 14  # per-batch partial frequency entries for token dicts
+_INT_SAMPLES_PER_BATCH = 8192
+TOKEN_DICT_MAX_CARD = 1 << 16  # top-K ids kept in the global rank dict
+_TOKEN_DICT_MAX_VALUE = 1 << 22  # dense-LUT bound for encoder-side remap
 
 
 def batch_stats(batch: pa.Table) -> pa.Table:
@@ -71,6 +75,17 @@ def batch_stats(batch: pa.Table) -> pa.Table:
                 v64 = values.astype(np.int64, copy=False)
                 s["min"], s["max"] = int(v64.min()), int(v64.max())
                 s["runs"] = int((np.diff(v64) != 0).sum()) + 1
+                if pa.types.is_list(t):
+                    # token-dict inputs: per-batch value frequencies
+                    # (top-capped partial; merged+truncated on the driver)
+                    # + a small raw sample for the remap-gain estimate
+                    uniq, cnt = np.unique(v64, return_counts=True)
+                    if len(uniq) > _FREQ_CAP:
+                        top = np.argpartition(-cnt, _FREQ_CAP - 1)[:_FREQ_CAP]
+                        uniq, cnt = uniq[top], cnt[top]
+                    s["freq"] = (uniq, cnt)
+                    step = max(1, len(v64) // _INT_SAMPLES_PER_BATCH)
+                    s["vals_sample"] = v64[::step][:_INT_SAMPLES_PER_BATCH].copy()
             else:
                 s["min"] = s["max"] = None
                 s["runs"] = 0
@@ -105,6 +120,16 @@ def merge_stats(blobs: list[bytes]) -> dict[str, dict]:
                 if len(m["distinct"]) > _DISTINCT_CAP:
                     m["distinct_overflow"] = True
             m["samples"] += s.get("samples", [])
+            if "freq" in s:
+                uniq, cnt = s["freq"]
+                fr = m.setdefault("freq", {})
+                for u, c in zip(uniq.tolist(), cnt.tolist()):
+                    fr[u] = fr.get(u, 0) + c
+                if len(fr) > 4 * TOKEN_DICT_MAX_CARD:  # bound driver memory
+                    keep = sorted(fr.items(), key=lambda kv: -kv[1])[: 2 * TOKEN_DICT_MAX_CARD]
+                    m["freq"] = dict(keep)
+            if "vals_sample" in s:
+                m.setdefault("vals_samples", []).append(s["vals_sample"])
             for val, cnt in s.get("hist", {}).items():
                 m.setdefault("hist", {})
                 m["hist"][val] = m["hist"].get(val, 0) + cnt
@@ -133,6 +158,7 @@ def build_plan(
     max_sample_files: int = 8,
     fsst_columns: tuple[str, ...] = ("doc_id",),
     dict_columns: tuple[str, ...] = ("source",),  # may be empty
+    token_dict_columns: tuple[str, ...] = ("tokens",),
 ) -> EncodePlan:
     """Run the sampling pass (a small Ray Data job) and build the plan."""
     ds = rd.read_parquet(sample_paths(paths, max_sample_files)).limit(sample_rows)
@@ -158,6 +184,8 @@ def build_plan(
         if name in dict_columns and not m["distinct_overflow"] and m["distinct"]:
             plan.source_dict = sorted(m["distinct"])
             plan.source_hist = dict(m.get("hist", {}))
+        if name in token_dict_columns and m.get("freq") and m.get("vals_samples"):
+            _maybe_token_dict(plan, name, m)
         if name in fsst_columns and m["samples"]:
             table = fsst_mod.train(m["samples"][: 2 * _STR_SAMPLES_PER_BATCH * max_sample_files])
             blob = b"".join(m["samples"][:512])
@@ -169,3 +197,34 @@ def build_plan(
                 cs.fsst_ratio = len(codes) / max(1, len(blob))
                 plan.fsst_symbols = table.symbols
     return plan
+
+
+def _maybe_token_dict(plan: EncodePlan, name: str, m: dict) -> None:
+    """Build the global dict-of-top-ids (value → frequency rank) when the
+    sampled remap-gain estimate says rank codes pack tighter than raw
+    values — the reference's never-implemented dictionary-page idea
+    (`/root/reference/parquet.thrift:306-311` enumerates PLAIN_DICTIONARY;
+    `lib/codec` has no implementation), realized Ray-side: the dict is
+    built ONCE from the sampling pass and broadcast in the plan; each
+    chunk still decides raw-vs-remap from its own histogram. Values
+    outside the dense-LUT bound disable the dict (id spaces beyond a
+    vocab-sized range would need a hash map, not worth it)."""
+    from ..codecs import vpack as vpack_mod
+    from ..codecs.bitpack import bit_width
+
+    if m["min"] is None or m["min"] < 0 or m["max"] >= _TOKEN_DICT_MAX_VALUE:
+        return
+    freq = sorted(m["freq"].items(), key=lambda kv: (-kv[1], kv[0]))[:TOKEN_DICT_MAX_CARD]
+    vals = np.array([v for v, _ in freq], dtype=np.int64)
+    sample = np.concatenate(m["vals_samples"])
+    lut = np.full(int(m["max"]) + 1, len(vals), dtype=np.int64)
+    lut[vals] = np.arange(len(vals))
+    mapped = lut[sample]
+    raw_res = (sample - sample.min()).astype(np.uint64)
+    est_raw = vpack_mod.estimate(raw_res, max(bit_width(int(raw_res.max(initial=0))), 1))
+    est_map = vpack_mod.estimate(mapped.astype(np.uint64), max(bit_width(int(mapped.max(initial=0))), 1))
+    gain = est_map / max(est_raw, 1e-9)
+    plan.stats[name].token_remap_gain = round(float(gain), 4)
+    if gain < 0.85:  # conservative: global sample mixes sources, chunks are tighter
+        plan.token_dict_column = name
+        plan.token_dict_vals = vals.tolist()

@@ -23,7 +23,7 @@ from ..codecs.fsst import FsstTable
 
 __all__ = ["ColumnStats", "EncodePlan", "save_plan", "load_plan"]
 
-FORMAT_VERSION = 3  # v3: bss/num_zstd floats, zstd binary payloads, fp_* manifest keys (v2 artifacts remain readable)
+FORMAT_VERSION = 4  # v4: vpack int codec + optional token rank dict (v2/v3 artifacts remain readable)
 
 
 @dataclass
@@ -38,6 +38,7 @@ class ColumnStats:
     mean_run: float = 1.0  # mean equal-value run length
     avg_len: float = 0.0  # strings: mean byte length
     fsst_ratio: float | None = None  # sampled encoded/raw ratio
+    token_remap_gain: float | None = None  # sampled rank-dict/raw size ratio
 
 
 @dataclass
@@ -46,6 +47,8 @@ class EncodePlan:
     source_hist: dict[str, int] = field(default_factory=dict)  # sampled per-source counts (skew/salting)
     fsst_symbols: list[bytes] = field(default_factory=list)
     stats: dict[str, ColumnStats] = field(default_factory=dict)
+    token_dict_column: str | None = None  # list<int> column with a rank dict
+    token_dict_vals: list[int] = field(default_factory=list)  # rank → value
     version: int = FORMAT_VERSION
 
     def source_dict_array(self) -> pa.Array:
@@ -66,6 +69,8 @@ def save_plan(plan: EncodePlan, out_dir: str) -> str:
         "source_hist": plan.source_hist,
         "fsst_symbols": [s.hex() for s in plan.fsst_symbols],
         "stats": {k: vars(v) for k, v in plan.stats.items()},
+        "token_dict_column": plan.token_dict_column,
+        "token_dict_vals": plan.token_dict_vals,
     }
     path = st.join(art, "plan.json")
     st.write_json_atomic(path, doc)
@@ -81,5 +86,7 @@ def load_plan(out_dir: str) -> EncodePlan:
         source_hist=doc.get("source_hist", {}),
         fsst_symbols=[bytes.fromhex(h) for h in doc["fsst_symbols"]],
         stats={k: ColumnStats(**v) for k, v in doc["stats"].items()},
+        token_dict_column=doc.get("token_dict_column"),
+        token_dict_vals=doc.get("token_dict_vals", []),
         version=doc["version"],
     )

@@ -111,3 +111,101 @@ def test_fsst_random_binary(seed):
     out_data, out_offs = fsst.decode(table, codes, code_offs)
     assert out_data == data.tobytes()
     assert out_offs.tolist() == offsets.tolist()
+
+
+# ───────────────────────── vpack ─────────────────────────
+
+
+def _vpack_roundtrip(vals, dtype=np.int64):
+    from parquetjs_ray.codecs import vpack
+
+    bufs, params = vpack.encode(np.asarray(vals, dtype=dtype))
+    got = vpack.decode(bufs, params, dtype=dtype)
+    assert got.dtype == np.dtype(dtype)
+    assert got.tolist() == np.asarray(vals, dtype=dtype).tolist()
+    return bufs, params
+
+
+def test_vpack_roundtrip_zipf_beats_pfor():
+    from parquetjs_ray.codecs import pfor, vpack
+
+    rng = np.random.default_rng(3)
+    pmf = np.arange(1, 50258, dtype=np.float64) ** (-1.3)
+    cdf = np.cumsum(pmf / pmf.sum())
+    vals = (np.searchsorted(cdf, rng.random(100_000)) + 1).astype(np.int32)
+    bufs, params = _vpack_roundtrip(vals, np.int32)
+    vp_bytes = sum(len(b) for b in bufs.values())
+    pf_bufs, _ = pfor.encode(vals)
+    pf_bytes = sum(len(b) for b in pf_bufs.values())
+    assert vp_bytes < 0.75 * pf_bytes, (vp_bytes, pf_bytes)
+    assert sorted(params["widths"]) == params["widths"] and len(params["widths"]) == 4
+
+
+@pytest.mark.parametrize(
+    "vals,dtype",
+    [
+        ([], np.int64),
+        ([7], np.int32),
+        ([5, 5, 5, 5], np.int64),
+        ([-1000, -999, 3, 1 << 40], np.int64),
+        (list(range(300)) + [1 << 20] * 3, np.int32),
+        ([0, 1, 2**63 - 1, 2**64 - 1], np.uint64),  # ref + residual at full width
+    ],
+)
+def test_vpack_roundtrip_edges(vals, dtype):
+    _vpack_roundtrip(vals, dtype)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_vpack_roundtrip_random_mixed(seed):
+    rng = np.random.default_rng(seed)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 50, 5_000),
+            rng.integers(0, 1 << 16, 1_000),
+            rng.integers(0, 1 << 30, 50),
+            np.repeat(rng.integers(0, 100, 10), 100),
+        ]
+    ).astype(np.int64)
+    rng.shuffle(vals)
+    _vpack_roundtrip(vals, np.int64)
+
+
+def test_vpack_golden_bytes():
+    """Pin the stream layout: 2-bit LSB-first selector + per-class
+    LSB-first packed residuals (same bit order as the reference's RLE
+    bit-packing, test/codec_rle.js style golden)."""
+    from parquetjs_ray.codecs import vpack
+
+    vals = np.array([10, 11, 10, 12, 18, 74, 10, 11], dtype=np.int64)
+    bufs, params = vpack.encode(vals)
+    assert params["ref"] == 10 and params["count"] == 8
+    # residuals 0,1,0,2,8,64,0,1 → bitlens 0,1,0,2,4,7,0,1; classes for
+    # widths [1,2,4,7] → sel 0,0,0,1,2,3,0,0
+    assert params["widths"] == [1, 2, 4, 7]
+    assert params["class_counts"] == [5, 1, 1, 1]
+    assert bufs["sel"].hex() == "400e"  # 2-bit LSB-first: 0,0,0,1 | 2,3,0,0
+    assert bufs["c0"].hex() == "12"  # 1-bit LSB-first: 0,1,0,0,1 → 0b10010
+    assert bufs["c1"].hex() == "02"  # 2-bit: 2
+    assert bufs["c2"].hex() == "08"  # 4-bit: 8
+    assert bufs["c3"].hex() == "40"  # 7-bit: 64
+    got = vpack.decode(bufs, params)
+    assert got.tolist() == vals.tolist()
+
+
+def test_int_stream_selector_picks_vpack_on_zipf():
+    from parquetjs_ray.stages.encoder import _ChunkBuilder, encode_int_stream
+
+    rng = np.random.default_rng(9)
+    pmf = np.arange(1, 50258, dtype=np.float64) ** (-1.3)
+    cdf = np.cumsum(pmf / pmf.sum())
+    vals = (np.searchsorted(cdf, rng.random(50_000)) + 1).astype(np.int32)
+    cb = _ChunkBuilder()
+    codec, segs, params = encode_int_stream(vals, cb)
+    assert codec == "vpack"
+    assert set(params["estimates"]) == {"for_upper", "pfor", "vpack"}
+    # run-heavy data still routes to the RLE hybrid
+    runs = np.repeat(rng.integers(0, 1000, 100), 200).astype(np.int32)
+    cb2 = _ChunkBuilder()
+    codec2, _, _ = encode_int_stream(runs, cb2)
+    assert codec2 == "for_rle"

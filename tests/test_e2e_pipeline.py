@@ -664,3 +664,58 @@ def test_asof_join_date32_right_side(ray_session):
     # day 1 noon: no order yet; day 5 noon: last is Jan 3; day 9 noon: Jan 8
     assert out["okey"].isna().tolist() == [True, False, False]
     assert out["okey"].dropna().astype(int).tolist() == [100, 200]
+
+
+def test_token_rank_dict_selected_on_scrambled_vocab(ray_session, tmp_path):
+    """dict-of-top-ids: when token VALUES are uncorrelated with frequency
+    (scrambled vocab), the plan builds a global rank dict and chunks
+    select the dict_ranks branch (rank codes pack far tighter than raw
+    values); round-trip stays exact, including out-of-dict exceptions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages.writer import read_global_manifest
+    from parquetjs_ray import storage as st
+
+    rng = np.random.default_rng(11)
+    vocab = 50_000
+    # frequency rank r maps to a SCRAMBLED value in [0, 2^21)
+    perm = rng.choice(1 << 21, vocab, replace=False).astype(np.int64)
+    pmf = np.arange(1, vocab + 1, dtype=np.float64) ** (-1.3)
+    cdf = np.cumsum(pmf / pmf.sum())
+    rows, per = 3_000, 120
+    ranks = np.searchsorted(cdf, rng.random(rows * per))
+    flat = perm[ranks].astype(np.int32)
+    offsets = np.arange(0, (rows + 1) * per, per, dtype=np.int32)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:08d}" for i in range(rows)]),
+            "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+            "n_tok": pa.array(np.full(rows, per, dtype=np.int32)),
+            "source": pa.array(["s0"] * rows),
+        }
+    )
+    path = str(tmp_path / "scrambled.parquet")
+    pq.write_table(tbl, path)
+    outdir = str(tmp_path / "out")
+    rep = encode_dataset([path], outdir, mode="files", target_rows_per_partition=1_000, sample_rows=3_000)
+    # the dict branch must actually have been chosen for at least one chunk
+    manifest = read_global_manifest(outdir)
+    chose_dict = False
+    for part in manifest["partitions"]:
+        pdir = st.join(outdir, f"part-{part['partition']}")
+        for frag in st.list_names(pdir):
+            if not frag.endswith(".json"):
+                continue
+            m = st.read_json(st.join(pdir, frag))
+            vm = m.get("columns", {}).get("tokens", {}).get("values", {})
+            if vm.get("codec") == "dict_ranks":
+                chose_dict = True
+                assert vm["estimates"]["dict_ranks"] < vm["estimates"]["raw"]
+    assert chose_dict, "dict_ranks was never selected on scrambled-vocab tokens"
+    v = verify_roundtrip(rd.read_parquet(path), decode_dataset(outdir))
+    assert v["equal"], v

@@ -26,6 +26,10 @@ __all__ = [
     "decode_byte_array",
     "encode_fixed",
     "decode_fixed",
+    "encode_int96",
+    "decode_int96",
+    "interval_to_bytes",
+    "interval_from_bytes",
 ]
 
 _NUMERIC_DTYPES = {
@@ -109,3 +113,44 @@ def decode_fixed(buf: bytes, type_length: int, count: int) -> bytes:
     if len(buf) < type_length * count:
         raise ValueError("fixed-length buffer too small")
     return bytes(buf[: type_length * count])
+
+
+def encode_int96(values: np.ndarray) -> bytes:
+    """PLAIN INT96: 12-byte little-endian values, byte-identical to the
+    reference (`/root/reference/lib/codec/plain.js:70-84`): low 8 bytes =
+    int64 LE, upper 4 bytes = sign extension (0 or 0xFFFFFFFF).
+
+    Divergence (documented): the reference reads/writes through INT53,
+    truncating to JS's 53-bit float precision; this implementation is
+    EXACT over the full int64 range (identical bytes wherever the
+    reference is exact)."""
+    v = np.ascontiguousarray(values, dtype="<i8")
+    out = np.zeros((len(v), 12), dtype=np.uint8)
+    out[:, :8] = v.view(np.uint8).reshape(-1, 8)
+    out[:, 8:] = np.where((v < 0)[:, None], np.uint8(0xFF), np.uint8(0))
+    return out.tobytes()
+
+
+def decode_int96(buf: bytes | memoryview, count: int) -> np.ndarray:
+    """Inverse of :func:`encode_int96` (the reference's high-word branch,
+    `plain.js:87-103`, reduces to the identity on two's-complement int64)."""
+    b = np.frombuffer(buf, dtype=np.uint8, count=count * 12).reshape(count, 12)
+    return np.ascontiguousarray(b[:, :8]).view("<i8").ravel().copy()
+
+
+def interval_to_bytes(months: np.ndarray, days: np.ndarray, millis: np.ndarray) -> bytes:
+    """Parquet INTERVAL logical type: 12-byte FIXED_LEN_BYTE_ARRAY of
+    (months, days, milliseconds) as uint32 LE each — byte-identical to
+    the reference's toPrimitive_INTERVAL (`/root/reference/lib/types.js:382-401`)."""
+    n = len(months)
+    out = np.empty((n, 3), dtype="<u4")
+    out[:, 0] = months
+    out[:, 1] = days
+    out[:, 2] = millis
+    return out.tobytes()
+
+
+def interval_from_bytes(buf: bytes | memoryview, count: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`interval_to_bytes` → (months, days, millis) uint32."""
+    m = np.frombuffer(buf, dtype="<u4", count=count * 3).reshape(count, 3)
+    return m[:, 0].copy(), m[:, 1].copy(), m[:, 2].copy()

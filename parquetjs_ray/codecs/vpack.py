@@ -25,12 +25,39 @@ import itertools
 
 import numpy as np
 
-from .bitpack import _unsigned_view, bit_width, pack_bits, unpack_bits
+from .bitpack import (
+    _unsigned_view,
+    bit_width,
+    pack_bits,
+    pack_words,
+    unpack_bits,
+    unpack_words,
+)
 
 __all__ = ["choose_classes", "estimate", "encode", "decode"]
 
 _N_CLASSES = 4
 _HEADER_COST = 48.0  # params + 4 segment refs, amortized estimate
+_BYTE_WIDTHS = (8, 16, 32, 64)
+
+
+def _layout_of(width: int) -> str:
+    """Per-class stream layout: straight byte cast where possible, per-bit
+    packing for tiny widths (few passes), k-per-word packing otherwise
+    (strided passes beat per-bit loops 3-5× at widths 5..32)."""
+    if width in _BYTE_WIDTHS:
+        return "bytes"
+    if width <= 4:
+        return "bits"
+    return "words"
+
+
+def _eff_bits(width: int) -> float:
+    """Stored bits per value under :func:`_layout_of` (words layout wastes
+    64 mod width bits per word) — what the cost model must charge."""
+    if _layout_of(width) == "words":
+        return 64.0 / (64 // width)
+    return float(width)
 
 
 def _bitlens(residuals: np.ndarray) -> np.ndarray:
@@ -51,6 +78,8 @@ def choose_classes(counts: np.ndarray, full_width: int, n: int) -> tuple[list[in
         return [max(full_width, 1)] * _N_CLASSES, float("inf")
     cum = np.cumsum(counts[: full_width + 1])  # cum[w] = #values with bitlen ≤ w
     present = [w for w in range(1, full_width) if counts[w] > 0 or w == 1]
+    if len(present) > 16:  # bound the C(n,3) search on wide-spread data
+        present = sorted(sorted(present, key=lambda w: -counts[w])[:16])
     best_ws, best_cost = None, float("inf")
     for combo in itertools.combinations(present, min(3, len(present))):
         ws = sorted(set(list(combo) + [full_width]))
@@ -63,7 +92,7 @@ def choose_classes(counts: np.ndarray, full_width: int, n: int) -> tuple[list[in
             if w in seen:
                 continue
             seen.add(w)
-            cost += (int(cum[w]) - prev) * w / 8.0
+            cost += (int(cum[w]) - prev) * _eff_bits(w) / 8.0
             prev = int(cum[w])
         if cost < best_cost:
             best_ws, best_cost = ws[:_N_CLASSES], cost
@@ -77,34 +106,69 @@ def estimate(residuals: np.ndarray, full_width: int) -> float:
     return cost
 
 
-def encode(values: np.ndarray) -> tuple[dict[str, bytes], dict]:
-    """→ ({"sel":…, "c0":…,"c1":…,"c2":…,"c3":…}, params)."""
+def _classes_of(residuals: np.ndarray, widths: list[int]) -> np.ndarray:
+    """Class index per value via three threshold compares (uint8) — no
+    bit-length pass, no searchsorted; ~3 cheap C passes total."""
+    cls = np.zeros(len(residuals), dtype=np.uint8)
+    for w in widths[:-1]:
+        if w >= 64:
+            continue
+        cls += residuals > residuals.dtype.type((1 << w) - 1)
+    return cls
+
+
+def encode(values: np.ndarray, _pre: tuple | None = None) -> tuple[dict[str, bytes], dict]:
+    """→ ({"sel":…, "c0":…,"c1":…,"c2":…,"c3":…}, params).
+
+    ``_pre`` = (lo, residuals, widths) lets the selector hand over its
+    already-computed frame + sampled width choice instead of re-deriving
+    them. Widths may come from a SAMPLE (slightly suboptimal splits are
+    fine); correctness only needs the top class to cover the true full
+    width, which the caller guarantees via the actual min/max."""
     v = np.ascontiguousarray(values)
     n = len(v)
     empty = {"sel": b"", "c0": b"", "c1": b"", "c2": b"", "c3": b""}
     if n == 0:
         return empty, {"ref": 0, "widths": [1, 1, 1, 1], "count": 0, "class_counts": [0, 0, 0, 0]}
-    lo = int(v.min())
-    hi = int(v.max())
-    full_width = max(bit_width(hi - lo), 1)
-    if v.dtype.itemsize <= 4:
-        residuals = np.subtract(v, v.dtype.type(lo)).view(f"u{v.dtype.itemsize}")
+    if _pre is not None:
+        lo, residuals, widths = _pre
     else:
-        residuals = _unsigned_view(np.subtract(v, lo))
-    bl = _bitlens(residuals)
-    counts = np.bincount(bl, minlength=65)
-    widths, _ = choose_classes(counts, full_width, n)
-    if widths is None:
-        widths = [full_width] * _N_CLASSES
-    ws = np.array(widths, dtype=np.int64)
-    cls = np.searchsorted(ws, bl, side="left")  # smallest class width ≥ bitlen
-    bufs = {"sel": pack_bits(cls.astype(np.uint64), 2)}
+        lo = int(v.min())
+        hi = int(v.max())
+        full_width = max(bit_width(hi - lo), 1)
+        if v.dtype.itemsize <= 4:
+            residuals = np.subtract(v, v.dtype.type(lo)).view(f"u{v.dtype.itemsize}")
+        else:
+            residuals = _unsigned_view(np.subtract(v, lo))
+        counts = np.bincount(_bitlens(residuals), minlength=65)
+        widths, _ = choose_classes(counts, full_width, n)
+        if widths is None:
+            widths = [full_width] * _N_CLASSES
+    widths = sorted(int(w) for w in widths)
+    while len(widths) < _N_CLASSES:
+        widths.append(widths[-1])
+    cls = _classes_of(residuals, widths)
+    bufs = {"sel": pack_bits(cls, 2)}
     class_counts = []
+    layouts = []
     for c in range(_N_CLASSES):
+        w = int(widths[c])
         sel = residuals[cls == c]
         class_counts.append(int(len(sel)))
-        bufs[f"c{c}"] = pack_bits(sel, int(ws[c])) if len(sel) else b""
-    params = {"ref": lo, "widths": [int(w) for w in widths], "count": n, "class_counts": class_counts}
+        layouts.append(_layout_of(w))
+        if not len(sel):
+            bufs[f"c{c}"] = b""
+        elif layouts[c] == "words":
+            bufs[f"c{c}"] = pack_words(sel, w)
+        else:  # bits layout; byte widths take pack_bits' memcpy fast path
+            bufs[f"c{c}"] = pack_bits(sel, w)
+    params = {
+        "ref": lo,
+        "widths": [int(w) for w in widths],
+        "count": n,
+        "class_counts": class_counts,
+        "layouts": layouts,
+    }
     return bufs, params
 
 
@@ -115,14 +179,19 @@ def decode(bufs: dict, params: dict, dtype=np.int64) -> np.ndarray:
         return np.zeros(0, dtype=dtype)
     widths = params["widths"]
     class_counts = params["class_counts"]
+    # artifacts written before the layouts field used pack_bits throughout
+    layouts = params.get("layouts") or ["bits"] * _N_CLASSES
     cls = unpack_bits(bufs["sel"], n, 2)
     out = np.zeros(n, dtype=np.uint64)
     for c in range(_N_CLASSES):
         cnt = int(class_counts[c])
         if not cnt:
             continue
-        vals = unpack_bits(bufs[f"c{c}"], cnt, int(widths[c]))
-        out[cls == c] = vals.astype(np.uint64)
+        if layouts[c] == "words":
+            vals = unpack_words(bufs[f"c{c}"], cnt, int(widths[c]))
+        else:
+            vals = unpack_bits(bufs[f"c{c}"], cnt, int(widths[c]))
+        out[cls == c] = vals.astype(np.uint64, copy=False)
     if dtype.kind == "u" and dtype.itemsize == 8:
         # uint64: ref may exceed int64 range; stay unsigned (wrap-around exact)
         out += np.uint64(int(params["ref"]) & 0xFFFFFFFFFFFFFFFF)

@@ -778,7 +778,13 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
         return pa.Table.from_pylist(rows)
 
     results = (
-        rd.from_items([{"partition": p["partition"]} for p in gm["partitions"]])
+        # one BLOCK per partition, not just batch_size=1: from_items packs
+        # all items into a handful of blocks and map_batches schedules one
+        # task per block, which would compact partitions serially
+        rd.from_items(
+            [{"partition": p["partition"]} for p in gm["partitions"]],
+            override_num_blocks=max(1, len(gm["partitions"])),
+        )
         .map_batches(compact_parts, batch_format="pyarrow", batch_size=1)
         .take_all()
     )

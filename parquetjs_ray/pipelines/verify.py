@@ -137,7 +137,17 @@ def row_hashes(batch: pa.Table) -> np.ndarray:
             ch = _string_col_hash(arr if not pa.types.is_binary(t) else arr.cast(pa.binary()))
         elif pa.types.is_list(t) and pa.types.is_integer(t.value_type):
             ch = _list_int_col_hash(arr)
-        elif pa.types.is_integer(t) or pa.types.is_temporal(t) or pa.types.is_boolean(t):
+        elif pa.types.is_interval(t):
+            # month_day_nano: hash the raw (m:i4, d:i4, n:i8) records as
+            # two uint64 words (vectorized; nulls already filled above? —
+            # intervals have no fill scalar, so use the values buffer and
+            # rely on the validity mix for null placement)
+            rec = np.frombuffer(
+                arr.buffers()[1], dtype=np.uint64, count=2 * (len(arr) + arr.offset)
+            )[2 * arr.offset :].reshape(-1, 2)
+            vmask = valid.astype(np.uint64)
+            ch = _mix64(rec[:, 0] * vmask) ^ _mix64(rec[:, 1] * vmask + _U(17))
+        elif pa.types.is_integer(t) or (pa.types.is_temporal(t) and not pa.types.is_interval(t)) or pa.types.is_boolean(t):
             bits = 64 if (pa.types.is_temporal(t) and t.bit_width == 64) or t.bit_width == 64 else 32
             ints = arr.cast(pa.int64() if bits == 64 else pa.int32()).cast(pa.int64())
             ch = _mix64(ints.to_numpy(zero_copy_only=False).astype(np.uint64))

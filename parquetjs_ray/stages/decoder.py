@@ -64,6 +64,8 @@ def collect_segment_ranges(meta: dict) -> list[tuple[int, int]]:
                 walk(m[sub])
         for f in m.get("fields", {}).values():
             walk(f)
+        for s in m.get("streams", {}).values():
+            walk(s)
 
     walk(meta)
     return out

@@ -103,15 +103,32 @@ def encode_int_stream(values: np.ndarray, cb: _ChunkBuilder) -> tuple[str, dict,
             residuals = np.subtract(v, v.dtype.type(lo)).view(f"u{v.dtype.itemsize}")
         else:
             residuals = _unsigned_view(np.subtract(v, lo))
-        transitions = int((np.diff(v) != 0).sum()) + 1
+        # run detection on a CONTIGUOUS window (strided sampling would
+        # destroy run structure; a window preserves it and skips a full
+        # n-sized diff pass — memory traffic is the 8-worker bottleneck)
+        if n > 4 * _SELECTOR_SAMPLE:
+            w0 = (n - _SELECTOR_SAMPLE) // 2
+            win = v[w0 : w0 + _SELECTOR_SAMPLE]
+            transitions = int(round((int((np.diff(win) != 0).sum()) + 1) * n / len(win)))
+        else:
+            transitions = int((np.diff(v) != 0).sum()) + 1
         est_for_upper = n * full_width / 8
-        _, est_pfor = pfor_mod.choose_width(residuals, full_width)
-        counts_hist = np.bincount(vpack_mod._bitlens(residuals), minlength=65)
-        _, est_vpack = vpack_mod.choose_classes(counts_hist, full_width, n)
+        # histogram-driven estimates from a strided SAMPLE: the decisions
+        # and class-width splits tolerate sampling error, and full-chunk
+        # bit-length passes were the selector's dominant cost
+        sample = _residual_sample(residuals)
+        scale = n / max(1, len(sample))
+        _, est_pfor_s = pfor_mod.choose_width(sample, full_width)
+        est_pfor = est_pfor_s * scale
+        counts_hist = np.bincount(vpack_mod._bitlens(sample), minlength=65)
+        vp_widths, est_vpack_s = vpack_mod.choose_classes(counts_hist, full_width, len(sample))
+        est_vpack = est_vpack_s * scale
         run_heavy = transitions < 0.6 * n  # runs → RLE hybrid pays
         if not run_heavy:
-            if est_vpack < 0.9 * min(est_for_upper, est_pfor):
-                bufs, params = vpack_mod.encode(v)
+            if vp_widths is not None and est_vpack < 0.9 * min(est_for_upper, est_pfor):
+                # top class must cover the TRUE range, not the sample's
+                vp_widths = [min(w, full_width) for w in vp_widths[:3]] + [full_width]
+                bufs, params = vpack_mod.encode(v, _pre=(lo, residuals, vp_widths))
                 segments = {k: cb.add_segment(b) for k, b in bufs.items()}
                 return "vpack", segments, {
                     "vpack": params,
@@ -123,6 +140,16 @@ def encode_int_stream(values: np.ndarray, cb: _ChunkBuilder) -> tuple[str, dict,
                 return "pfor", segments, {"pfor": params}
     buf, params = fornum.encode(v)
     return "for_rle", {"data": cb.add_segment(buf)}, {"for": params}
+
+
+_SELECTOR_SAMPLE = 32_768
+
+
+def _residual_sample(residuals: np.ndarray) -> np.ndarray:
+    if len(residuals) <= _SELECTOR_SAMPLE:
+        return residuals
+    step = len(residuals) // _SELECTOR_SAMPLE
+    return np.ascontiguousarray(residuals[:: step][:_SELECTOR_SAMPLE])
 
 
 def _encode_string(
@@ -232,16 +259,27 @@ def _encode_token_values(flat: np.ndarray, state: EncoderState, cb: _ChunkBuilde
     lut = state.token_lut
     if lut is None or flat.dtype.kind not in "iu":
         return None
-    v = flat.astype(np.int64, copy=False)
     card = len(state.rank2val)
-    oob = (v < 0) | (v >= len(lut))
-    codes = np.where(oob, np.int64(card), lut[np.minimum(np.maximum(v, 0), len(lut) - 1)].astype(np.int64))
-    est_raw = estimate_int_stream(flat)
-    est_map = estimate_int_stream(codes)
-    n_exc = int((codes == card).sum())
-    est_map += n_exc * 6.0
+
+    def map_codes(vv: np.ndarray) -> np.ndarray:
+        v64 = vv.astype(np.int64, copy=False)
+        oob = (v64 < 0) | (v64 >= len(lut))
+        return np.where(
+            oob, np.int64(card), lut[np.minimum(np.maximum(v64, 0), len(lut) - 1)].astype(np.int64)
+        )
+
+    # decide from a strided sample first — the full-chunk LUT gather and
+    # histogram passes only run when the remap actually wins
+    sample = _residual_sample(flat)
+    scale = len(flat) / max(1, len(sample))
+    codes_s = map_codes(sample)
+    est_raw = estimate_int_stream(sample) * scale
+    est_map = (estimate_int_stream(codes_s) + int((codes_s == card).sum()) * 6.0) * scale
     if est_map >= 0.95 * est_raw:
         return {"skipped": {"dict_ranks": round(est_map, 1), "raw": round(est_raw, 1)}}
+    codes = map_codes(flat)
+    v = flat.astype(np.int64, copy=False)
+    n_exc = int((codes == card).sum())
     exc_pos = np.flatnonzero(codes == card)
     from ..codecs import fornum as fornum_mod
 

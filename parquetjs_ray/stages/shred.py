@@ -132,6 +132,22 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
         values = ints.to_numpy(zero_copy_only=False)
         codec, segs, params = encode_int_stream(values, cb)
         meta.update(codec=codec, segments=segs, params=params, dtype=str(it))
+    elif pa.types.is_interval(t):
+        # Arrow month_day_nano_interval ↔ the reference's INTERVAL logical
+        # type (`/root/reference/lib/types.js:124-130,382-401`), stored as
+        # three int streams (months/days int32, nanos int64 — LOSSLESS,
+        # unlike the reference's millisecond truncation; the 12-byte
+        # parquet serialization is available via codecs.plain.interval_*).
+        # Values buffer layout: (int32 months, int32 days, int64 nanos).
+        rec = np.frombuffer(
+            arr.buffers()[1], dtype=np.dtype([("m", "<i4"), ("d", "<i4"), ("n", "<i8")]),
+            count=len(arr) + arr.offset,
+        )[arr.offset :]
+        sub = {}
+        for key, vals in (("months", rec["m"]), ("days", rec["d"]), ("nanos", rec["n"])):
+            codec, segs, params = encode_int_stream(np.ascontiguousarray(vals), cb)
+            sub[key] = {"codec": codec, "segments": segs, "params": params}
+        meta.update(codec="interval_mdn", streams=sub, segments={})
     elif pa.types.is_floating(t):
         type_name = "DOUBLE" if t.bit_width == 64 else "FLOAT"
         vals = arr.to_numpy(zero_copy_only=False)
@@ -226,6 +242,14 @@ def decode_any(chunk: memoryview, meta: dict, state: EncoderState) -> pa.Array:
         dense = pa.array(vals, type=it)
         if dense.type != t:
             dense = dense.cast(t)
+    elif codec == "interval_mdn":
+        rec = np.empty(m, dtype=np.dtype([("m", "<i4"), ("d", "<i4"), ("n", "<i8")]))
+        rec["m"] = _decode_int_stream(chunk, meta["streams"]["months"], np.int32)
+        rec["d"] = _decode_int_stream(chunk, meta["streams"]["days"], np.int32)
+        rec["n"] = _decode_int_stream(chunk, meta["streams"]["nanos"], np.int64)
+        dense = pa.Array.from_buffers(
+            pa.month_day_nano_interval(), m, [None, pa.py_buffer(rec.tobytes())]
+        )
     elif codec == "plain_num":
         vals = plain.decode_numeric(bytes(_segment(chunk, meta["segments"]["data"])), meta["num_type"])
         dense = pa.array(vals[:m], type=t)

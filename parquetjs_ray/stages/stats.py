@@ -225,6 +225,10 @@ def _maybe_token_dict(plan: EncodePlan, name: str, m: dict) -> None:
     est_map = vpack_mod.estimate(mapped.astype(np.uint64), max(bit_width(int(mapped.max(initial=0))), 1))
     gain = est_map / max(est_raw, 1e-9)
     plan.stats[name].token_remap_gain = round(float(gain), 4)
-    if gain < 0.85:  # conservative: global sample mixes sources, chunks are tighter
+    # conservative: the global sample mixes sources while real chunks are
+    # single-source (tighter residuals), and a built dict charges every
+    # chunk a sampled raw-vs-remap check — only pay that when the sampled
+    # gain is decisive, not marginal
+    if gain < 0.75:
         plan.token_dict_column = name
         plan.token_dict_vals = vals.tolist()

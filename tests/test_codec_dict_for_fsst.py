@@ -184,11 +184,12 @@ def test_vpack_golden_bytes():
     # widths [1,2,4,7] → sel 0,0,0,1,2,3,0,0
     assert params["widths"] == [1, 2, 4, 7]
     assert params["class_counts"] == [5, 1, 1, 1]
+    assert params["layouts"] == ["bits", "bits", "bits", "words"]
     assert bufs["sel"].hex() == "400e"  # 2-bit LSB-first: 0,0,0,1 | 2,3,0,0
     assert bufs["c0"].hex() == "12"  # 1-bit LSB-first: 0,1,0,0,1 → 0b10010
     assert bufs["c1"].hex() == "02"  # 2-bit: 2
     assert bufs["c2"].hex() == "08"  # 4-bit: 8
-    assert bufs["c3"].hex() == "40"  # 7-bit: 64
+    assert bufs["c3"].hex() == "4000000000000000"  # 7-bit word layout: 64 in word 0
     got = vpack.decode(bufs, params)
     assert got.tolist() == vals.tolist()
 

@@ -68,3 +68,44 @@ def test_byte_array_empty_values():
     out_data, out_offsets = plain.decode_byte_array(buf, 5)
     assert out_data == data
     assert np.diff(out_offsets).tolist() == [0, 1, 0, 2, 0]
+
+
+def test_int96_golden_reference_vectors():
+    """Byte-identical to the reference's PLAIN INT96 goldens
+    (test/codec_plain.js:102-137); exact (not 53-bit-truncated) on our side."""
+    import numpy as np
+
+    from parquetjs_ray.codecs.plain import decode_int96, encode_int96
+
+    vals = np.array([42, 17, 23, -1, -2, -3, 9000, 420], dtype=np.int64)
+    golden = bytes.fromhex(
+        "2a0000000000000000000000"
+        "110000000000000000000000"
+        "170000000000000000000000"
+        "ffffffffffffffffffffffff"
+        "feffffffffffffffffffffff"
+        "fdffffffffffffffffffffff"
+        "282300000000000000000000"
+        "a40100000000000000000000"
+    )
+    buf = encode_int96(vals)
+    assert buf == golden
+    assert decode_int96(buf, 8).tolist() == vals.tolist()
+    # beyond-53-bit exactness (the documented divergence from JS INT53)
+    big = np.array([(1 << 62) + 12345, -(1 << 62) - 99], dtype=np.int64)
+    assert decode_int96(encode_int96(big), 2).tolist() == big.tolist()
+
+
+def test_interval_bytes_golden():
+    """12-byte (months, days, millis) uint32-LE serialization matching the
+    reference's toPrimitive_INTERVAL (lib/types.js:382-401)."""
+    import numpy as np
+
+    from parquetjs_ray.codecs.plain import interval_from_bytes, interval_to_bytes
+
+    buf = interval_to_bytes(
+        np.array([1, 13]), np.array([2, 28]), np.array([3, 86400000])
+    )
+    assert buf.hex() == "010000000200000003000000" + "0d0000001c000000005c2605"
+    m, d, ms = interval_from_bytes(buf, 2)
+    assert m.tolist() == [1, 13] and d.tolist() == [2, 28] and ms.tolist() == [3, 86400000]

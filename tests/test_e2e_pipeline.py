@@ -719,3 +719,47 @@ def test_token_rank_dict_selected_on_scrambled_vocab(ray_session, tmp_path):
     assert chose_dict, "dict_ranks was never selected on scrambled-vocab tokens"
     v = verify_roundtrip(rd.read_parquet(path), decode_dataset(outdir))
     assert v["equal"], v
+
+
+def test_interval_column_full_pipeline(ray_session, tmp_path):
+    """A month_day_nano_interval column (the reference's INTERVAL logical
+    type, lossless nano variant) through encode → decode → fingerprint
+    verification."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+
+    MDN = pa.MonthDayNano
+    rng = np.random.default_rng(3)
+    n = 1_000
+    vals = [
+        None if i % 17 == 0 else MDN([int(rng.integers(-100, 100)), int(rng.integers(-30, 30)), int(rng.integers(0, 10**9))])
+        for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+            "span": pa.array(vals, pa.month_day_nano_interval()),
+            "source": pa.array(["s" + str(i % 2) for i in range(n)]),
+        }
+    )
+    # parquet itself cannot store month_day_nano_interval, so the input
+    # arrives as an in-memory Arrow stream (the ParquetTransformer shape)
+    from parquetjs_ray.pipelines.encode import encode_stream
+    from parquetjs_ray.state.artifacts import EncodePlan
+
+    outdir = str(tmp_path / "out")
+    encode_stream(
+        rd.from_arrow(tbl), outdir, plan=EncodePlan(), target_rows_per_partition=300,
+        row_fingerprint=True,
+    )
+    v = verify_roundtrip(rd.from_arrow(tbl), decode_dataset(outdir))
+    assert v["equal"], v
+    back = decode_dataset(outdir).take_all()
+    got = {r["doc_id"]: r["span"] for r in back}
+    want = {f"d{i:06d}": vals[i] for i in range(n)}
+    assert got == want

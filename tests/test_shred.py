@@ -221,3 +221,30 @@ def test_nullable_uint64_full_range():
     v = [17513526460540557097, None, 5, 2**64 - 1, 0]
     _assert_rt(pa.table({"c": pa.array(v, pa.uint64())}))
     _assert_rt(pa.table({"l": pa.array([[2**64 - 1, 1], None, []], pa.list_(pa.uint64()))}))
+
+
+def test_interval_month_day_nano_roundtrip():
+    """Arrow month_day_nano_interval columns shred to three int streams and
+    round-trip losslessly (incl. nulls and nanosecond precision the
+    reference's millisecond INTERVAL would truncate)."""
+    import pyarrow as pa
+
+    from parquetjs_ray.stages.encoder import EncoderState, _ChunkBuilder
+    from parquetjs_ray.stages.shred import decode_any, encode_any
+    from parquetjs_ray.state.artifacts import EncodePlan
+
+    MDN = pa.MonthDayNano
+    vals = [
+        MDN([1, 2, 3_000_000]),
+        None,
+        MDN([0, 0, 0]),
+        MDN([-5, 28, 123_456_789]),
+        MDN([1200, -3, -1]),
+    ]
+    arr = pa.array(vals, type=pa.month_day_nano_interval())
+    state = EncoderState(EncodePlan())
+    cb = _ChunkBuilder()
+    meta = encode_any(arr, state, cb)
+    assert meta["codec"] in ("interval_mdn",) or meta.get("validity")
+    back = decode_any(memoryview(cb.chunk()), meta, state)
+    assert back.to_pylist() == arr.to_pylist()

@@ -183,8 +183,14 @@ def run_headline() -> dict:
     # (On this sandbox large per-task allocations decode SLOWER than many
     # small fragments — see BASELINE.md; at cluster scale the compacted
     # path is the cheaper one.)
+    # opt-in (GRAFT_BENCH_COMPACT=1): on THIS sandbox large per-task
+    # allocations decode slower than many small fragments (first-touch
+    # page-fault pricing), so the compacted read path measures the memory
+    # emulator, not the engine — measured 45-52 s compact + 65-70 s verify
+    # at sf0.1, recorded in BASELINE.md; pytest covers compaction
+    # correctness. On a real cluster compacted chunks are the cheap path.
     t_compact = t_verify_compacted = None
-    if not os.environ.get("GRAFT_BENCH_SCALING_RUN"):
+    if os.environ.get("GRAFT_BENCH_COMPACT"):
         from parquetjs_ray.pipelines.encode import compact_dataset
 
         t0 = time.perf_counter()

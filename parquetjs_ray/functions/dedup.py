@@ -280,6 +280,60 @@ def _pair_part(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (h % _U(_VERIFY_PARTS)).astype(np.int64)
 
 
+_BROADCAST_ATTR_BYTES = 64 << 20  # broadcast-vs-shuffle switch for the verify join
+
+
+def _verify_pairs_broadcast(
+    pairs: rd.Dataset, attrs: rd.Dataset, id_col: str, val_col: str, batch_check
+) -> rd.Dataset:
+    """Broadcast fast path of :func:`_verify_pairs`: when the candidate
+    attribute table is small (≤ ``_BROADCAST_ATTR_BYTES``), skip BOTH
+    cogroup shuffles — assemble the (id, value) table in a Ray task
+    (never on the driver), ``ray.put`` it once, and verify each pair
+    batch against the broadcast table with two ``searchsorted`` lookups.
+    The shuffle path remains for candidate sets beyond object-store
+    comfort — the standard broadcast-vs-shuffle join selection."""
+    import ray as _ray
+
+    refs = attrs.to_arrow_refs()
+
+    @_ray.remote(num_cpus=1)
+    def _assemble(block_refs: list) -> tuple:
+        full = pa.concat_tables([_ray.get(r) for r in block_refs]).combine_chunks()
+        ids = np.asarray(full[id_col])
+        order = np.argsort(ids, kind="stable")
+        vals = full[val_col].combine_chunks().take(pa.array(order, pa.int64()))
+        return ids[order], vals
+
+    bundle = _assemble.remote(list(refs))
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids_sorted, vals = _ray.get(bundle)  # zero-copy from plasma
+        a = np.asarray(t["a"].combine_chunks())
+        b = np.asarray(t["b"].combine_chunks())
+        # batch-local pair dedupe (duplicates across batches are rare —
+        # bands' copies of a pair usually share the bucket output block —
+        # and harmless downstream: label propagation is idempotent)
+        o3 = np.lexsort((b, a))
+        firstp = np.ones(len(o3), bool)
+        firstp[1:] = (a[o3[1:]] != a[o3[:-1]]) | (b[o3[1:]] != b[o3[:-1]])
+        keep0 = o3[firstp]
+        a, b = a[keep0], b[keep0]
+        if not len(a):
+            return pa.table(_EMPTY_PAIRS)
+        ia = np.minimum(np.searchsorted(ids_sorted, a), len(ids_sorted) - 1)
+        ib = np.minimum(np.searchsorted(ids_sorted, b), len(ids_sorted) - 1)
+        ok = (ids_sorted[ia] == a) & (ids_sorted[ib] == b)
+        sel = np.flatnonzero(ok)
+        if not len(sel):
+            return pa.table(_EMPTY_PAIRS)
+        mask = np.asarray(batch_check(vals, ia[sel], ib[sel]), dtype=bool)
+        keep = sel[mask]
+        return pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
 def _verify_pairs(
     pairs: rd.Dataset,
     attrs: rd.Dataset,
@@ -290,6 +344,10 @@ def _verify_pairs(
 ) -> rd.Dataset:
     """(a,b) pairs + (id, value) attrs → verified (a,b) where
     ``batch_check`` holds, with DOC-DEDUPED shipping and compute.
+
+    When the candidate attribute table fits comfortably in the object
+    store the broadcast fast path (:func:`_verify_pairs_broadcast`)
+    replaces both cogroup shuffles with one broadcast + lookup.
 
     Two union+groupby repartition-joins (the same all-to-all a hash
     join does, over the stable groupby operator), grouped by HASH
@@ -305,6 +363,12 @@ def _verify_pairs(
     pair. ``batch_check(unique_vals, ia, ib)`` receives the partition's
     unique attr values plus aligned index arrays into them (one entry
     per pair) and returns a boolean mask."""
+    try:
+        attr_bytes = attrs.size_bytes()
+    except Exception:
+        attr_bytes = None
+    if attr_bytes is not None and attr_bytes <= _BROADCAST_ATTR_BYTES:
+        return _verify_pairs_broadcast(pairs, attrs, id_col, val_col, batch_check)
 
     def pair_side_rows(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks()

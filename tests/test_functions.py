@@ -467,3 +467,26 @@ def test_simhash_degenerate_identical_bucket_is_linear(ray_session):
     got = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
     assert len(got) == 3000
     assert set(got.values()) == {0}
+
+
+def test_verify_pairs_shuffle_and_broadcast_paths_agree(ray_session, monkeypatch):
+    """The broadcast fast path and the cogroup shuffle path of the pair
+    verifier must produce identical clusters (the switch is a pure
+    broadcast-vs-shuffle join selection)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    texts = [base, base.replace("lazy", "hazy"), "utterly different content with no overlap at all", base,
+             base.replace("quick", "quack"), "another unrelated string of words entirely distinct"]
+    ds = rd.from_arrow(_doc_table(texts, ids=[11, 22, 33, 44, 55, 66]))
+    out_bcast = dd.minhash_dedup(ds, jaccard_threshold=0.6)
+    monkeypatch.setattr(dd, "_BROADCAST_ATTR_BYTES", 0)  # force the shuffle path
+    out_shuf = dd.minhash_dedup(ds, jaccard_threshold=0.6)
+    assert sorted(zip(out_bcast["doc_id"].to_pylist(), out_bcast["cluster_id"].to_pylist())) == \
+           sorted(zip(out_shuf["doc_id"].to_pylist(), out_shuf["cluster_id"].to_pylist()))
+    out_sim_b = dd.simhash_dedup(ds, max_hamming=6)
+    monkeypatch.undo()
+    out_sim_s = dd.simhash_dedup(ds, max_hamming=6)
+    assert sorted(out_sim_b.to_pylist(), key=str) == sorted(out_sim_s.to_pylist(), key=str)

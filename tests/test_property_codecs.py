@@ -118,3 +118,44 @@ def test_integer_dtype_property_roundtrip(dtype_name, data):
     chunk, man = encode_table(tbl, state)
     back = decode_chunk(chunk, man, state)
     assert back["c"].to_pylist() == values
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints)
+def test_vpack_roundtrip_property(values):
+    from parquetjs_ray.codecs import vpack
+
+    v = np.array(values, dtype=np.int64)
+    bufs, params = vpack.encode(v)
+    assert vpack.decode(bufs, params).tolist() == values
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200),
+    st.sampled_from(["int32", "int64", "uint32", "uint64"]),
+)
+def test_vpack_dtype_property(values, dtype_name):
+    from parquetjs_ray.codecs import vpack
+
+    dt = np.dtype(dtype_name)
+    info = np.iinfo(dt)
+    v = (np.array(values, dtype=np.uint64) % (np.uint64(info.max) if info.max > 0 else 1)).astype(dt)
+    bufs, params = vpack.encode(v)
+    got = vpack.decode(bufs, params, dtype=dt)
+    assert got.dtype == dt and got.tolist() == v.tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**20), min_size=70, max_size=400))
+def test_int_stream_selector_roundtrip_property(values):
+    """Whatever the selector picks (for_rle / pfor / vpack), the stream
+    round-trips exactly — the decision must never affect correctness."""
+    from parquetjs_ray.stages.decoder import _decode_int_stream
+    from parquetjs_ray.stages.encoder import _ChunkBuilder, encode_int_stream
+
+    v = np.array(values, dtype=np.int32)
+    cb = _ChunkBuilder()
+    codec, segs, params = encode_int_stream(v, cb)
+    out = _decode_int_stream(memoryview(cb.chunk()), {"codec": codec, "segments": segs, "params": params}, np.int32)
+    assert out.tolist() == values

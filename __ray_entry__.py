@@ -204,6 +204,56 @@ def q_encode_roundtrip_fruits(sf_dir: str):
     )
 
 
+def _docs_artifact(sf_dir: str) -> str:
+    """Encode the documents table ONCE per sf_dir (cached like the IVF
+    index) so the pruned-read queries exercise the real decode path."""
+    from parquetjs_ray.pipelines.encode import encode_dataset
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    outdir = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_docsart_{tag}_v{FORMAT_VERSION}")
+    if not os.path.exists(os.path.join(outdir, "_MANIFEST.json")):
+        encode_dataset(
+            [os.path.join(sf_dir, "documents.parquet")], outdir, mode="files",
+            target_rows_per_partition=2_000, sample_rows=50_000,
+        )
+    return outdir
+
+
+def q_decode_source_prune(sf_dir: str):
+    """PARTITION PRUNING at read: decode ONLY the lexicographically first
+    source's partitions from the encoded artifact (no other partition's
+    bytes are touched) and aggregate — result must equal SQL over the raw
+    table. Exercises the salted-partition layout's pruning contract."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from parquetjs_ray.pipelines.encode import decode_dataset
+
+    outdir = _docs_artifact(sf_dir)
+    srcs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["source"])
+    target = min(srcs["source"].to_pylist())
+    ds = decode_dataset(outdir, sources=[target])
+    out = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .select_columns(["source", "n_docs", "total_chars"])
+    )
+    return out
+
+
+def q_decode_projection(sf_dir: str):
+    """COLUMN PROJECTION at read: decode only (doc_id, n_chars) — the
+    storage layer reads just those columns' segment byte ranges — and
+    return the longest 25 docs; must equal SQL over the raw table."""
+    from parquetjs_ray.pipelines.encode import decode_dataset
+
+    outdir = _docs_artifact(sf_dir)
+    ds = decode_dataset(outdir, columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(25)
+
+
 def q_fingerprint_distinct_docs(sf_dir: str):
     """Distinct 64-bit content fingerprints == distinct texts (collision-free
     at these scales) — validates the fingerprint operator against SQL."""
@@ -673,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
+        "decode_source_prune": q_decode_source_prune,
+        "decode_projection": q_decode_projection,
         "fingerprint_distinct_docs": q_fingerprint_distinct_docs,
         "docs_top_longest": q_docs_top_longest,
         "quality_docs": q_quality_docs,
@@ -727,6 +779,13 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_hourly": (
             "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "
             "count(*) AS n_events FROM events GROUP BY user_id, hour_bucket"
+        ),
+        "decode_source_prune": (
+            "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "
+            "FROM documents WHERE source = (SELECT min(source) FROM documents) GROUP BY source"
+        ),
+        "decode_projection": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 25"
         ),
         "fingerprint_distinct_docs": "SELECT count(DISTINCT text) AS n_distinct FROM documents",
         "docs_top_longest": (

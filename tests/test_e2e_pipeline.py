@@ -763,3 +763,41 @@ def test_interval_column_full_pipeline(ray_session, tmp_path):
     got = {r["doc_id"]: r["span"] for r in back}
     want = {f"d{i:06d}": vals[i] for i in range(n)}
     assert got == want
+
+
+def test_dict_ranks_projection_decode(ray_session, tmp_path):
+    """Byte-range projection must collect the dict_ranks INNER segments
+    too (exception streams + nested code stream) — regression guard for
+    the segment-range walker."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    rng = np.random.default_rng(7)
+    vocab = 20_000
+    perm = rng.choice(1 << 20, vocab, replace=False).astype(np.int64)
+    pmf = np.arange(1, vocab + 1, dtype=np.float64) ** (-1.3)
+    cdf = np.cumsum(pmf / pmf.sum())
+    rows, per = 1_500, 80
+    flat = perm[np.searchsorted(cdf, rng.random(rows * per))].astype(np.int32)
+    offsets = np.arange(0, (rows + 1) * per, per, dtype=np.int32)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:06d}" for i in range(rows)]),
+            "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+            "n_tok": pa.array(np.full(rows, per, dtype=np.int32)),
+            "source": pa.array(["s0"] * rows),
+        }
+    )
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, path)
+    outdir = str(tmp_path / "out")
+    encode_dataset([path], outdir, mode="files", target_rows_per_partition=500, sample_rows=1_500)
+    got = decode_dataset(outdir, columns=["doc_id", "tokens"]).take_all()
+    by_id = {r["doc_id"]: r["tokens"] for r in got}
+    toks = tbl["tokens"].to_pylist()
+    assert len(by_id) == rows
+    for i in (0, 700, 1_499):
+        assert by_id[f"d{i:06d}"] == toks[i]

@@ -820,6 +820,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, win_start_us"
         ),
         "langid_docs": _langid_sql(),
+        "simhash_docs": _simhash_sql(clusters=False),
+        "simhash_dedup_docs": _simhash_sql(clusters=True),
         "minhash_dedup_docs": (
             # the oracle computes ground truth DIRECTLY (no LSH): all-pairs
             # exact 5-gram Jaccard >= 0.8 (integer compare, matching the
@@ -915,6 +917,53 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
         ),
     }
+
+
+def _simhash_sql(clusters: bool) -> str:
+    """SQL replica of functions.dedup.simhash_signatures — byte-exact:
+    4-byte shingle words over the utf8 text (ASCII fixture: codepoint ==
+    byte), the engine's _mix64 finalizer reproduced in HUGEINT mod-2^64
+    arithmetic (the multiply is split 32/32 so the 128-bit intermediate
+    never overflows), then per-bit majority vote. With ``clusters``,
+    ground-truth all-pairs Hamming ≤ 3 + recursive transitive closure —
+    matching it requires the pipeline's pigeonhole banding to reach
+    recall 1, which is its design guarantee."""
+    mod64 = "18446744073709551616::HUGEINT"
+
+    def modmul(x: str, c: str) -> str:
+        return (
+            f"((({x}) % 4294967296) * {c}::HUGEINT + "
+            f"((({x}) // 4294967296) * {c}::HUGEINT % 4294967296) * 4294967296) % {mod64}"
+        )
+
+    sig_cte = (
+        "pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-3)) AS i FROM documents), "
+        "w AS (SELECT doc_id, (unicode(substr(text,i,1)) + unicode(substr(text,i+1,1))*256 "
+        " + unicode(substr(text,i+2,1))*65536 + unicode(substr(text,i+3,1))*16777216)::HUGEINT AS x FROM pos), "
+        "s1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM w), "
+        f"p1 AS (SELECT doc_id, {modmul('x', '13787848793156543929')} AS x FROM s1), "
+        "s2 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM p1), "
+        f"p2 AS (SELECT doc_id, {modmul('x', '10723151780598845931')} AS x FROM s2), "
+        "hh AS (SELECT doc_id, xor(x, x >> 31) AS x FROM p2), "
+        "bits AS (SELECT doc_id, b.b AS b, "
+        " sum(CASE WHEN (x >> b.b) % 2 = 1 THEN 1 ELSE 0 END) AS ones, count(*) AS nsh "
+        " FROM hh, (SELECT unnest(generate_series(0,63)) AS b) b GROUP BY doc_id, b.b), "
+        "sig AS (SELECT doc_id, sum(CASE WHEN 2*ones > nsh THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s "
+        " FROM bits GROUP BY doc_id), "
+        "sigs AS (SELECT doc_id, (CASE WHEN s >= 9223372036854775808::HUGEINT "
+        f" THEN s - {mod64} ELSE s END)::BIGINT AS simhash FROM sig)"
+    )
+    if not clusters:
+        return f"WITH {sig_cte} SELECT doc_id, simhash FROM sigs"
+    return (
+        f"WITH RECURSIVE {sig_cte}, "
+        "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sigs x JOIN sigs y "
+        " ON x.doc_id < y.doc_id WHERE bit_count(xor(x.simhash, y.simhash)) <= 3), "
+        "edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs), "
+        "reach AS (SELECT u, v FROM edges "
+        " UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+        "SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"
+    )
 
 
 def _langid_sql() -> str:

@@ -147,6 +147,13 @@ def row_hashes(batch: pa.Table) -> np.ndarray:
             )[2 * arr.offset :].reshape(-1, 2)
             vmask = valid.astype(np.uint64)
             ch = _mix64(rec[:, 0] * vmask) ^ _mix64(rec[:, 1] * vmask + _U(17))
+        elif pa.types.is_unsigned_integer(t):
+            # unsigned must never go through a signed cast: uint64 ≥ 2^63
+            # (and uint32 ≥ 2^31 through the old int32 path) would raise.
+            # Same hash as before wherever the old path didn't crash
+            # (identical uint64 bit pattern).
+            vals = arr.cast(pa.uint64()).to_numpy(zero_copy_only=False)
+            ch = _mix64(vals.astype(np.uint64, copy=False))
         elif pa.types.is_integer(t) or (pa.types.is_temporal(t) and not pa.types.is_interval(t)) or pa.types.is_boolean(t):
             bits = 64 if (pa.types.is_temporal(t) and t.bit_width == 64) or t.bit_width == 64 else 32
             ints = arr.cast(pa.int64() if bits == 64 else pa.int32()).cast(pa.int64())

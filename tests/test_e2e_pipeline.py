@@ -801,3 +801,24 @@ def test_dict_ranks_projection_decode(ray_session, tmp_path):
     assert len(by_id) == rows
     for i in (0, 700, 1_499):
         assert by_id[f"d{i:06d}"] == toks[i]
+
+
+def test_row_hashes_uint64_extremes_and_batch_independence(ray_session):
+    """uint64 ≥ 2^63 (and uint32 ≥ 2^31) must hash without a lossy signed
+    cast, and hashes must not depend on batch composition; values below
+    2^63 keep the historical hash (stored-fingerprint compatibility)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquetjs_ray.pipelines.verify import row_hashes
+
+    u64 = np.array([0, 1, 2**63 - 1, 2**63, 2**64 - 1, 12345], dtype=np.uint64)
+    u32 = np.array([0, 2**31 - 1, 2**31, 2**32 - 1, 7, 8], dtype=np.uint32)
+    t = pa.table({"a": pa.array(u64, pa.uint64()), "b": pa.array(u32, pa.uint32())})
+    h = row_hashes(t)
+    h2 = np.concatenate([row_hashes(t.slice(0, 3)), row_hashes(t.slice(3, 3))])
+    assert np.array_equal(h, h2)
+    # compatibility: small unsigned values hash identically to the signed path
+    small = pa.table({"a": pa.array([5, 6], pa.uint64()), "b": pa.array([1, 2], pa.uint32())})
+    small_signed = pa.table({"a": pa.array([5, 6], pa.int64()), "b": pa.array([1, 2], pa.int32())})
+    assert np.array_equal(row_hashes(small), row_hashes(small_signed))

@@ -712,6 +712,46 @@ def q_corpus_clean_encode(sf_dir: str):
     return df
 
 
+def q_sample_docs_uniform(sf_dir: str):
+    """Deterministic 25% hash sample (splitmix64 on doc_id, integer
+    ppm threshold) — reproducible under any block layout / resume."""
+    from parquetjs_ray.functions.sampling import stratified_sample
+
+    return stratified_sample(_docs(sf_dir).select_columns(["doc_id", "source"]), 250_000)
+
+
+def q_mix_sources_equal(sf_dir: str):
+    """Source mixing: downsample sources to a target mixture (weights
+    derived deterministically from the source name so rates actually
+    differ) via per-source integer hash rates — two-pass: tiny count
+    shuffle, then a stateless filter."""
+    from parquetjs_ray.functions.sampling import mix_sources
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source"])
+    srcs = [r["source"] for r in ds.groupby("source").count().take_all()]
+    weights = {s: 1 + (len(s) % 3) for s in srcs}
+    return mix_sources(ds, weights)
+
+
+def q_pack_windows_docs(sf_dir: str):
+    """Sequence packing (concat-and-chop): per-source token stream in
+    doc_id order chopped into 4096-token windows via a distributed
+    two-level prefix scan; output = per-window doc/token counts."""
+    from ray.data.aggregate import Count, Sum
+
+    from parquetjs_ray.functions.packing import pack_sequences
+    from parquetjs_ray.functions.text import token_count
+
+    def tok(batch: pa.Table) -> pa.Table:
+        return token_count(batch).select(["doc_id", "source", "n_ws_tokens"])
+
+    ds = _docs(sf_dir).map_batches(tok, batch_format="pyarrow")
+    packed = pack_sequences(ds, capacity=256, len_col="n_ws_tokens", bucket_width=64)
+    return packed.groupby(["source", "window_id"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_ws_tokens", alias_name="n_tokens")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "per_source_doc_stats": q_per_source_doc_stats,
@@ -750,6 +790,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "corpus_clean_encode": q_corpus_clean_encode,
+        "sample_docs_uniform": q_sample_docs_uniform,
+        "mix_sources_equal": q_mix_sources_equal,
+        "pack_windows_docs": q_pack_windows_docs,
     }
 
 
@@ -916,7 +959,56 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
         ),
+        "sample_docs_uniform": (
+            f"WITH {_sample_hash_ctes()} "
+            "SELECT doc_id, source FROM h5 WHERE x % 1000000 < 250000"
+        ),
+        "mix_sources_equal": (
+            # weighted mixing, wt = 1 + len(source) % 3: N = min feasible
+            # output, num_s = ((N*wt//W) * 1e6) // cnt — identical integer
+            # arithmetic to functions.sampling.mix_sources
+            f"WITH {_sample_hash_ctes()}, "
+            "c AS (SELECT source, count(*)::HUGEINT AS cnt FROM documents GROUP BY source), "
+            "w AS (SELECT source, cnt, (1 + (length(source) % 3))::HUGEINT AS wt FROM c), "
+            "tot AS (SELECT sum(wt) AS tw FROM w), "
+            "feas AS (SELECT min(cnt * tw // wt) AS nn FROM w CROSS JOIN tot), "
+            "r AS (SELECT source, ((nn * wt // tw) * 1000000) // cnt AS num "
+            " FROM w CROSS JOIN tot CROSS JOIN feas) "
+            "SELECT h5.doc_id, h5.source FROM h5 JOIN r ON h5.source = r.source "
+            "WHERE h5.x % 1000000 < r.num"
+        ),
+        "pack_windows_docs": (
+            "WITH t AS (SELECT doc_id, source, "
+            " (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tok FROM documents), "
+            "p AS (SELECT doc_id, source, n_tok, COALESCE(sum(n_tok) OVER "
+            " (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre "
+            " FROM t) "
+            "SELECT source, (pre // 256)::BIGINT AS window_id, count(*) AS n_docs, "
+            "sum(n_tok)::BIGINT AS n_tokens FROM p GROUP BY source, window_id"
+        ),
     }
+
+
+def _sample_hash_ctes() -> str:
+    """CTE chain ``h0..h5`` replicating functions.sampling._mix64 on
+    doc_id in HUGEINT mod-2^64 arithmetic (multiplies split 32/32 so the
+    128-bit intermediate never overflows); ``h5.x`` = mix64(doc_id)."""
+    mod64 = "18446744073709551616::HUGEINT"
+
+    def modmul(x: str, c: str) -> str:
+        return (
+            f"((({x}) % 4294967296) * {c}::HUGEINT + "
+            f"((({x}) // 4294967296) * {c}::HUGEINT % 4294967296) * 4294967296) % {mod64}"
+        )
+
+    return (
+        "h0 AS (SELECT doc_id, source, doc_id::HUGEINT AS x FROM documents), "
+        "h1 AS (SELECT doc_id, source, xor(x, x >> 30) AS x FROM h0), "
+        f"h2 AS (SELECT doc_id, source, {modmul('x', '13787848793156543929')} AS x FROM h1), "
+        "h3 AS (SELECT doc_id, source, xor(x, x >> 27) AS x FROM h2), "
+        f"h4 AS (SELECT doc_id, source, {modmul('x', '10723151780598845931')} AS x FROM h3), "
+        "h5 AS (SELECT doc_id, source, xor(x, x >> 31) AS x FROM h4)"
+    )
 
 
 def _simhash_sql(clusters: bool) -> str:

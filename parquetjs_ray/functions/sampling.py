@@ -1,0 +1,113 @@
+"""Deterministic hash sampling and source mixing for training corpora.
+
+Both operators are pure ``map_batches`` filters driven by a splitmix64
+hash of the row key — no shuffle, no RNG state, byte-for-byte
+reproducible across runs / resumes / cluster sizes, and exactly
+replicable in SQL (the oracle reproduces the same mod-2^64 arithmetic
+in HUGEINT). Rates are integers (parts-per-``den``), so there is no
+float boundary drift anywhere.
+
+``mix_sources`` is the two-pass data-mixing op a pre-training pipeline
+runs before tokenization: a tiny ``groupby(source).count()`` (combiner
+shuffle over per-source partial counts — kilobytes at any corpus size)
+computes per-source keep rates against the target weights; the second
+pass is the stateless hash filter. Nothing reference-derived: the
+reference (ironSource/parquetjs) has no sampling surface; this is part
+of the training-data extension layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["hash_keep_mask", "stratified_sample", "mix_sources"]
+
+_U = np.uint64
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U(27))) * _U(0x94D049BB133111EB)
+    return x ^ (x >> _U(31))
+
+
+def hash_keep_mask(
+    ids: np.ndarray, num: np.ndarray | int, den: int = 1_000_000, seed: int = 0
+) -> np.ndarray:
+    """keep[i] = mix64(ids[i] + seed*GOLDEN) % den < num (all integer)."""
+    h = _mix64(ids.astype(np.uint64) + _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF))
+    return (h % _U(den)) < np.asarray(num, dtype=np.uint64)
+
+
+def stratified_sample(
+    ds,
+    rates_ppm: dict[str, int] | int,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    den: int = 1_000_000,
+    seed: int = 0,
+):
+    """Deterministic hash sample: keep a row iff
+    ``mix64(key) % den < rate[stratum]``.
+
+    ``rates_ppm`` is either one integer rate (uniform sample) or a
+    per-stratum dict; strata absent from the dict are dropped (rate 0).
+    The dict is closure-captured — it is one small int per stratum, not
+    a data-sized broadcast. Embarrassingly parallel: one vectorized
+    filter pass, no shuffle, stable under any batch/block composition.
+    """
+    uniform = isinstance(rates_ppm, int)
+    if not uniform:
+        strata = pa.array(list(rates_ppm.keys()))
+        nums = np.fromiter(rates_ppm.values(), dtype=np.int64, count=len(rates_ppm))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        if uniform:
+            num = rates_ppm
+        else:
+            idx = pc.index_in(batch[strata_col].combine_chunks(), value_set=strata)
+            pos = idx.to_numpy(zero_copy_only=False)
+            miss = np.isnan(pos) if pos.dtype.kind == "f" else (pos < 0)
+            pos = np.where(miss, 0, pos).astype(np.int64)
+            num = np.where(miss, 0, nums[pos])
+        return batch.filter(pa.array(hash_keep_mask(ids, num, den, seed)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def mix_sources(
+    ds,
+    weights: dict[str, int] | None = None,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    den: int = 1_000_000,
+    seed: int = 0,
+):
+    """Downsample sources to match target mixture ``weights`` (integers;
+    ``None`` = equal weights over observed sources).
+
+    Pass 1 counts rows per source (tiny combiner shuffle). The largest
+    feasible output size ``N`` satisfies ``N*w_s/W <= count_s`` for all
+    weighted sources; per-source keep rates are then
+    ``((N*w_s//W) * den) // count_s`` — all integer, so the SQL oracle
+    reproduces them exactly. Pass 2 is :func:`stratified_sample`.
+    """
+    counts = {
+        r[source_col]: r["count()"] for r in ds.groupby(source_col).count().take_all()
+    }
+    if weights is None:
+        weights = {s: 1 for s in counts}
+    W = sum(weights.values())
+    feas = [counts[s] * W // w for s, w in weights.items() if w > 0 and s in counts]
+    N = min(feas) if feas else 0
+    rates = {}
+    for s, w in weights.items():
+        if w <= 0 or s not in counts:
+            continue
+        target = N * w // W
+        rates[s] = min(den, target * den // counts[s])
+    return stratified_sample(ds, rates, key_col, source_col, den, seed)

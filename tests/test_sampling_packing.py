@@ -1,0 +1,119 @@
+"""Hash sampling, source mixing, and sequence-packing operator tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquetjs_ray.functions.packing import pack_sequences
+from parquetjs_ray.functions.sampling import (
+    hash_keep_mask,
+    mix_sources,
+    stratified_sample,
+)
+
+
+def _corpus(n=2000, n_sources=4, seed=7):
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(n).astype(np.int64)  # unsorted on purpose
+    src = np.array([f"s{i % n_sources}" for i in range(n)])
+    n_tok = rng.integers(1, 400, size=n).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "source": pa.array(src),
+            "n_tok": pa.array(n_tok),
+        }
+    )
+
+
+def test_hash_keep_mask_deterministic_and_rate():
+    ids = np.arange(100_000, dtype=np.int64)
+    m1 = hash_keep_mask(ids, 250_000)
+    m2 = hash_keep_mask(ids, 250_000)
+    assert np.array_equal(m1, m2)
+    # ±2% of the requested 25% on 100k uniform keys
+    assert abs(m1.mean() - 0.25) < 0.02
+    # different seed -> different (but still deterministic) subset
+    m3 = hash_keep_mask(ids, 250_000, seed=1)
+    assert not np.array_equal(m1, m3)
+    # monotone: raising the rate only adds rows
+    m4 = hash_keep_mask(ids, 500_000)
+    assert np.all(m4[m1])
+
+
+def test_stratified_sample_batch_independent(ray_session):
+    import ray.data as rd
+
+    t = _corpus()
+    rates = {"s0": 1_000_000, "s1": 500_000, "s2": 0}  # s3 absent -> dropped
+    out_1 = (
+        stratified_sample(rd.from_arrow(t), rates).take_all()
+    )
+    out_many = (
+        stratified_sample(
+            rd.from_arrow(t).repartition(13), rates
+        ).take_all()
+    )
+    k1 = sorted(r["doc_id"] for r in out_1)
+    k2 = sorted(r["doc_id"] for r in out_many)
+    assert k1 == k2  # block layout cannot change the sample
+    by_src = {}
+    for r in out_1:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src.get("s0", [])) == 500  # rate 1.0 keeps everything
+    assert "s2" not in by_src and "s3" not in by_src
+    assert 0 < len(by_src["s1"]) < 500
+
+
+def test_mix_sources_rates(ray_session):
+    import ray.data as rd
+
+    # skewed counts: s0 has 4x the rows of s1
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(2500, dtype=np.int64)),
+            "source": pa.array(["s0"] * 2000 + ["s1"] * 500),
+        }
+    )
+    out = mix_sources(rd.from_arrow(t)).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], 0)
+        by[r["source"]] += 1
+    # equal mixing targets min_count=500 from each source; hash sampling
+    # is approximate for the downsampled stratum, exact for the full one
+    assert by["s1"] == 500
+    assert abs(by["s0"] - 500) < 75
+
+
+def test_pack_sequences_matches_reference_scan(ray_session):
+    import ray.data as rd
+
+    t = _corpus()
+    got = pack_sequences(rd.from_arrow(t), capacity=512, bucket_width=128).take_all()
+    got_by_id = {r["doc_id"]: r["window_id"] for r in got}
+    assert len(got_by_id) == t.num_rows
+
+    # brute-force single-threaded reference: per source, docs in id order,
+    # exclusive cumsum // capacity
+    ids = t["doc_id"].to_numpy()
+    srcs = t["source"].to_pylist()
+    toks = t["n_tok"].to_numpy()
+    rows = sorted(zip(srcs, ids, toks))
+    run_src, run = None, 0
+    for s, i, tk in rows:
+        if s != run_src:
+            run_src, run = s, 0
+        assert got_by_id[int(i)] == run // 512, (s, i)
+        run += int(tk)
+
+
+def test_pack_sequences_bucket_width_invariant(ray_session):
+    import ray.data as rd
+
+    t = _corpus(n=500)
+    a = pack_sequences(rd.from_arrow(t), capacity=300, bucket_width=32).take_all()
+    b = pack_sequences(rd.from_arrow(t).repartition(11), capacity=300, bucket_width=4096).take_all()
+    ka = sorted((r["doc_id"], r["window_id"]) for r in a)
+    kb = sorted((r["doc_id"], r["window_id"]) for r in b)
+    assert ka == kb

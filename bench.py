@@ -172,10 +172,12 @@ def run_headline() -> dict:
         n_dec = decode_dataset(out_dir).count()
         t_decode = min(t_decode or 1e9, time.perf_counter() - t0)
     assert n_dec == rows, (n_dec, rows)
+    from parquetjs_ray.pipelines.verify import decode_fingerprint
+
     t_verify = None
     for _ in range(2):
         t0 = time.perf_counter()
-        dec_count, dec_hash = dataset_fingerprint(decode_dataset(out_dir))
+        dec_count, dec_hash = decode_fingerprint(out_dir)
         t_verify = min(t_verify or 1e9, time.perf_counter() - t0)
     verdict = {"equal": (orig_count == dec_count) and (orig_hash == dec_hash)}
 
@@ -201,7 +203,7 @@ def run_headline() -> dict:
         compact_dataset(out_dir)
         t_compact = time.perf_counter() - t0
         t0 = time.perf_counter()
-        cdec_count, cdec_hash = dataset_fingerprint(decode_dataset(out_dir))
+        cdec_count, cdec_hash = decode_fingerprint(out_dir)
         t_verify_compacted = time.perf_counter() - t0
         verdict["equal"] = verdict["equal"] and (orig_count == cdec_count) and (orig_hash == cdec_hash)
 

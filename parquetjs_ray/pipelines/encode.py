@@ -658,29 +658,18 @@ def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = Non
     return pa.concat_tables(tables)
 
 
-def decode_dataset(
+def list_decode_units(
     out_dir: str,
-    columns: list[str] | None = None,
     id_range: tuple | None = None,
     sources: list[str] | None = None,
-) -> rd.Dataset:
-    """Stream the encoded artifact back as a Dataset of the original schema.
+) -> list[dict]:
+    """Distributed decode-unit discovery → list of
+    ``{"partition": …, "fragment": …}`` rows (kilobytes of metadata).
 
-    ``columns`` pushes projection into the decoder (only the requested
-    column segments are decoded — the reference's getCursor(columnList),
-    `/root/reference/lib/reader.js:132-144,227-229`). ``id_range=(lo, hi)``
-    prunes fragments whose manifest id min/max stats cannot intersect
-    (parquet row-group-stats analogue); ``sources`` prunes partitions by
-    their source prefix — both prune BEFORE any chunk byte is read.
-
-    Work units are individual fragments (files mode) or whole partitions
-    (grouped/sharded), so decode parallelism matches the write layout and
-    no task is stuck with a whole hot-source partition.
-
-    Unit discovery itself is DISTRIBUTED: only the partition list comes
-    from the global manifest on the driver; per-partition manifests (and
-    per-fragment pruning stats) are read inside ``map_batches`` tasks —
-    the driver never performs O(#partitions) serial storage reads."""
+    Only the partition list comes from the global manifest on the
+    driver; per-partition manifests (and per-fragment pruning stats) are
+    read inside parallel tasks — the driver never performs
+    O(#partitions) serial storage reads."""
     manifest = read_global_manifest(out_dir)
     parts = [
         p["partition"]
@@ -709,15 +698,38 @@ def decode_dataset(
             rows, schema=pa.schema([("partition", pa.string()), ("fragment", pa.string())])
         )
 
-    # run the listing as parallel tasks, collect the (kilobyte) unit rows,
-    # then re-feed them so decode parallelism is one block per few units —
-    # chaining directly would fuse listing+decode into #partition-blocks
-    # tasks and collapse decode parallelism
-    unit_rows = (
+    # run the listing as parallel tasks and collect the (kilobyte) unit
+    # rows — chaining directly into the decode stage would fuse
+    # listing+decode into #partition-blocks tasks and collapse decode
+    # parallelism
+    return (
         rd.from_items([{"p": p} for p in parts])
         .map_batches(list_units, batch_format="pyarrow", batch_size=16)
         .take_all()
     )
+
+
+def decode_dataset(
+    out_dir: str,
+    columns: list[str] | None = None,
+    id_range: tuple | None = None,
+    sources: list[str] | None = None,
+) -> rd.Dataset:
+    """Stream the encoded artifact back as a Dataset of the original schema.
+
+    ``columns`` pushes projection into the decoder (only the requested
+    column segments are decoded — the reference's getCursor(columnList),
+    `/root/reference/lib/reader.js:132-144,227-229`). ``id_range=(lo, hi)``
+    prunes fragments whose manifest id min/max stats cannot intersect
+    (parquet row-group-stats analogue); ``sources`` prunes partitions by
+    their source prefix — both prune BEFORE any chunk byte is read.
+
+    Work units are individual fragments (files mode) or whole partitions
+    (grouped/sharded), so decode parallelism matches the write layout and
+    no task is stuck with a whole hot-source partition.
+
+    Unit discovery is distributed (see :func:`list_decode_units`)."""
+    unit_rows = list_decode_units(out_dir, id_range=id_range, sources=sources)
     return rd.from_items(unit_rows).map_batches(
         _decode_units,
         batch_format="pyarrow",

@@ -196,6 +196,36 @@ def dataset_fingerprint(ds: rd.Dataset, columns: list[str] | None = None) -> tup
     return count, hsum
 
 
+def decode_fingerprint(out_dir: str) -> tuple[int, int]:
+    """(row count, multiset hash) of the decoded artifact, with the hash
+    computed INSIDE each decode task.
+
+    ``dataset_fingerprint(decode_dataset(...))`` runs decode and hash as
+    two (fused) map stages, which re-batches every decoded block through
+    the second stage; here one function decodes a handful of fragments
+    and immediately reduces them to a 2-cell partial, so decoded rows
+    never cross a stage boundary and only kilobyte partials move."""
+    import ray.data as rd
+
+    from .encode import _decode_units, list_decode_units
+
+    units = list_decode_units(out_dir)
+
+    def fp_units(batch: pa.Table) -> pa.Table:
+        return _fingerprint_batch(_decode_units(batch, out_dir))
+
+    parts = (
+        rd.from_items(units)
+        .map_batches(fp_units, batch_format="pyarrow", batch_size=4)
+        .take_all()
+    )
+    count = sum(p["count"] for p in parts)
+    hsum = 0
+    for p in parts:
+        hsum = (hsum + int(p["hash_sum"])) % (1 << 64)
+    return count, hsum
+
+
 def verify_artifact(out_dir: str) -> dict:
     """Verify a decode against fingerprints STORED in the artifact
     (``encode_dataset(..., row_fingerprint=True)``): sums the per-unit
@@ -204,7 +234,6 @@ def verify_artifact(out_dir: str) -> dict:
     scale-correct verification shape (checks cost one decode pass).
     """
     from .. import storage as st
-    from .encode import decode_dataset
     from ..stages.writer import read_global_manifest
 
     gm = read_global_manifest(out_dir)
@@ -229,7 +258,7 @@ def verify_artifact(out_dir: str) -> dict:
         raise ValueError(
             f"{missing} units lack stored fingerprints — encode with row_fingerprint=True"
         )
-    got_rows, got_hash = dataset_fingerprint(decode_dataset(out_dir))
+    got_rows, got_hash = decode_fingerprint(out_dir)
     return {
         "rows_expected": want_rows,
         "rows_decoded": got_rows,

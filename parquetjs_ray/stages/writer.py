@@ -37,19 +37,27 @@ __all__ = [
 ]
 
 # general-purpose compression AFTER the lightweight codecs — the analogue of
-# the reference's GZIP/SNAPPY/BROTLI page compression (`lib/compression.js`).
+# the reference's GZIP/SNAPPY/LZO/BROTLI page compression (`lib/compression.js`).
 # UNCOMPRESSED default keeps the size comparison vs the reference honest.
-SUPPORTED_COMPRESSION = ("zstd", "gzip", "snappy", "lz4", "brotli")
+# "lzo" is the pure-Python LZO1X bitstream codec (codecs/lzo.py) — a
+# compatibility path for the reference's legacy LZO option; the others go
+# through pyarrow's native codecs.
+SUPPORTED_COMPRESSION = ("zstd", "gzip", "snappy", "lz4", "brotli", "lzo")
 
 
 def compress_chunk(chunk: bytes, compression: str | None) -> tuple[bytes, dict]:
     if not compression or compression == "uncompressed":
         return chunk, {}
-    import pyarrow as pa
-
     if compression not in SUPPORTED_COMPRESSION:
         raise ValueError(f"unsupported compression {compression!r}")
-    out = pa.Codec(compression).compress(chunk, asbytes=True)
+    if compression == "lzo":
+        from ..codecs import lzo
+
+        out = lzo.compress(chunk)
+    else:
+        import pyarrow as pa
+
+        out = pa.Codec(compression).compress(chunk, asbytes=True)
     return out, {"compression": compression, "uncompressed_size": len(chunk)}
 
 
@@ -57,6 +65,10 @@ def decompress_chunk(chunk: bytes, manifest: dict) -> bytes:
     comp = manifest.get("compression")
     if not comp:
         return chunk
+    if comp == "lzo":
+        from ..codecs import lzo
+
+        return lzo.decompress(chunk, manifest["uncompressed_size"])
     import pyarrow as pa
 
     return pa.Codec(comp).decompress(chunk, manifest["uncompressed_size"], asbytes=True)

@@ -476,6 +476,29 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard(_docs(sf_dir), pairs, shingle_k=5)
 
 
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (exact char-8-gram overlap vs an eval
+    set = the 20 lowest doc_ids): per-doc distinct-shingle count,
+    benchmark-overlap count, and the fraction-criterion contamination
+    flag. k=8 packs each shingle injectively into a uint64 through a
+    bijective mixer, so the hashed counts equal DuckDB's string counts
+    exactly."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.functions.decontam import decontaminate
+    from parquetjs_ray.functions.dedup import _collect_texts
+
+    ids = sorted(
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])["doc_id"].to_pylist()
+    )[:20]
+    texts = _collect_texts(_docs(sf_dir), ids, "doc_id", "text")
+    out = decontaminate(
+        _docs(sf_dir), [texts[i] for i in ids], k=8, min_overlap=10,
+        min_frac_x1000=800, mode="annotate",
+    )
+    return out.select_columns(["doc_id", "n_distinct", "n_overlap", "contaminated"])
+
+
 def q_events_asof_order(sf_dir: str):
     """As-of join: for each event, the user's most recent order at event
     time (backward as-of; ties on order date broken by max o_orderkey)."""
@@ -781,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "decontaminate_docs": q_decontaminate_docs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "orders_by_nation": q_orders_by_nation,
@@ -925,6 +949,26 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(1000 * i.c // greatest(sa.n + sb.n - i.c, 1), 0)::BIGINT AS jaccard_x1000 "
             "FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b "
             "LEFT JOIN inter i ON i.a = p.a AND i.b = p.b"
+        ),
+        "decontaminate_docs": (
+            # exact char-8-gram decontamination vs the 20 lowest doc_ids;
+            # fraction criterion with the pipeline's integer arithmetic
+            "WITH bench AS (SELECT text FROM documents ORDER BY doc_id LIMIT 20), "
+            "bpos AS (SELECT text, unnest(generate_series(1, length(text)-7)) AS i "
+            " FROM bench WHERE length(text) >= 8), "
+            "bsh AS (SELECT DISTINCT substr(text, i, 8) AS g FROM bpos), "
+            "dpos AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS i "
+            " FROM documents WHERE length(text) >= 8), "
+            "dsh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS g FROM dpos), "
+            "st AS (SELECT doc_id, count(*) AS n_distinct, "
+            " count(*) FILTER (WHERE g IN (SELECT g FROM bsh)) AS n_overlap "
+            " FROM dsh GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(st.n_distinct, 0)::BIGINT AS n_distinct, "
+            "coalesce(st.n_overlap, 0)::BIGINT AS n_overlap, "
+            "(coalesce(st.n_overlap, 0) >= 10 AND "
+            " 1000 * coalesce(st.n_overlap, 0) // greatest(coalesce(st.n_distinct, 0), 1) >= 800) "
+            "AS contaminated "
+            "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
         ),
         "events_asof_order": (
             "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "

@@ -490,3 +490,68 @@ def test_verify_pairs_shuffle_and_broadcast_paths_agree(ray_session, monkeypatch
     monkeypatch.undo()
     out_sim_s = dd.simhash_dedup(ds, max_hamming=6)
     assert sorted(out_sim_b.to_pylist(), key=str) == sorted(out_sim_s.to_pylist(), key=str)
+
+
+# ── decontamination ──────────────────────────────────────────────────────
+
+
+def test_decontaminate_annotate_and_filter(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.decontam import decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog" * 3]
+    docs = [
+        bench[0],                                   # exact copy → contaminated
+        bench[0] + " plus tail",                    # dominant overlap + novel tail
+        "completely different text about rayon and parquet encodings",   # clean
+        "tiny",                                      # shorter than k → clean
+    ]
+    ds = rd.from_arrow(_doc_table(docs))
+    ann = pa.Table.from_pylist(
+        sorted(
+            decontaminate(ds, bench, k=8, min_overlap=5, min_frac_x1000=500,
+                          mode="annotate").take_all(),
+            key=lambda r: r["doc_id"],
+        )
+    )
+    assert ann["contaminated"].to_pylist() == [True, True, False, False]
+    assert ann["n_distinct"].to_pylist()[3] == 0  # sub-k doc has no shingles
+    # the exact copy overlaps on every one of its distinct shingles
+    assert ann["n_overlap"].to_pylist()[0] == ann["n_distinct"].to_pylist()[0]
+    kept = decontaminate(ds, bench, k=8, min_overlap=5, min_frac_x1000=500).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [2, 3]
+
+
+def test_decontaminate_empty_benchmark_keeps_all(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.decontam import decontaminate
+
+    ds = rd.from_arrow(_doc_table(["some document text here", "another one"]))
+    assert decontaminate(ds, [], k=8).count() == 2
+
+
+def test_decontaminate_exactness_vs_python_sets(ray_session):
+    """Hashed overlap counts equal brute-force Python set counts (k=8
+    injectivity) on real corpus text."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquetjs_ray.functions.decontam import decontaminate
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    bench = texts[:5]
+    out = pa.Table.from_pylist(
+        sorted(
+            decontaminate(rd.from_arrow(t), bench, k=8, mode="annotate").take_all(),
+            key=lambda r: r["doc_id"],
+        )
+    )
+    bset = {s[i : i + 8] for s in bench for i in range(len(s) - 7)}
+    order = np.argsort(np.array(t["doc_id"]))
+    for j, row in zip(order[:40], range(40)):
+        sh = {texts[j][i : i + 8] for i in range(max(0, len(texts[j]) - 7))}
+        assert out["n_distinct"][row].as_py() == len(sh)
+        assert out["n_overlap"][row].as_py() == len(sh & bset)

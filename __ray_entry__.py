@@ -499,6 +499,21 @@ def q_decontaminate_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_distinct", "n_overlap", "contaminated"])
 
 
+def q_redact_docs(sf_dir: str):
+    """Regex redaction over the corpus (fixture-relevant word patterns;
+    the operator's PII defaults are pytest-covered on synthetic text).
+    Arrow and DuckDB both use RE2, so the full redacted text AND match
+    counts compare hash-exactly."""
+    from parquetjs_ray.functions.redact import redact
+
+    out = redact(
+        _docs(sf_dir),
+        {"tool": r"\b(spark|flink)\b", "op": r"\b(hash|merge|sort)\b"},
+        replacement="[X]",
+    )
+    return out.select_columns(["doc_id", "text", "n_tool", "n_op"])
+
+
 def q_events_asof_order(sf_dir: str):
     """As-of join: for each event, the user's most recent order at event
     time (backward as-of; ties on order date broken by max o_orderkey)."""
@@ -805,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "decontaminate_docs": q_decontaminate_docs,
+        "redact_docs": q_redact_docs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "orders_by_nation": q_orders_by_nation,
@@ -949,6 +965,16 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(1000 * i.c // greatest(sa.n + sb.n - i.c, 1), 0)::BIGINT AS jaccard_x1000 "
             "FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b "
             "LEFT JOIN inter i ON i.a = p.a AND i.b = p.b"
+        ),
+        "redact_docs": (
+            # sequential two-pattern redaction; both engines are RE2
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, '\\b(spark|flink)\\b', '[X]', 'g'), "
+            " '\\b(hash|merge|sort)\\b', '[X]', 'g') AS text, "
+            "len(regexp_extract_all(text, '\\b(spark|flink)\\b'))::BIGINT AS n_tool, "
+            "len(regexp_extract_all(regexp_replace(text, '\\b(spark|flink)\\b', '[X]', 'g'), "
+            " '\\b(hash|merge|sort)\\b'))::BIGINT AS n_op "
+            "FROM documents"
         ),
         "decontaminate_docs": (
             # exact char-8-gram decontamination vs the 20 lowest doc_ids;

@@ -555,3 +555,49 @@ def test_decontaminate_exactness_vs_python_sets(ray_session):
         sh = {texts[j][i : i + 8] for i in range(max(0, len(texts[j]) - 7))}
         assert out["n_distinct"][row].as_py() == len(sh)
         assert out["n_overlap"][row].as_py() == len(sh & bset)
+
+
+def test_redact_pii_defaults(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.redact import redact
+
+    docs = [
+        "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567",
+        "server at 10.0.254.3 answered",
+        "nothing sensitive here",
+    ]
+    out = pa.Table.from_pylist(
+        sorted(redact(rd.from_arrow(_doc_table(docs))).take_all(), key=lambda r: r["doc_id"])
+    )
+    texts = out["text"].to_pylist()
+    assert "@" not in texts[0] and "555" not in texts[0]
+    assert texts[1] == "server at [REDACTED] answered"
+    assert texts[2] == docs[2]
+    assert out["n_email"].to_pylist() == [1, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 1, 0]
+    assert out["n_phone"].to_pylist() == [1, 0, 0]
+
+
+def test_redact_pattern_order_masks_later_patterns(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.redact import redact
+
+    # the email's digits must not ALSO count as a phone once redacted
+    out = redact(
+        rd.from_arrow(_doc_table(["reach 12345678901@example.com now"]))
+    ).take_all()[0]
+    assert out["n_email"] == 1 and out["n_phone"] == 0
+    assert out["text"] == "reach [REDACTED] now"
+
+
+def test_redact_no_counts_mode(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.redact import redact
+
+    out = redact(
+        rd.from_arrow(_doc_table(["a@b.io"])), {"email": r"\S+@\S+"}, counts=False
+    ).take_all()[0]
+    assert out["text"] == "[REDACTED]" and "n_email" not in out

@@ -243,6 +243,62 @@ def q_decode_source_prune(sf_dir: str):
     return out
 
 
+def _events_artifact(sf_dir: str) -> str:
+    """Encode the (time-ordered) events table ONCE per sf_dir — cached like
+    the docs artifact — so the zone-map time-range scan exercises the real
+    encode → prune → decode path."""
+    from parquetjs_ray.pipelines.encode import encode_dataset
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    outdir = os.path.join(
+        tempfile.gettempdir(), f"parquetjs_ray_eventsart_{tag}_v{FORMAT_VERSION}z"
+    )
+    if not os.path.exists(os.path.join(outdir, "_MANIFEST.json")):
+        encode_dataset(
+            [os.path.join(sf_dir, "events.parquet")], outdir, mode="files",
+            target_rows_per_partition=2_000, sample_rows=50_000,
+            id_col="event_id", source_col=None, unit_rows=2_000,
+        )
+    return outdir
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def q_events_time_range_scan(sf_dir: str):
+    """ZONE-MAP PREDICATE PRUNING at read: scan one week out of the
+    events artifact via ``decode_dataset(where=...)`` — fragments whose
+    per-column ts min/max zones miss the range are skipped without
+    reading a byte (asserted) — then aggregate; must equal SQL with the
+    identical epoch-µs range over the raw table."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Max, Min
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, list_decode_units
+
+    outdir = _events_artifact(sf_dir)
+    ts = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])["ts"]
+    lo_us = pc.min(ts).cast(pa.int64()).as_py() + _WEEK_US
+    lo = pa.scalar(lo_us, pa.int64()).cast(pa.timestamp("us")).as_py()
+    hi = pa.scalar(lo_us + _WEEK_US, pa.int64()).cast(pa.timestamp("us")).as_py()
+    where = [("ts", ">=", lo), ("ts", "<", hi)]
+    kept = len(list_decode_units(outdir, where=where))
+    total = len(list_decode_units(outdir))
+    assert 0 < kept < total, (kept, total)  # pruning is real, not a full scan
+    ds = decode_dataset(outdir, columns=["event_type", "event_id"], where=where)
+    return (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("event_id", alias_name="min_event"),
+            Max("event_id", alias_name="max_event"),
+        )
+        .select_columns(["event_type", "n", "min_event", "max_event"])
+    )
+
+
 def q_decode_projection(sf_dir: str):
     """COLUMN PROJECTION at read: decode only (doc_id, n_chars) — the
     storage layer reads just those columns' segment byte ranges — and
@@ -803,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "decode_source_prune": q_decode_source_prune,
         "decode_projection": q_decode_projection,
+        "events_time_range_scan": q_events_time_range_scan,
         "fingerprint_distinct_docs": q_fingerprint_distinct_docs,
         "docs_top_longest": q_docs_top_longest,
         "quality_docs": q_quality_docs,
@@ -869,6 +926,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decode_projection": (
             "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 25"
+        ),
+        "events_time_range_scan": (
+            "WITH b AS (SELECT min(epoch_us(ts)) + 604800000000 AS lo FROM events) "
+            "SELECT event_type, count(*) AS n, min(event_id) AS min_event, "
+            "max(event_id) AS max_event FROM events, b "
+            "WHERE epoch_us(ts) >= b.lo AND epoch_us(ts) < b.lo + 604800000000 "
+            "GROUP BY event_type"
         ),
         "fingerprint_distinct_docs": "SELECT count(DISTINCT text) AS n_distinct FROM documents",
         "docs_top_longest": (

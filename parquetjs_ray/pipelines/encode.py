@@ -266,6 +266,7 @@ def _encode_one_file(
     path: str, file_idx: int, plan_ref, salt_per_source: dict[str, int], out_dir: str,
     id_col: str = "doc_id", source_col: str | None = "source",
     compression: str | None = None, row_fingerprint: bool = False,
+    unit_rows: int | None = None,
 ) -> list[dict]:
     """files-mode task body: stream one input file ROW-GROUP-wise, split
     each unit by salted key, write fragments ``(key, file_idx, rg_range)``.
@@ -273,29 +274,45 @@ def _encode_one_file(
     Per-unit memory is bounded by ``_MAX_ROWGROUPS_PER_UNIT`` row groups —
     a multi-GB input file never has to fit in a worker's heap. Fragment
     ids stay deterministic (file index + row-group range), preserving
-    exact-recompute resume."""
+    exact-recompute resume.
+
+    ``unit_rows`` additionally slices any unit bigger than that many rows
+    into contiguous row ranges BEFORE the key split, so the upstream
+    writer's row-group layout never dictates fragment granularity: a file
+    with one giant row group still yields bounded fragments whose zone
+    maps stay narrow on ingest-ordered columns (time-series pruning).
+    Slice ids are deterministic (``s{j}`` suffix) — resume contract holds
+    for reruns with the same ``unit_rows``."""
     state = _get_state(plan_ref)
     pf = _open_parquet(path)
     n_rg = pf.metadata.num_row_groups
     rows = []
     for rg0 in range(0, n_rg, _MAX_ROWGROUPS_PER_UNIT):
         rgs = list(range(rg0, min(rg0 + _MAX_ROWGROUPS_PER_UNIT, n_rg)))
-        frag_id = f"{file_idx:06d}" if n_rg <= _MAX_ROWGROUPS_PER_UNIT else f"{file_idx:06d}r{rg0:04d}"
+        base_frag = f"{file_idx:06d}" if n_rg <= _MAX_ROWGROUPS_PER_UNIT else f"{file_idx:06d}r{rg0:04d}"
         tbl = pf.read_row_groups(rgs)
-        stamped = salted_keys(tbl, salt_per_source, id_col=id_col, source_col=source_col)
-        for key, sub in split_by_key(stamped):
-            if fragment_done(out_dir, key, frag_id):
-                continue  # summary recovered from disk by the resume sweep
-            stored = sub.drop_columns(["__part"]).combine_chunks()
-            chunk, manifest = encode_table(stored, state)
-            if row_fingerprint:
-                _fingerprint_into(manifest, stored)
-            ids = sub.column(id_col)
-            # per-fragment id min/max: the parquet row-group-stats analogue,
-            # drives fragment pruning in decode_dataset(id_range=...)
-            manifest["id_min"] = pa.compute.min(ids).as_py()
-            manifest["id_max"] = pa.compute.max(ids).as_py()
-            rows.append(write_fragment(out_dir, key, frag_id, chunk, manifest, compression=compression))
+        if unit_rows and tbl.num_rows > unit_rows:
+            units = [
+                (f"{base_frag}s{j:04d}", tbl.slice(j * unit_rows, unit_rows))
+                for j in range(math.ceil(tbl.num_rows / unit_rows))
+            ]
+        else:
+            units = [(base_frag, tbl)]
+        for frag_id, utbl in units:
+            stamped = salted_keys(utbl, salt_per_source, id_col=id_col, source_col=source_col)
+            for key, sub in split_by_key(stamped):
+                if fragment_done(out_dir, key, frag_id):
+                    continue  # summary recovered from disk by the resume sweep
+                stored = sub.drop_columns(["__part"]).combine_chunks()
+                chunk, manifest = encode_table(stored, state)
+                if row_fingerprint:
+                    _fingerprint_into(manifest, stored)
+                ids = sub.column(id_col)
+                # per-fragment id min/max: the parquet row-group-stats analogue,
+                # drives fragment pruning in decode_dataset(id_range=...)
+                manifest["id_min"] = pa.compute.min(ids).as_py()
+                manifest["id_max"] = pa.compute.max(ids).as_py()
+                rows.append(write_fragment(out_dir, key, frag_id, chunk, manifest, compression=compression))
     return rows
 
 
@@ -316,7 +333,7 @@ def _run_files_mode(
     paths: list[str], out_dir: str, plan_ref, salt_per_source: dict[str, int],
     *, id_col: str = "doc_id", source_col: str | None = "source",
     compression: str | None = None, user_metadata: dict | None = None,
-    row_fingerprint: bool = False,
+    row_fingerprint: bool = False, unit_rows: int | None = None,
 ) -> dict:
     """files mode: one task per input file, NO data shuffle.
 
@@ -337,7 +354,7 @@ def _run_files_mode(
                 _encode_one_file(
                     path, int(fidx), plan_ref, salt_per_source, out_dir,
                     id_col=id_col, source_col=source_col, compression=compression,
-                    row_fingerprint=row_fingerprint,
+                    row_fingerprint=row_fingerprint, unit_rows=unit_rows,
                 )
             )
         return pa.Table.from_pylist(rows, schema=_SUMMARY_SCHEMA)
@@ -444,8 +461,15 @@ def encode_dataset(
     compression: str | None = None,
     user_metadata: dict | None = None,
     row_fingerprint: bool = False,
+    unit_rows: int | None = None,
 ) -> dict:
     """Run the full encode pipeline; returns the report (totals + ratios).
+
+    ``unit_rows`` (files mode) caps rows per encode unit: units bigger
+    than this are sliced into contiguous row ranges before the key
+    split, bounding fragment size independently of the upstream
+    row-group layout and keeping zone maps narrow on ingest-ordered
+    columns (see :func:`_encode_one_file`).
 
     ``row_fingerprint=True`` additionally records each unit's multiset
     row fingerprint (count + 64-bit hash sum) in its manifest, enabling
@@ -502,6 +526,7 @@ def encode_dataset(
         return _run_files_mode(
             paths, out_dir, plan_ref, salt_per_source, id_col=id_col, source_col=source_col,
             compression=compression, user_metadata=user_metadata, row_fingerprint=row_fingerprint,
+            unit_rows=unit_rows,
         )
 
     ds = rd.read_parquet(paths)
@@ -618,7 +643,13 @@ def _decode_state(out_dir: str) -> EncoderState:
     return st
 
 
-def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = None) -> pa.Table:
+def _decode_units(
+    batch: pa.Table,
+    out_dir: str,
+    columns: list[str] | None = None,
+    where: list[tuple] | None = None,
+    keep_columns: list[str] | None = None,
+) -> pa.Table:
     from ..stages.decoder import SparseChunk, collect_segment_ranges
 
     state = _decode_state(out_dir)
@@ -655,13 +686,95 @@ def _decode_units(batch: pa.Table, out_dir: str, columns: list[str] | None = Non
                 )
             chunk = decompress_chunk(raw, fm)
         tables.append(decode_chunk(chunk, fm, state))
-    return pa.concat_tables(tables)
+    out = pa.concat_tables(tables)
+    if where:
+        out = _apply_where(out, where)
+    if keep_columns is not None:
+        out = out.select(keep_columns)
+    return out
+
+
+_WHERE_OPS = ("<", "<=", ">", ">=", "==", "=")
+
+
+def _normalize_where_operand(value, tag: str):
+    """Bring a predicate operand into the zone map's raw numeric domain.
+
+    Zone maps store temporal min/max as epoch integers in the column's
+    own unit (see ``stages.encoder._column_zones``); the operand must be
+    normalized through the same Arrow cast so prune-side and exact-side
+    comparisons agree."""
+    if tag.startswith("timestamp["):
+        unit = tag[len("timestamp[") : -1]
+        return pa.scalar(value, pa.timestamp(unit)).cast(pa.int64()).as_py()
+    if tag == "date32":
+        return pa.scalar(value, pa.date32()).cast(pa.int32()).as_py()
+    if tag == "date64":
+        return pa.scalar(value, pa.date64()).cast(pa.int64()).as_py()
+    return value
+
+
+def _zones_admit(zones: dict | None, where: list[tuple]) -> bool:
+    """Can a unit with these min/max zones contain ANY row satisfying the
+    conjunction ``where``? Missing zones (string columns, all-null
+    chunks, pre-zones artifacts) admit — pruning is best-effort, the
+    residual filter is exact."""
+    if not zones:
+        return True
+    for col, op, val in where:
+        z = zones.get(col)
+        if z is None:
+            continue
+        try:
+            v = _normalize_where_operand(val, z["t"])
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, ValueError):
+            continue  # incomparable operand: leave it to the exact filter
+        lo, hi = z["min"], z["max"]
+        if (
+            (op == "<" and not lo < v)
+            or (op == "<=" and not lo <= v)
+            or (op == ">" and not hi > v)
+            or (op == ">=" and not hi >= v)
+            or (op in ("==", "=") and not lo <= v <= hi)
+        ):
+            return False
+    return True
+
+
+def _apply_where(table: pa.Table, where: list[tuple]) -> pa.Table:
+    """Exact residual filter (zone pruning only skips whole units)."""
+    import pyarrow.compute as pc
+
+    kernels = {
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+        "==": pc.equal,
+        "=": pc.equal,
+    }
+    mask = None
+    for col, op, val in where:
+        c = table.column(col)
+        s = val if isinstance(val, pa.Scalar) else pa.scalar(val, type=c.type)
+        m = kernels[op](c, s)
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return table.filter(mask) if mask is not None else table
+
+
+def _check_where(where: list[tuple] | None) -> list[tuple] | None:
+    if where:
+        for clause in where:
+            if len(clause) != 3 or clause[1] not in _WHERE_OPS:
+                raise ValueError(f"where clause must be (column, op, value) with op in {_WHERE_OPS}: {clause!r}")
+    return where
 
 
 def list_decode_units(
     out_dir: str,
     id_range: tuple | None = None,
     sources: list[str] | None = None,
+    where: list[tuple] | None = None,
 ) -> list[dict]:
     """Distributed decode-unit discovery → list of
     ``{"partition": …, "fragment": …}`` rows (kilobytes of metadata).
@@ -684,15 +797,20 @@ def list_decode_units(
             pm = st.read_json(st.join(pdir, "manifest.json"))
             if "fragments" in pm:
                 for fr in pm["fragments"]:
-                    if id_range is not None:
-                        fm_min_max = st.read_json(st.join(pdir, f"frag-{fr}.json"))
-                        lo, hi = id_range
-                        if fm_min_max.get("id_max") is not None and (
-                            fm_min_max["id_max"] < lo or fm_min_max["id_min"] > hi
-                        ):
+                    if id_range is not None or where:
+                        fm = st.read_json(st.join(pdir, f"frag-{fr}.json"))
+                        if id_range is not None:
+                            lo, hi = id_range
+                            if fm.get("id_max") is not None and (
+                                fm["id_max"] < lo or fm["id_min"] > hi
+                            ):
+                                continue
+                        if where and not _zones_admit(fm.get("zones"), where):
                             continue
                     rows.append({"partition": pid, "fragment": fr})
             else:
+                if where and not _zones_admit(pm.get("zones"), where):
+                    continue
                 rows.append({"partition": pid, "fragment": ""})
         return pa.Table.from_pylist(
             rows, schema=pa.schema([("partition", pa.string()), ("fragment", pa.string())])
@@ -714,6 +832,7 @@ def decode_dataset(
     columns: list[str] | None = None,
     id_range: tuple | None = None,
     sources: list[str] | None = None,
+    where: list[tuple] | None = None,
 ) -> rd.Dataset:
     """Stream the encoded artifact back as a Dataset of the original schema.
 
@@ -724,17 +843,39 @@ def decode_dataset(
     (parquet row-group-stats analogue); ``sources`` prunes partitions by
     their source prefix — both prune BEFORE any chunk byte is read.
 
+    ``where=[(col, op, value), ...]`` is a conjunction of range
+    predicates (op in ``<, <=, >, >=, ==``) evaluated in two phases:
+    fragments whose per-column min/max zone maps cannot intersect are
+    skipped without reading a chunk byte (the parquet row-group
+    Statistics analogue — parquet.thrift Statistics min/max, which the
+    reference never emits), then an exact vectorized filter runs on the
+    decoded batches. Predicate columns are decoded as needed and dropped
+    again if not in ``columns``.
+
     Work units are individual fragments (files mode) or whole partitions
     (grouped/sharded), so decode parallelism matches the write layout and
     no task is stuck with a whole hot-source partition.
 
     Unit discovery is distributed (see :func:`list_decode_units`)."""
-    unit_rows = list_decode_units(out_dir, id_range=id_range, sources=sources)
+    where = _check_where(where)
+    unit_rows = list_decode_units(out_dir, id_range=id_range, sources=sources, where=where)
+    keep_columns = None
+    decode_columns = columns
+    if where and columns:
+        extra = [c for c, _, _ in where if c not in columns]
+        if extra:
+            keep_columns = list(columns)
+            decode_columns = list(columns) + sorted(set(extra))
     return rd.from_items(unit_rows).map_batches(
         _decode_units,
         batch_format="pyarrow",
         batch_size=4,
-        fn_kwargs={"out_dir": out_dir, "columns": columns},
+        fn_kwargs={
+            "out_dir": out_dir,
+            "columns": decode_columns,
+            "where": where,
+            "keep_columns": keep_columns,
+        },
     )
 
 

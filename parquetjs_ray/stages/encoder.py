@@ -377,4 +377,49 @@ def encode_table(table: pa.Table, state: EncoderState) -> tuple[bytes, dict]:
         "raw_bytes": sum(c["raw_bytes"] for c in columns.values()),
         "enc_bytes": cb.pos,
     }
+    zones = _column_zones(table)
+    if zones:
+        manifest["zones"] = zones
     return cb.chunk(), manifest
+
+
+def _column_zones(table: pa.Table) -> dict[str, dict]:
+    """Per-chunk min/max zone maps for orderable top-level columns — the
+    parquet row-group column-statistics analogue (parquet.thrift
+    Statistics min/max; the reference never emits them). Drives
+    fragment pruning in ``decode_dataset(where=...)``.
+
+    Values are stored JSON-safe in each type's raw numeric domain
+    (temporal types as their epoch integer, recorded with a type tag so
+    the predicate side normalizes operands identically)."""
+    zones: dict[str, dict] = {}
+    for name in table.column_names:
+        arr = table.column(name)
+        t = arr.type
+        tag: str | None = None
+        if pa.types.is_integer(t):
+            tag = "int"
+        elif pa.types.is_floating(t):
+            tag = "float"
+        elif pa.types.is_timestamp(t) and t.tz is None:
+            tag = f"timestamp[{t.unit}]"
+        elif pa.types.is_date32(t):
+            tag = "date32"
+        elif pa.types.is_date64(t):
+            tag = "date64"
+        if tag is None or arr.null_count == len(arr):
+            continue
+        mm = pc.min_max(arr)
+        lo, hi = mm["min"], mm["max"]
+        if tag == "float":
+            lo, hi = lo.as_py(), hi.as_py()
+            if not (np.isfinite(lo) and np.isfinite(hi)):
+                continue
+        elif tag == "int":
+            lo, hi = lo.as_py(), hi.as_py()
+        else:  # temporal → raw epoch integer in the type's own unit
+            storage = pa.int32() if tag == "date32" else pa.int64()
+            lo = lo.cast(storage).as_py()
+            hi = hi.cast(storage).as_py()
+        zones[name] = {"min": lo, "max": hi, "t": tag}
+    return zones

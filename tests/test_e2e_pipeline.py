@@ -822,3 +822,105 @@ def test_row_hashes_uint64_extremes_and_batch_independence(ray_session):
     small = pa.table({"a": pa.array([5, 6], pa.uint64()), "b": pa.array([1, 2], pa.uint32())})
     small_signed = pa.table({"a": pa.array([5, 6], pa.int64()), "b": pa.array([1, 2], pa.int32())})
     assert np.array_equal(row_hashes(small), row_hashes(small_signed))
+
+
+def _events_fixture(indir: str, rows: int = 4_000, n_shards: int = 4) -> list[str]:
+    """Time-ordered events-shaped table (ts increases with row index), so
+    files-mode fragments carry narrow ts zones — the classic time-range
+    pruning layout."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(indir, exist_ok=True)
+    per = rows // n_shards
+    paths = []
+    for s in range(n_shards):
+        rng = np.random.default_rng(1000 + s)
+        idx = np.arange(per, dtype=np.int64) + s * per
+        tbl = pa.table(
+            {
+                "event_id": pa.array(idx, pa.int64()),
+                "ts": pa.array(
+                    (1_700_000_000_000_000 + idx * 60_000_000),  # 1/min, strictly increasing
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array(rng.normal(0, 1, per), pa.float64()),
+                "kind": pa.array(rng.choice(["click", "view", "buy"], per)),
+            }
+        )
+        p = os.path.join(indir, f"events-{s}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    return paths
+
+
+def test_zone_map_predicate_pruning(ray_session, tmp_path):
+    """decode_dataset(where=...) prunes fragments by per-column min/max
+    zones (no chunk bytes read) and applies an exact residual filter."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset, list_decode_units
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = _events_fixture(indir)
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=500, sample_rows=4_000,
+        id_col="event_id", source_col=None,
+    )
+
+    lo = dt.datetime(2023, 11, 14, 22, 13, 20) + dt.timedelta(minutes=1_000)
+    hi = lo + dt.timedelta(minutes=500)
+    where = [("ts", ">=", lo), ("ts", "<", hi)]
+
+    all_units = list_decode_units(outdir)
+    kept_units = list_decode_units(outdir, where=where)
+    assert 0 < len(kept_units) < len(all_units), (len(kept_units), len(all_units))
+
+    got = decode_dataset(outdir, where=where).take_all()
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    import pyarrow.compute as pc
+
+    lo_s = pa.scalar(lo, pa.timestamp("us"))
+    hi_s = pa.scalar(hi, pa.timestamp("us"))
+    want = orig.filter(pc.and_(pc.greater_equal(orig["ts"], lo_s), pc.less(orig["ts"], hi_s)))
+    assert sorted(r["event_id"] for r in got) == sorted(want["event_id"].to_pylist())
+    # exact boundaries (residual filter, not just zone-level granularity)
+    assert len(got) == 500
+
+    # predicate on an integer column + projection: predicate column decoded
+    # for filtering but dropped from the output
+    got2 = decode_dataset(outdir, columns=["value"], where=[("event_id", "<", 100)]).take_all()
+    assert len(got2) == 100 and sorted(got2[0].keys()) == ["value"]
+
+    # float predicate admits everything at zone level but filters exactly
+    got3 = decode_dataset(outdir, where=[("value", ">", 1.5)]).take_all()
+    want3 = orig.filter(pc.greater(orig["value"], pa.scalar(1.5, pa.float64())))
+    assert sorted(r["event_id"] for r in got3) == sorted(want3["event_id"].to_pylist())
+
+    # string-column predicate: no zones -> no pruning, still exact
+    got4 = decode_dataset(outdir, where=[("kind", "==", "buy")]).take_all()
+    assert sorted(r["event_id"] for r in got4) == sorted(
+        orig.filter(pc.equal(orig["kind"], "buy"))["event_id"].to_pylist()
+    )
+
+
+def test_zone_maps_survive_compaction_and_grouped_mode(ray_session, tmp_path):
+    """Compacted partitions re-emit zones for the merged chunk; grouped
+    mode prunes at partition granularity."""
+    from parquetjs_ray import storage as pst
+    from parquetjs_ray.pipelines.encode import compact_dataset, decode_dataset, encode_dataset
+    from parquetjs_ray.stages.writer import read_global_manifest
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = _events_fixture(indir, rows=2_000, n_shards=2)
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=250, sample_rows=2_000,
+        id_col="event_id", source_col=None,
+    )
+    compact_dataset(outdir)
+    gm = read_global_manifest(outdir)
+    pm = pst.read_json(pst.join(outdir, f"part-{gm['partitions'][0]['partition']}", "manifest.json"))
+    assert "zones" in pm and "event_id" in pm["zones"]
+    got = decode_dataset(outdir, where=[("event_id", ">=", 1_500)]).take_all()
+    assert sorted(r["event_id"] for r in got) == list(range(1_500, 2_000))

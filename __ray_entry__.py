@@ -310,6 +310,30 @@ def q_decode_projection(sf_dir: str):
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(25)
 
 
+def q_top_docs_per_source(sf_dir: str):
+    """Per-group top-k (3 longest docs per source) via the combiner-
+    before-shuffle group_top_k operator — only k rows per (key, batch)
+    ever move; must equal SQL row_number() over partition."""
+    from parquetjs_ray.functions.groupops import group_top_k
+
+    ds = _docs(sf_dir).select_columns(["source", "doc_id", "n_chars"])
+    return group_top_k(ds, "source", "n_chars", 3, tiebreak_col="doc_id").select_columns(
+        ["source", "doc_id", "n_chars"]
+    )
+
+
+def q_collapse_repeats_docs(sf_dir: str):
+    """Repetition removal: collapse consecutive duplicate whitespace
+    tokens per doc (vectorized, zero-shuffle); exact vs the SQL
+    lag-over-unnest replica."""
+    from parquetjs_ray.functions.text import collapse_repeats_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        collapse_repeats_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "text_norepeat", "n_removed"])
+
+
 def q_fingerprint_distinct_docs(sf_dir: str):
     """Distinct 64-bit content fingerprints == distinct texts (collision-free
     at these scales) — validates the fingerprint operator against SQL."""
@@ -862,6 +886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_range_scan": q_events_time_range_scan,
         "fingerprint_distinct_docs": q_fingerprint_distinct_docs,
         "docs_top_longest": q_docs_top_longest,
+        "top_docs_per_source": q_top_docs_per_source,
+        "collapse_repeats_docs": q_collapse_repeats_docs,
         "quality_docs": q_quality_docs,
         "events_by_segment": q_events_by_segment,
         "session_windows_events": q_session_windows_events,
@@ -937,6 +963,24 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_distinct_docs": "SELECT count(DISTINCT text) AS n_distinct FROM documents",
         "docs_top_longest": (
             "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "top_docs_per_source": (
+            "SELECT source, doc_id, n_chars FROM ("
+            " SELECT source, doc_id, n_chars, row_number() OVER ("
+            "  PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+            "WHERE rn <= 3"
+        ),
+        "collapse_repeats_docs": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks) AS tok, "
+            "      unnest(generate_series(1, len(toks))) AS pos FROM t), "
+            "d AS (SELECT doc_id, pos, tok, "
+            "      lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM u) "
+            "SELECT doc_id, "
+            " coalesce(string_agg(tok, ' ' ORDER BY pos) "
+            "   FILTER (WHERE prev IS NULL OR tok <> prev), '') AS text_norepeat, "
+            " (count(*) FILTER (WHERE tok = prev))::BIGINT AS n_removed "
+            "FROM d GROUP BY doc_id"
         ),
         "quality_docs": (
             "SELECT doc_id, "

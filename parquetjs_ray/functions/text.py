@@ -19,6 +19,7 @@ __all__ = [
     "fingerprint_batch",
     "quality_batch",
     "langid_batch",
+    "collapse_repeats_batch",
 ]
 
 _U = np.uint64
@@ -75,6 +76,37 @@ def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     out = out.append_column("mean_word_len_x1000", mean_word_len_x1000)
     out = out.append_column("digit_ratio_x1000", digit_ratio_x1000)
     return out
+
+
+def collapse_repeats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Repetition removal: collapse runs of consecutive identical
+    whitespace tokens to one occurrence (the classic LLM-corpus
+    degeneration cleanup — "a a a the" → "a the").
+
+    Vectorized end to end: one ``split_pattern``, one shifted string
+    equality over the flat token array, one ``reduceat`` to rebuild list
+    lengths, one ``binary_join``. Appends ``text_norepeat`` and
+    ``n_removed`` (exact integer, SQL-replicable)."""
+    arr = batch[column]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    toks = pc.split_pattern(arr, " ")
+    vals = toks.values
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    nflat = len(vals)
+    keep = np.ones(nflat, dtype=bool)
+    if nflat > 1:
+        dup = pc.equal(vals.slice(1), vals.slice(0, nflat - 1)).to_numpy(zero_copy_only=False)
+        keep[1:] = ~dup
+        keep[off[:-1]] = True  # a row's first token is never a repeat of the previous row's last
+    new_vals = vals.filter(pa.array(keep))
+    # every row has >=1 token (split of "" yields [""]), so offsets strictly
+    # increase and reduceat segments are well-formed
+    kept_per_row = np.add.reduceat(keep.astype(np.int64), off[:-1]) if nflat else np.zeros(0, np.int64)
+    new_off = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+    new_list = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), new_vals)
+    joined = pc.binary_join(new_list, pa.scalar(" "))
+    removed = pa.array((np.diff(off) - kept_per_row).astype(np.int64))
+    return batch.append_column("text_norepeat", joined).append_column("n_removed", removed)
 
 
 _STOPWORDS = {

@@ -601,3 +601,53 @@ def test_redact_no_counts_mode(ray_session):
         rd.from_arrow(_doc_table(["a@b.io"])), {"email": r"\S+@\S+"}, counts=False
     ).take_all()[0]
     assert out["text"] == "[REDACTED]" and "n_email" not in out
+
+
+def test_collapse_repeats_edge_cases():
+    from parquetjs_ray.functions.text import collapse_repeats_batch
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a a the b b b c", "x y z", "q q q q", "", "one"],
+        }
+    )
+    out = collapse_repeats_batch(t)
+    assert out.column("text_norepeat").to_pylist() == ["a the b c", "x y z", "q", "", "one"]
+    assert out.column("n_removed").to_pylist() == [3, 0, 3, 0, 0]
+    # cross-row independence: last token of row i never suppresses row i+1's first
+    t2 = pa.table({"doc_id": [1, 2], "text": ["end tok", "tok start"]})
+    out2 = collapse_repeats_batch(t2)
+    assert out2.column("text_norepeat").to_pylist() == ["end tok", "tok start"]
+
+
+def test_group_top_k(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_top_k
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    keys = rng.choice([f"g{i}" for i in range(12)], n)
+    vals = rng.integers(0, 300, n)  # many ties -> tiebreak must decide
+    ids = [f"id{i:05d}" for i in range(n)]
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals, "id": ids})
+    ds = rd.from_pandas(df).repartition(8)  # force multi-batch combiner
+    got = (
+        group_top_k(ds, "k", "v", 5, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .groupby("k")
+        .head(5)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v", "id"]], want[["k", "v", "id"]])
+    # k larger than the group: whole group comes back
+    small = rd.from_pandas(pd.DataFrame({"k": ["a", "a"], "v": [1, 2], "id": ["x", "y"]}))
+    assert len(group_top_k(small, "k", "v", 10, tiebreak_col="id").take_all()) == 2

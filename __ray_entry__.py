@@ -334,6 +334,39 @@ def q_collapse_repeats_docs(sf_dir: str):
     return ds.select_columns(["doc_id", "text_norepeat", "n_removed"])
 
 
+def q_lineitem_order_join(sf_dir: str):
+    """LARGE-LARGE shuffle equi-join (no broadcast side): lineitem ⨝
+    orders on orderkey via hash-bucketed repartition join, then a
+    per-priority aggregate; hash-exact vs SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_quantity"]
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = equi_join(
+        li, od, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_quantity"], right_cols=["o_orderpriority"],
+    )
+
+    def cast_q(b: pa.Table) -> pa.Table:
+        # quantities are integral doubles; int64 keeps the sum exact
+        i = b.schema.get_field_index("l_quantity")
+        return b.set_column(i, "l_quantity", b["l_quantity"].cast(pa.int64()))
+
+    return (
+        j.map_batches(cast_q, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty"))
+        .select_columns(["o_orderpriority", "n_items", "sum_qty"])
+    )
+
+
 def q_fingerprint_distinct_docs(sf_dir: str):
     """Distinct 64-bit content fingerprints == distinct texts (collision-free
     at these scales) — validates the fingerprint operator against SQL."""
@@ -887,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_distinct_docs": q_fingerprint_distinct_docs,
         "docs_top_longest": q_docs_top_longest,
         "top_docs_per_source": q_top_docs_per_source,
+        "lineitem_order_join": q_lineitem_order_join,
         "collapse_repeats_docs": q_collapse_repeats_docs,
         "quality_docs": q_quality_docs,
         "events_by_segment": q_events_by_segment,
@@ -963,6 +997,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_distinct_docs": "SELECT count(DISTINCT text) AS n_distinct FROM documents",
         "docs_top_longest": (
             "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "lineitem_order_join": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "top_docs_per_source": (
             "SELECT source, doc_id, n_chars FROM ("

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["asof_join", "range_join_count"]
+__all__ = ["asof_join", "range_join_count", "equi_join"]
 
 
 def _as_epoch_i64(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -134,6 +134,96 @@ def asof_join(
         right.map_batches(right_rows, batch_format="pyarrow")
     )
     return unioned.groupby("__by").map_groups(merge, batch_format="pyarrow")
+
+
+def equi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Inner equi-join of two LARGE Datasets (neither side broadcast):
+    the large-large shuffle join the broadcast-join queries can't cover.
+
+    Both sides are shuffled by ``hash(key) % num_buckets`` — a bounded
+    number of groups regardless of key cardinality, so there is no
+    per-key Python-group overhead — and each bucket is joined with a
+    vectorized sort + double ``searchsorted`` range expansion (the
+    in-memory sort-merge join). Shuffle volume is the projected join
+    columns only. Partitioning assumption: one bucket's rows (both
+    sides) fit a worker; size ``num_buckets`` to the cluster. Keys must
+    be integers (the TPC-H fact/dim shape); Ray's native ``Dataset.join``
+    is avoided deliberately (crashes on empty-schema blocks in 2.49).
+
+    Output columns: ``left_on`` (int64 key) + left_cols + right_cols."""
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types) if n in left_cols}
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types) if n in right_cols}
+    nb = np.int64(num_buckets)
+
+    def l_project(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        k = b[left_on].cast(pa.int64())
+        cols = {"__key": k, "__b": pa.array(k.combine_chunks().to_numpy(zero_copy_only=False) % nb),
+                "__side": pa.array(np.zeros(n, np.int8))}
+        for c in left_cols:
+            cols[f"l_{c}"] = b[c]
+        for c in right_cols:
+            cols[f"r_{c}"] = pa.nulls(n, rtypes[c])
+        return pa.table(cols)
+
+    def r_project(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        k = b[right_on].cast(pa.int64())
+        cols = {"__key": k, "__b": pa.array(k.combine_chunks().to_numpy(zero_copy_only=False) % nb),
+                "__side": pa.array(np.ones(n, np.int8))}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(n, ltypes[c])
+        for c in right_cols:
+            cols[f"r_{c}"] = b[c]
+        return pa.table(cols)
+
+    out_fields = [(left_on, pa.int64())] + [(c, ltypes[c]) for c in left_cols] + [
+        (c, rtypes[c]) for c in right_cols
+    ]
+    empty = pa.table({n: pa.array([], t) for n, t in out_fields})
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        lsel = np.flatnonzero(side == 0)
+        rsel = np.flatnonzero(side == 1)
+        if not len(lsel) or not len(rsel):
+            return empty
+        keys = group["__key"].to_numpy(zero_copy_only=False)
+        lk, rk = keys[lsel], keys[rsel]
+        order = np.argsort(rk, kind="stable")
+        rk_sorted = rk[order]
+        lo = np.searchsorted(rk_sorted, lk, side="left")
+        hi = np.searchsorted(rk_sorted, lk, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        li = lsel[np.repeat(np.arange(len(lk)), cnt)]
+        # for left row i, right matches are rk_sorted[lo[i]:hi[i]]
+        pos = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(lo, cnt)
+        ri = rsel[order[pos]]
+        li_a, ri_a = pa.array(li), pa.array(ri)
+        cols = {left_on: pc.take(group["__key"], li_a)}
+        for c in left_cols:
+            cols[c] = pc.take(group[f"l_{c}"], li_a)
+        for c in right_cols:
+            cols[c] = pc.take(group[f"r_{c}"], ri_a)
+        return pa.table(cols)
+
+    unioned = left.map_batches(l_project, batch_format="pyarrow").union(
+        right.map_batches(r_project, batch_format="pyarrow")
+    )
+    return unioned.groupby("__b").map_groups(merge, batch_format="pyarrow")
 
 
 def range_join_count(

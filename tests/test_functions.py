@@ -651,3 +651,36 @@ def test_group_top_k(ray_session):
     # k larger than the group: whole group comes back
     small = rd.from_pandas(pd.DataFrame({"k": ["a", "a"], "v": [1, 2], "id": ["x", "y"]}))
     assert len(group_top_k(small, "k", "v", 10, tiebreak_col="id").take_all()) == 2
+
+
+def test_equi_join(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, 400), "lv": np.arange(400, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(25, 75, 120), "rv": np.arange(120, dtype=np.int64)}
+    )  # keys 25-49 overlap (many-to-many), 0-24 left-only, 50-74 right-only
+    got = (
+        equi_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3),
+            left_on="k", right_on="rk", left_cols=["lv"], right_cols=["rv"],
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want)
+    assert len(want) > 400  # many-to-many expansion actually exercised

@@ -924,3 +924,23 @@ def test_zone_maps_survive_compaction_and_grouped_mode(ray_session, tmp_path):
     assert "zones" in pm and "event_id" in pm["zones"]
     got = decode_dataset(outdir, where=[("event_id", ">=", 1_500)]).take_all()
     assert sorted(r["event_id"] for r in got) == list(range(1_500, 2_000))
+
+
+def test_incremental_append_of_new_files(ray_session, tmp_path):
+    """Appending files to an existing artifact: re-running encode with an
+    EXTENDED path list recomputes nothing for the old files (their
+    fragment ids are deterministic) and encodes only the new one; decode
+    sees the union."""
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 3_000, n_shards=3)
+    r1 = encode_dataset(paths[:2], outdir, mode="files", target_rows_per_partition=500, sample_rows=2_000)
+    assert r1["rows"] == 2_000
+    r2 = encode_dataset(paths, outdir, mode="files", target_rows_per_partition=500, sample_rows=2_000)
+    assert r2["rows"] == 3_000
+    # everything from the first run was reused, not recomputed
+    assert r2["resumed_fragments"] == r1["n_fragments"]
+    got = decode_dataset(outdir).take_all()
+    assert len(got) == 3_000
+    assert len({r["doc_id"] for r in got}) == 3_000  # no duplicated rows

@@ -24,7 +24,7 @@ from ..codecs import fsst as fsst_mod
 from ..functions.sketch import HllSketch
 from ..state.artifacts import ColumnStats, EncodePlan
 
-__all__ = ["batch_stats", "merge_stats", "build_plan", "sample_paths"]
+__all__ = ["batch_stats", "merge_stats", "build_plan", "build_plan_from_dataset", "sample_paths"]
 
 _STR_SAMPLES_PER_BATCH = 64
 _DISTINCT_CAP = 4096
@@ -161,7 +161,30 @@ def build_plan(
     token_dict_columns: tuple[str, ...] = ("tokens",),
 ) -> EncodePlan:
     """Run the sampling pass (a small Ray Data job) and build the plan."""
-    ds = rd.read_parquet(sample_paths(paths, max_sample_files)).limit(sample_rows)
+    return build_plan_from_dataset(
+        rd.read_parquet(sample_paths(paths, max_sample_files)),
+        sample_rows=sample_rows,
+        max_sample_files=max_sample_files,
+        fsst_columns=fsst_columns,
+        dict_columns=dict_columns,
+        token_dict_columns=token_dict_columns,
+    )
+
+
+def build_plan_from_dataset(
+    sample_ds,
+    *,
+    sample_rows: int = 100_000,
+    max_sample_files: int = 8,
+    fsst_columns: tuple[str, ...] = ("doc_id",),
+    dict_columns: tuple[str, ...] = ("source",),
+    token_dict_columns: tuple[str, ...] = ("tokens",),
+) -> EncodePlan:
+    """Plan builder over an arbitrary ``ray.data.Dataset`` — the seam that
+    lets ``encode_stream`` ingest ANY Ray-readable source (CSV, JSON,
+    items, another engine's output), not just parquet: sample the stream,
+    build the same plan the parquet path gets."""
+    ds = sample_ds.limit(sample_rows)
     stats_rows = ds.map_batches(batch_stats, batch_format="pyarrow").take_all()
     merged = merge_stats([r["blob"] for r in stats_rows])
 

@@ -944,3 +944,71 @@ def test_incremental_append_of_new_files(ray_session, tmp_path):
     got = decode_dataset(outdir).take_all()
     assert len(got) == 3_000
     assert len({r["doc_id"] for r in got}) == 3_000  # no duplicated rows
+
+
+def test_encode_stream_from_csv_source(ray_session, tmp_path):
+    """Any Ray-readable source can feed the engine: CSV → plan sampled
+    from the stream itself (build_plan_from_dataset) → encode_stream →
+    exact decode round-trip. No parquet anywhere on the input side."""
+    import csv
+
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_stream
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages.stats import build_plan_from_dataset
+
+    csv_path = str(tmp_path / "rows.csv")
+    rng = np.random.default_rng(11)
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["doc_id", "source", "score"])
+        for i in range(1_500):
+            w.writerow([f"doc{i:05d}", f"s{i % 4}", int(rng.integers(0, 1000))])
+
+    src = rd.read_csv(csv_path)
+    plan = build_plan_from_dataset(src, sample_rows=1_500, fsst_columns=("doc_id",), dict_columns=("source",))
+    outdir = str(tmp_path / "out")
+    rep = encode_stream(src, outdir, plan=plan, target_rows_per_partition=400, row_fingerprint=True)
+    assert rep["rows"] == 1_500 and rep["ratio"] < 1.0
+    v = verify_roundtrip(rd.read_csv(csv_path), decode_dataset(outdir))
+    assert v["equal"], v
+
+
+def test_where_predicate_randomized_soak(ray_session, tmp_path):
+    """Randomized conjunctive predicates over the events fixture must
+    always equal the pyarrow filter of the raw input — zone pruning can
+    never drop a qualifying row."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = _events_fixture(indir, rows=3_000, n_shards=3)
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=300, sample_rows=3_000,
+        id_col="event_id", source_col=None, unit_rows=250,
+    )
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    kernels = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal, "==": pc.equal}
+    rng = np.random.default_rng(5)
+    ops = list(kernels)
+    for trial in range(12):
+        n_clauses = int(rng.integers(1, 4))
+        where, mask = [], None
+        for _ in range(n_clauses):
+            col = rng.choice(["event_id", "value", "kind"])
+            op = ops[int(rng.integers(0, len(ops)))]
+            if col == "event_id":
+                val = int(rng.integers(-100, 3_200))
+            elif col == "value":
+                val = float(rng.normal(0, 1.5))
+            else:
+                op, val = "==", str(rng.choice(["click", "view", "buy", "nope"]))
+            where.append((col, op, val))
+            m = kernels[op](orig[col], pa.scalar(val, orig[col].type))
+            mask = m if mask is None else pc.and_(mask, m)
+        got = sorted(r["event_id"] for r in decode_dataset(outdir, where=where).take_all())
+        want = sorted(orig.filter(mask)["event_id"].to_pylist())
+        assert got == want, (trial, where, len(got), len(want))

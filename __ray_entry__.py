@@ -256,9 +256,12 @@ def _events_artifact(sf_dir: str) -> str:
     )
     if not os.path.exists(os.path.join(outdir, "_MANIFEST.json")):
         encode_dataset(
+            # partition target sized so the salt count stays small while
+            # unit_rows keeps fragments time-narrow: fragments ≈ rows/5000
+            # at any sf, not a rows/2000 × rows/2000 cross product
             [os.path.join(sf_dir, "events.parquet")], outdir, mode="files",
-            target_rows_per_partition=2_000, sample_rows=50_000,
-            id_col="event_id", source_col=None, unit_rows=2_000,
+            target_rows_per_partition=50_000, sample_rows=50_000,
+            id_col="event_id", source_col=None, unit_rows=5_000,
         )
     return outdir
 

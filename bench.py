@@ -214,12 +214,15 @@ def run_headline() -> dict:
         try:
             import __ray_entry__ as entrymod
 
+            entrymod._events_artifact(SF_DIR)  # untimed: build the events artifact once
             for qname in (
                 "per_source_doc_stats",
                 "dedup_exact_docs",
                 "events_tumbling_hourly",
                 "events_asof_order",
                 "minhash_dedup_docs",
+                "events_time_range_scan",  # zone-map pruned read over the artifact
+                "lineitem_order_join",  # large-large shuffle equi-join
             ):
                 t0 = time.perf_counter()
                 res = entrymod.queries()[qname](SF_DIR)

@@ -904,6 +904,9 @@ def test_zone_map_predicate_pruning(ray_session, tmp_path):
         orig.filter(pc.equal(orig["kind"], "buy"))["event_id"].to_pylist()
     )
 
+    # every fragment pruned: empty result, no crash
+    assert decode_dataset(outdir, where=[("event_id", "<", -1)]).count() == 0
+
 
 def test_zone_maps_survive_compaction_and_grouped_mode(ray_session, tmp_path):
     """Compacted partitions re-emit zones for the merged chunk; grouped

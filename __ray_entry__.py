@@ -313,6 +313,17 @@ def q_decode_projection(sf_dir: str):
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(25)
 
 
+def q_bpe_token_count_docs(sf_dir: str):
+    """BPE-ish regex token count per doc — Arrow and DuckDB share the RE2
+    engine, so the same pattern is oracle-exact."""
+    from parquetjs_ray.functions.text import regex_token_count
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        regex_token_count, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def q_top_docs_per_source(sf_dir: str):
     """Per-group top-k (3 longest docs per source) via the combiner-
     before-shuffle group_top_k operator — only k rows per (key, batch)
@@ -914,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_cardinalities": q_distinct_cardinalities,
         "dedup_exact_docs": q_dedup_exact_docs,
         "token_count_docs": q_token_count_docs,
+        "bpe_token_count_docs": q_bpe_token_count_docs,
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -978,6 +990,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count_docs": (
             "SELECT doc_id, (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_ws_tokens "
             "FROM documents"
+        ),
+        "bpe_token_count_docs": (
+            "SELECT doc_id, length(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens FROM documents"
         ),
         "events_tumbling_hourly": (
             "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "

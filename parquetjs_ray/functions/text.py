@@ -15,6 +15,8 @@ from ..arrow_util import string_buffers
 
 __all__ = [
     "token_count",
+    "regex_token_count",
+    "BPE_TOKEN_PATTERN",
     "fingerprint64",
     "fingerprint_batch",
     "quality_batch",
@@ -36,6 +38,20 @@ def token_count(batch: pa.Table, column: str = "text") -> pa.Table:
     ``length(text) - length(replace(text,' ','')) + 1``)."""
     spaces = pc.count_substring(batch[column], " ")
     return batch.append_column("n_ws_tokens", pc.add(spaces, 1).cast(pa.int64()))
+
+
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# punctuation marks — the GPT-2-family split shape without lookarounds,
+# so the SAME RE2 pattern runs in Arrow and in DuckDB's regexp functions
+# (both are RE2) and the counts are oracle-exact.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_token_count(batch: pa.Table, column: str = "text", pattern: str = BPE_TOKEN_PATTERN) -> pa.Table:
+    """Regex token count (compiled once inside Arrow's RE2 kernel,
+    vectorized over the whole column)."""
+    n = pc.count_substring_regex(batch[column], pattern)
+    return batch.append_column("n_bpe_tokens", n.cast(pa.int64()))
 
 
 def fingerprint64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:

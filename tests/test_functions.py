@@ -684,3 +684,11 @@ def test_equi_join(ray_session):
     )
     pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want)
     assert len(want) > 400  # many-to-many expansion actually exercised
+
+
+def test_regex_token_count():
+    from parquetjs_ray.functions.text import regex_token_count
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["hello world 42!", "", "ab-cd  ef"]})
+    out = regex_token_count(t)
+    assert out.column("n_bpe_tokens").to_pylist() == [4, 0, 4]

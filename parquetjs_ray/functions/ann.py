@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-__all__ = ["topk_bruteforce", "kmeans_lite", "build_ivf_index", "topk_ivf"]
+__all__ = ["topk_bruteforce", "kmeans_lite", "kmeans_distributed", "build_ivf_index", "topk_ivf"]
 
 
 def _matrix(batch: pa.Table, vec_col: str, dim: int) -> np.ndarray:
@@ -110,6 +110,94 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int =
             if len(pts):
                 centers[c] = pts.mean(axis=0)
     return centers
+
+
+def _kmeanspp(sample: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding on the driver sample: each next seed is drawn
+    ∝ distance² to the nearest chosen seed — avoids the stranded-center
+    pathology of uniform seeding (Arthur & Vassilvitskii, SODA 2007)."""
+    x = sample.astype(np.float64)
+    centers = np.empty((k, x.shape[1]), dtype=np.float64)
+    centers[0] = x[rng.integers(len(x))]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        p = d2 / max(d2.sum(), 1e-300)
+        centers[i] = x[rng.choice(len(x), p=p)]
+        d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(axis=1))
+    return centers
+
+
+def kmeans_distributed(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_clusters: int = 16,
+    iters: int = 8,
+    seed: int = 3,
+    init: np.ndarray | None = None,
+    sample_rows: int = 2048,
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd's k-means over a Dataset column — the iterative-
+    algorithm shape on Ray Data: each iteration is ONE streaming
+    ``map_batches`` pass; a batch reduces itself to (k × dim sums,
+    k counts, Σ min-dist²) partials, so only kilobytes reach the driver
+    per task and the corpus is never shuffled or materialized. Centers
+    broadcast per iteration via ``ray.put``.
+
+    Returns ``(centers, inertia_history)``; inertia is the true global
+    Σ‖x − c(x)‖² of the assignment each iteration started from, so the
+    history is monotone non-increasing (Lloyd's invariant — pinned in
+    tests). Empty clusters keep their previous center."""
+    if init is not None:
+        centers = np.asarray(init, dtype=np.float64)
+    else:
+        sample = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in ds.take(sample_rows)]
+        )
+        centers = _kmeanspp(sample, n_clusters, np.random.default_rng(seed))
+
+    inertia: list[float] = []
+    for _ in range(iters):
+        c_ref = ray.put(centers)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cent = ray.get(c_ref)  # zero-copy from plasma, per task
+            m = _matrix(batch, vec_col, dim)
+            # argmin ‖x−c‖² via the dot-product identity (k×dim matmul,
+            # no (n,k,dim) broadcast temp)
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
+            assign = d2.argmin(axis=1)
+            sq = float((m * m).sum() + d2[np.arange(len(m)), assign].sum())
+            counts = np.bincount(assign, minlength=len(cent)).astype(np.int64)
+            # counting-sort gather + reduceat: one pass, no per-cluster loop
+            order = np.argsort(assign, kind="stable")
+            sums = np.zeros((len(cent), m.shape[1]), dtype=np.float64)
+            nz = np.flatnonzero(counts)
+            if len(nz):
+                offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+                sums[nz] = np.add.reduceat(m[order], offs, axis=0)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                    "sq": pa.array([sq], pa.float64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((n_clusters, centers.shape[1]), dtype=np.float64)
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        total_sq = 0.0
+        for r in parts:
+            sums += np.frombuffer(r["sums"], dtype=np.float64).reshape(sums.shape)
+            counts += np.frombuffer(r["counts"], dtype=np.int64)
+            total_sq += r["sq"]
+        inertia.append(total_sq)
+        nz = counts > 0
+        centers = centers.copy()
+        centers[nz] = sums[nz] / counts[nz, None]
+    return centers, inertia
 
 
 def build_ivf_index(

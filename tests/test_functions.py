@@ -692,3 +692,35 @@ def test_regex_token_count():
     t = pa.table({"doc_id": [1, 2, 3], "text": ["hello world 42!", "", "ab-cd  ef"]})
     out = regex_token_count(t)
     assert out.column("n_bpe_tokens").to_pylist() == [4, 0, 4]
+
+
+def test_kmeans_distributed(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.ann import kmeans_distributed
+
+    rng = np.random.default_rng(9)
+    true_centers = rng.normal(0, 10, (4, 8))
+    pts = np.concatenate([true_centers[i] + rng.normal(0, 0.1, (300, 8)) for i in range(4)])
+    rng.shuffle(pts)
+    ds = rd.from_items([{"embedding": row.tolist()} for row in pts]).repartition(6)
+
+    centers, inertia = kmeans_distributed(
+        ds, vec_col="embedding", dim=8, n_clusters=4, iters=6, seed=1, sample_rows=1200
+    )
+    # Lloyd's invariant: inertia never increases
+    assert all(a >= b - 1e-6 for a, b in zip(inertia, inertia[1:])), inertia
+    # every true center recovered (within the blob noise scale)
+    d = ((centers[:, None, :] - true_centers[None, :, :]) ** 2).sum(axis=2) ** 0.5
+    assert d.min(axis=0).max() < 0.5, d.min(axis=0)
+
+    # one distributed update step == the driver-side numpy update (same init)
+    init = pts[:4].copy()
+    got, _ = kmeans_distributed(ds, vec_col="embedding", dim=8, n_clusters=4, iters=1, init=init)
+    d2 = ((pts[:, None, :] - init[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    want = init.copy()
+    for c in range(4):
+        if (assign == c).any():
+            want[c] = pts[assign == c].mean(axis=0)
+    assert np.allclose(got, want)

@@ -324,6 +324,15 @@ def q_bpe_token_count_docs(sf_dir: str):
     return ds.select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def q_df_score_docs(sf_dir: str):
+    """Document-frequency rarity scoring (integer tf-idf family): word-df
+    groupby with a per-batch combiner, then a broadcast vocabulary lookup
+    per doc; hash-exact vs the SQL distinct-unnest replica."""
+    from parquetjs_ray.functions.df import df_score
+
+    return df_score(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def q_top_docs_per_source(sf_dir: str):
     """Per-group top-k (3 longest docs per source) via the combiner-
     before-shuffle group_top_k operator — only k rows per (key, batch)
@@ -926,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "token_count_docs": q_token_count_docs,
         "bpe_token_count_docs": q_bpe_token_count_docs,
+        "df_score_docs": q_df_score_docs,
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -994,6 +1004,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count_docs": (
             "SELECT doc_id, length(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens FROM documents"
+        ),
+        "df_score_docs": (
+            "WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word "
+            "  FROM documents), "
+            "df AS (SELECT word, count(*) AS df FROM w GROUP BY word) "
+            "SELECT w.doc_id, count(*) AS n_distinct_words, sum(df.df)::BIGINT AS df_sum "
+            "FROM w JOIN df USING (word) GROUP BY w.doc_id"
         ),
         "events_tumbling_hourly": (
             "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "

@@ -724,3 +724,21 @@ def test_kmeans_distributed(ray_session):
         if (assign == c).any():
             want[c] = pts[assign == c].mean(axis=0)
     assert np.allclose(got, want)
+
+
+def test_df_score(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.df import df_score
+
+    docs = {
+        "d1": "apple banana apple",   # distinct: apple, banana
+        "d2": "banana cherry",        # distinct: banana, cherry
+        "d3": "apple",                # distinct: apple
+    }
+    # df: apple=2, banana=2, cherry=1
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = {r["doc_id"]: r for r in df_score(ds).take_all()}
+    assert got["d1"]["n_distinct_words"] == 2 and got["d1"]["df_sum"] == 4
+    assert got["d2"]["n_distinct_words"] == 2 and got["d2"]["df_sum"] == 3
+    assert got["d3"]["n_distinct_words"] == 1 and got["d3"]["df_sum"] == 2

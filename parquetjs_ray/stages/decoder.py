@@ -91,6 +91,24 @@ def _decode_int_stream(chunk: memoryview, meta_sub: dict, np_t, state: EncoderSt
             val = fornum.decode(_segment(chunk, segs["exc_val"]), params["exc_val_for"])
             out[pos] = val
         return out.astype(np_t, copy=False)
+    if codec == "delta":
+        dp = params["delta"]
+        inner = {"codec": dp["inner_codec"], "segments": segs, "params": dp["inner_params"]}
+        np_t = np.dtype(np_t)
+        if np_t.itemsize == 8:
+            # 64-bit: diffs were taken in the native dtype (wrap-exact mod
+            # 2^64); cumsum in the same dtype restores the exact values
+            d = _decode_int_stream(chunk, inner, np_t, state)
+            full = np.empty(len(d) + 1, dtype=np_t)
+            full[0] = np_t.type(dp["first"] & 0xFFFFFFFFFFFFFFFF) if np_t.kind == "u" else dp["first"]
+            full[1:] = d
+            return np.cumsum(full, dtype=np_t)
+        # narrower: diffs were widened to int64 at encode (exact signed)
+        d = _decode_int_stream(chunk, inner, np.int64, state)
+        full = np.empty(len(d) + 1, dtype=np.int64)
+        full[0] = dp["first"]
+        full[1:] = d
+        return np.cumsum(full).astype(np_t, copy=False)
     if codec == "pfor":
         from ..codecs import pfor as pfor_mod
 
@@ -134,7 +152,7 @@ def decode_chunk(chunk, manifest: dict, state: EncoderState) -> pa.Table:
         elif codec == "plain":
             data, offsets = plain.decode_byte_array(_segment(chunk, segs["data"]), n)
             arrays[name] = strings_from_buffers(data, offsets)
-        elif codec in ("for_rle", "pfor", "vpack"):
+        elif codec in ("for_rle", "pfor", "vpack", "delta"):
             pa_t, np_t = _INT_TYPES[meta["dtype"]]
             vals = _decode_int_stream(chunk, meta, np_t)
             arrays[name] = pa.array(vals, type=pa_t)

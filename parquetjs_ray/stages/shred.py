@@ -230,7 +230,7 @@ def decode_any(chunk: memoryview, meta: dict, state: EncoderState) -> pa.Array:
     elif codec == "plain_bool":
         vals = plain.decode_boolean(bytes(_segment(chunk, meta["segments"]["data"])), m)
         dense = pa.array(vals, type=pa.bool_())
-    elif codec in ("for_rle", "pfor", "vpack"):
+    elif codec in ("for_rle", "pfor", "vpack", "delta"):
         from .decoder import _INT_TYPES
 
         it = pa.type_for_alias(meta["dtype"])

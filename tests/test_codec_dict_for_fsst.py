@@ -210,3 +210,46 @@ def test_int_stream_selector_picks_vpack_on_zipf():
     cb2 = _ChunkBuilder()
     codec2, _, _ = encode_int_stream(runs, cb2)
     assert codec2 == "for_rle"
+
+
+def test_delta_codec_selected_on_monotone_streams():
+    """Monotone int streams (timestamps, auto-increment ids) must select
+    the delta tier and round-trip exactly — including 64-bit wrap cases."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquetjs_ray.stages.decoder import _decode_int_stream
+    from parquetjs_ray.stages.encoder import EncoderState, _ChunkBuilder, encode_int_stream
+    from parquetjs_ray.state.artifacts import EncodePlan
+
+    state = EncoderState(EncodePlan())
+    rng = np.random.default_rng(4)
+
+    # ~1-minute event timestamps in µs: delta must engage and win big
+    ts = np.cumsum(rng.integers(1, 120_000_000, 20_000)) + 1_700_000_000_000_000
+    for dtype in (np.int64, np.uint64, np.int32):
+        if dtype == np.int32:
+            vals = np.cumsum(rng.integers(1, 1_000, 20_000)).astype(np.int32)
+        else:
+            vals = np.sort(ts.astype(dtype))
+        cb = _ChunkBuilder()
+        codec, segs, params = encode_int_stream(vals, cb)
+        assert codec == "delta", (dtype, codec)
+        chunk = memoryview(cb.chunk())
+        out = _decode_int_stream(chunk, {"codec": codec, "segments": segs, "params": params}, dtype, state)
+        assert out.dtype == np.dtype(dtype) and np.array_equal(out, vals)
+        enc = sum(s[1] for s in segs.values())
+        assert enc < 0.55 * vals.nbytes, (dtype, enc, vals.nbytes)  # actually compresses
+
+    # uint64 values above 2^63 (wrap-exact arithmetic)
+    big = np.sort(rng.integers(2**63, 2**64 - 2**40, 5_000, dtype=np.uint64))
+    cb = _ChunkBuilder()
+    codec, segs, params = encode_int_stream(big, cb)
+    out = _decode_int_stream(memoryview(cb.chunk()), {"codec": codec, "segments": segs, "params": params}, np.uint64, state)
+    assert np.array_equal(out, big)
+
+    # NON-monotone data must NOT pick delta (Zipf ids)
+    zipf = rng.integers(0, 50_000, 20_000).astype(np.int32)
+    cb = _ChunkBuilder()
+    codec, _, _ = encode_int_stream(zipf, cb)
+    assert codec != "delta", codec

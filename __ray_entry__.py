@@ -220,6 +220,66 @@ def _docs_artifact(sf_dir: str) -> str:
     return outdir
 
 
+def _docs_bloom_artifact(sf_dir: str) -> str:
+    """Documents artifact with per-chunk Bloom filters on the content
+    column (cached once per sf_dir) — the point-lookup layout: ``text``
+    is high-cardinality and unordered, so min/max zones admit every
+    fragment and only the bloom can prune an ``==`` probe."""
+    from parquetjs_ray.pipelines.encode import encode_dataset
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    outdir = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_docsbloom_{tag}_v{FORMAT_VERSION}")
+    if not os.path.exists(os.path.join(outdir, "_MANIFEST.json")):
+        encode_dataset(
+            [os.path.join(sf_dir, "documents.parquet")], outdir, mode="files",
+            target_rows_per_partition=2_000, sample_rows=50_000,
+            bloom_columns=["text"],
+        )
+    return outdir
+
+
+_POINT_LOOKUP_IDS = (3, 17, 41)
+
+
+def q_point_lookup_docs(sf_dir: str):
+    """BLOOM-FILTER POINT LOOKUP: find every row whose text equals one of
+    three probe documents' texts by probing the encoded artifact with
+    ``where=[("text", "==", t)]`` — per-chunk Bloom filters (the parquet
+    BloomFilterHeader idea the reference never implements) skip fragments
+    that provably don't contain the probe, the residual filter is exact,
+    and exact duplicates of the probe docs are found corpus-wide.  Must
+    equal a SQL semi-join on text over the raw table."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, list_decode_units
+
+    outdir = _docs_bloom_artifact(sf_dir)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", list(_POINT_LOOKUP_IDS))],
+    )
+    texts = docs.sort_by("doc_id")["text"].to_pylist()
+    total = len(list_decode_units(outdir))
+    kept = 0
+    parts = []
+    for t in texts:
+        where = [("text", "==", t)]
+        kept += len(list_decode_units(outdir, where=where))
+        parts.append(
+            decode_dataset(outdir, columns=["doc_id", "source", "n_chars"], where=where)
+            .to_arrow_refs()
+        )
+    # bloom pruning must be real: 3 probes over the whole artifact touch
+    # at most a handful of fragments, never a multiple of the corpus
+    assert 0 < kept <= max(6, total // 2), (kept, total)
+    import ray as _ray
+
+    tables = [t for refs in parts for t in _ray.get(refs)]
+    return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
+
+
 def q_decode_source_prune(sf_dir: str):
     """PARTITION PRUNING at read: decode ONLY the lexicographically first
     source's partitions from the encoded artifact (no other partition's
@@ -939,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
+        "point_lookup_docs": q_point_lookup_docs,
         "decode_source_prune": q_decode_source_prune,
         "decode_projection": q_decode_projection,
         "events_time_range_scan": q_events_time_range_scan,
@@ -1015,6 +1076,10 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_hourly": (
             "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "
             "count(*) AS n_events FROM events GROUP BY user_id, hour_bucket"
+        ),
+        "point_lookup_docs": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE text IN (SELECT text FROM documents WHERE doc_id IN (3, 17, 41))"
         ),
         "decode_source_prune": (
             "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "

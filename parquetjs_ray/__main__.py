@@ -43,6 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--source-col", default="source")
     pe.add_argument("--row-fingerprint", action="store_true",
                     help="record per-unit row fingerprints for artifact self-verification")
+    pe.add_argument("--bloom-cols", default=None, metavar="A,B",
+                    help="columns to index with per-chunk Bloom filters (== predicate pruning)")
 
     pd = sub.add_parser("decode")
     pd.add_argument("out_dir")
@@ -77,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col,
                 source_col=args.source_col or None,
                 row_fingerprint=args.row_fingerprint,
+                bloom_columns=args.bloom_cols.split(",") if args.bloom_cols else None,
             )
             print(json.dumps(report))
         elif args.cmd == "decode":

@@ -462,8 +462,16 @@ def encode_dataset(
     user_metadata: dict | None = None,
     row_fingerprint: bool = False,
     unit_rows: int | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> dict:
     """Run the full encode pipeline; returns the report (totals + ratios).
+
+    ``bloom_columns`` opts columns into per-chunk Bloom filters (stored
+    in the fragment manifests, ~1–16 KiB each) so
+    ``decode_dataset(where=[(col, "==", v)])`` can skip fragments that
+    provably don't contain ``v`` — the point-lookup complement to zone
+    maps for high-cardinality unordered columns.  The choice persists in
+    the plan artifact; a resumed run keeps the original artifact's list.
 
     ``unit_rows`` (files mode) caps rows per encode unit: units bigger
     than this are sliced into contiguous row ranges before the key
@@ -497,8 +505,12 @@ def encode_dataset(
                 fsst_columns=(id_col,),
                 dict_columns=(source_col,) if source_col else (),
             )
+            if bloom_columns:
+                plan.bloom_columns = list(bloom_columns)
             save_plan(plan, out_dir)
     elif not st.exists(st.join(out_dir, "_artifacts", "plan.json")):
+        if bloom_columns and not plan.bloom_columns:
+            plan.bloom_columns = list(bloom_columns)
         save_plan(plan, out_dir)  # caller-supplied plan: persist for decode/resume
     plan_ref = ray.put(plan)
 
@@ -741,6 +753,24 @@ def _zones_admit(zones: dict | None, where: list[tuple]) -> bool:
     return True
 
 
+def _blooms_admit(blooms: dict | None, where: list[tuple]) -> bool:
+    """Bloom-filter companion to :func:`_zones_admit` for ``==`` clauses
+    on high-cardinality unordered columns (artifacts encoded with
+    ``bloom_columns=[...]``).  Missing filters admit; a definite bloom
+    miss proves the operand is absent from the chunk."""
+    if not blooms:
+        return True
+    from ..stages.bloom import bloom_admits
+
+    for col, op, val in where:
+        if op not in ("==", "="):
+            continue
+        b = blooms.get(col)
+        if b is not None and not bloom_admits(b, val):
+            return False
+    return True
+
+
 def _apply_where(table: pa.Table, where: list[tuple]) -> pa.Table:
     """Exact residual filter (zone pruning only skips whole units)."""
     import pyarrow.compute as pc
@@ -805,11 +835,17 @@ def list_decode_units(
                                 fm["id_max"] < lo or fm["id_min"] > hi
                             ):
                                 continue
-                        if where and not _zones_admit(fm.get("zones"), where):
+                        if where and not (
+                            _zones_admit(fm.get("zones"), where)
+                            and _blooms_admit(fm.get("blooms"), where)
+                        ):
                             continue
                     rows.append({"partition": pid, "fragment": fr})
             else:
-                if where and not _zones_admit(pm.get("zones"), where):
+                if where and not (
+                    _zones_admit(pm.get("zones"), where)
+                    and _blooms_admit(pm.get("blooms"), where)
+                ):
                     continue
                 rows.append({"partition": pid, "fragment": ""})
         return pa.Table.from_pylist(

@@ -55,6 +55,7 @@ class EncoderState:
         # token rank dict: rank → value array + dense value → rank LUT,
         # built once per actor from the broadcast plan (never per batch)
         self.token_dict_column = getattr(plan, "token_dict_column", None)
+        self.bloom_columns = list(getattr(plan, "bloom_columns", None) or [])
         self.rank2val: np.ndarray | None = None
         self.token_lut: np.ndarray | None = None
         if self.token_dict_column and plan.token_dict_vals:
@@ -418,7 +419,30 @@ def encode_table(table: pa.Table, state: EncoderState) -> tuple[bytes, dict]:
     zones = _column_zones(table)
     if zones:
         manifest["zones"] = zones
+    blooms = _column_blooms(table, state)
+    if blooms:
+        manifest["blooms"] = blooms
     return cb.chunk(), manifest
+
+
+def _column_blooms(table: pa.Table, state: EncoderState) -> dict[str, dict]:
+    """Per-chunk Bloom filters for the plan's opted-in columns — the
+    parquet BloomFilterHeader analogue (see :mod:`.bloom`).  Zones prune
+    range predicates on ordered columns; blooms prune ``==`` predicates
+    on high-cardinality unordered ones (content strings, hash keys)."""
+    cols = getattr(state, "bloom_columns", None)
+    if not cols:
+        return {}
+    from .bloom import build_bloom, column_hash
+
+    out: dict[str, dict] = {}
+    for name in cols:
+        if name not in table.column_names:
+            continue
+        hashed = column_hash(table.column(name))
+        if hashed is not None:
+            out[name] = build_bloom(*hashed)
+    return out
 
 
 def _column_zones(table: pa.Table) -> dict[str, dict]:

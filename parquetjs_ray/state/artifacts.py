@@ -49,6 +49,7 @@ class EncodePlan:
     stats: dict[str, ColumnStats] = field(default_factory=dict)
     token_dict_column: str | None = None  # list<int> column with a rank dict
     token_dict_vals: list[int] = field(default_factory=list)  # rank → value
+    bloom_columns: list[str] = field(default_factory=list)  # per-chunk Bloom filters (== pruning)
     version: int = FORMAT_VERSION
 
     def source_dict_array(self) -> pa.Array:
@@ -71,6 +72,7 @@ def save_plan(plan: EncodePlan, out_dir: str) -> str:
         "stats": {k: vars(v) for k, v in plan.stats.items()},
         "token_dict_column": plan.token_dict_column,
         "token_dict_vals": plan.token_dict_vals,
+        "bloom_columns": plan.bloom_columns,
     }
     path = st.join(art, "plan.json")
     st.write_json_atomic(path, doc)
@@ -88,5 +90,6 @@ def load_plan(out_dir: str) -> EncodePlan:
         stats={k: ColumnStats(**v) for k, v in doc["stats"].items()},
         token_dict_column=doc.get("token_dict_column"),
         token_dict_vals=doc.get("token_dict_vals", []),
+        bloom_columns=doc.get("bloom_columns", []),
         version=doc["version"],
     )

@@ -1015,3 +1015,103 @@ def test_where_predicate_randomized_soak(ray_session, tmp_path):
         got = sorted(r["event_id"] for r in decode_dataset(outdir, where=where).take_all())
         want = sorted(orig.filter(mask)["event_id"].to_pylist())
         assert got == want, (trial, where, len(got), len(want))
+
+
+def test_bloom_filter_unit_roundtrip():
+    """Bloom build/probe: every inserted value admits; absent values are
+    rejected at ~the designed false-positive rate; both hash domains
+    (string fingerprint, int mix) agree between array and scalar sides."""
+    from parquetjs_ray.stages.bloom import bloom_admits, build_bloom, column_hash
+
+    rng = np.random.default_rng(11)
+    keys = pa.array([f"k-{v:016x}" for v in rng.integers(0, 2**63, 5_000)])
+    h, tag = column_hash(keys)
+    bloom = build_bloom(h, tag)
+    for k in keys.to_pylist()[::250]:
+        assert bloom_admits(bloom, k)
+    misses = sum(bloom_admits(bloom, f"absent-{i}") for i in range(2_000))
+    assert misses < 2_000 * 0.05, misses  # design point ≈1.2% at 10 bits/key
+
+    ints = pa.array(rng.integers(-(2**62), 2**62, 3_000), pa.int64())
+    hi, ti = column_hash(ints)
+    bi = build_bloom(hi, ti)
+    assert all(bloom_admits(bi, v) for v in ints.to_pylist()[::111])
+    miss_i = sum(bloom_admits(bi, int(v)) for v in rng.integers(2**62, 2**63, 2_000))
+    assert miss_i < 2_000 * 0.05, miss_i
+    # unsigned column values probe identically through the Python-int operand
+    u = pa.array([2**63 + 7, 5], pa.uint64())
+    hu, tu = column_hash(u)
+    bu = build_bloom(hu, tu)
+    assert bloom_admits(bu, 2**63 + 7) and bloom_admits(bu, 5)
+    # nulls are excluded, not hashed as a value
+    hn, _ = column_hash(pa.array(["a", None, "b"]))
+    assert len(hn) == 2
+
+
+def test_bloom_filter_point_lookup_pruning(ray_session, tmp_path):
+    """An artifact encoded with bloom_columns prunes == lookups on an
+    unordered high-cardinality string column to ~1 fragment, while the
+    residual filter keeps results exact; absent keys scan ~nothing."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset, list_decode_units
+    from parquetjs_ray.state.artifacts import load_plan
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(indir)
+    rng = np.random.default_rng(7)
+    n = 4_000
+    # content-hash-keyed rows: key order is uncorrelated with row order,
+    # so zones are useless and only the bloom can prune
+    keys = [f"sha-{v:016x}" for v in rng.permutation(n).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "key": pa.array(keys),
+            "payload": pa.array(rng.integers(0, 1_000, n), pa.int64()),
+        }
+    )
+    paths = []
+    for s in range(4):
+        p = os.path.join(indir, f"d-{s}.parquet")
+        pq.write_table(tbl.slice(s * (n // 4), n // 4), p)
+        paths.append(p)
+
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=250, sample_rows=n,
+        id_col="doc_id", source_col=None, bloom_columns=["key", "payload"],
+    )
+    assert load_plan(outdir).bloom_columns == ["key", "payload"]
+
+    all_units = list_decode_units(outdir)
+    assert len(all_units) >= 8
+    hits = scanned = 0
+    for probe in (3, 777, 2_222, 3_999):
+        where = [("key", "==", keys[probe])]
+        units = list_decode_units(outdir, where=where)
+        scanned += len(units)
+        rows = decode_dataset(outdir, where=where).take_all()
+        assert [r["doc_id"] for r in rows] == [probe]
+        hits += 1
+    # each key lives in exactly one fragment; false positives land near
+    # the ≈1.2% design rate (4 probes × 64 fragments ⇒ expect ~3 extras)
+    assert scanned <= hits + int(0.05 * hits * len(all_units)), (scanned, hits, len(all_units))
+
+    # absent key: zero rows, ~zero fragments read
+    units = list_decode_units(outdir, where=[("key", "==", "sha-nope")])
+    assert len(units) <= 3, len(units)
+    assert decode_dataset(outdir, where=[("key", "==", "sha-nope")]).count() == 0
+
+    # int bloom column: == on a value outside any chunk still prunes even
+    # though every chunk's [min,max] zone admits it
+    import pyarrow.compute as pc
+
+    assert decode_dataset(outdir, where=[("payload", "==", 500)]).count() == tbl.filter(
+        pc.equal(tbl["payload"], 500)
+    ).num_rows
+    absent_units = list_decode_units(outdir, where=[("payload", "==", 4_001)])
+    assert len(absent_units) <= 2, len(absent_units)
+
+    # range ops ignore blooms (zones still apply); conjunction stays exact
+    got = decode_dataset(outdir, where=[("key", "==", keys[50]), ("payload", ">", -1)]).take_all()
+    assert [r["doc_id"] for r in got] == [50]

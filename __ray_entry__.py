@@ -280,6 +280,20 @@ def q_point_lookup_docs(sf_dir: str):
     return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
 
 
+def q_shared_ngram_docs(sf_dir: str):
+    """DUPLICATED-SPAN DETECTION: per document, its distinct word
+    8-grams and how many also occur in another document (the span-level
+    statistic behind substring dedup à la Lee et al. 2022). One text
+    pass → (gram, doc) pairs → Count per gram → broadcast semi-join
+    back → per-doc sums; must equal DuckDB's string-gram replica."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.spans import shared_ngram_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return shared_ngram_stats(ds, n=8)
+
+
 def q_decode_source_prune(sf_dir: str):
     """PARTITION PRUNING at read: decode ONLY the lexicographically first
     source's partitions from the encoded artifact (no other partition's
@@ -1000,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "point_lookup_docs": q_point_lookup_docs,
+        "shared_ngram_docs": q_shared_ngram_docs,
         "decode_source_prune": q_decode_source_prune,
         "decode_projection": q_decode_projection,
         "events_time_range_scan": q_events_time_range_scan,
@@ -1080,6 +1095,16 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup_docs": (
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE text IN (SELECT text FROM documents WHERE doc_id IN (3, 17, 41))"
+        ),
+        "shared_ngram_docs": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "p AS (SELECT doc_id, w, "
+            "      unnest(generate_series(1, greatest(len(w)-7, 0))) AS i FROM w), "
+            "dg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g FROM p), "
+            "gc AS (SELECT g, count(*) AS nd FROM dg GROUP BY g) "
+            "SELECT dg.doc_id, count(*) AS n_grams, "
+            " sum(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared "
+            "FROM dg JOIN gc USING (g) GROUP BY dg.doc_id"
         ),
         "decode_source_prune": (
             "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "

@@ -294,6 +294,27 @@ def q_shared_ngram_docs(sf_dir: str):
     return shared_ngram_stats(ds, n=8)
 
 
+def q_epoch_shuffle_docs(sf_dir: str):
+    """DETERMINISTIC EPOCH SHUFFLE: order the corpus by mix64(doc_id) —
+    a range-partitioned distributed sort that reproduces the SAME
+    permutation across runs/resumes/cluster sizes (what random_shuffle
+    can't promise a preempted training job) — and return the first 100
+    positions. Must equal SQL ordering by the HUGEINT mix64 replica."""
+    import numpy as np
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import epoch_shuffle
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    head = epoch_shuffle(ds, seed=0).limit(100).take_all()
+    return pa.table(
+        {
+            "pos": pa.array(np.arange(1, len(head) + 1, dtype=np.int64)),
+            "doc_id": pa.array([r["doc_id"] for r in head], pa.int64()),
+        }
+    )
+
+
 def q_decode_source_prune(sf_dir: str):
     """PARTITION PRUNING at read: decode ONLY the lexicographically first
     source's partitions from the encoded artifact (no other partition's
@@ -1015,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "point_lookup_docs": q_point_lookup_docs,
         "shared_ngram_docs": q_shared_ngram_docs,
+        "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "decode_source_prune": q_decode_source_prune,
         "decode_projection": q_decode_projection,
         "events_time_range_scan": q_events_time_range_scan,
@@ -1095,6 +1117,11 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup_docs": (
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE text IN (SELECT text FROM documents WHERE doc_id IN (3, 17, 41))"
+        ),
+        "epoch_shuffle_docs": (
+            f"WITH {_sample_hash_ctes()}, "
+            "s AS (SELECT doc_id, x FROM h5 ORDER BY x LIMIT 100) "
+            "SELECT row_number() OVER (ORDER BY x) AS pos, doc_id FROM s"
         ),
         "shared_ngram_docs": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_keep_mask", "stratified_sample", "mix_sources"]
+__all__ = ["hash_keep_mask", "stratified_sample", "mix_sources", "epoch_shuffle"]
 
 _U = np.uint64
 _GOLDEN = 0x9E3779B97F4A7C15
@@ -111,3 +111,29 @@ def mix_sources(
         target = N * w // W
         rates[s] = min(den, target * den // counts[s])
     return stratified_sample(ds, rates, key_col, source_col, den, seed)
+
+
+def epoch_shuffle(ds, *, key_col: str = "doc_id", seed: int = 0, key_out: str = "epoch_key"):
+    """Deterministic global shuffle for one training epoch: order the
+    corpus by ``mix64(key + seed·GOLDEN)`` with Ray's range-partitioned
+    distributed sort.
+
+    Every epoch passes a different ``seed`` for an independent
+    permutation; the same seed reproduces the SAME order across runs,
+    resumes and cluster sizes — the property ``random_shuffle()`` can't
+    give — so a preempted training job re-reads its epoch stream
+    byte-identically. The sort key is kept as a uint64 column (SQL's
+    HUGEINT replica orders identically); drop ``key_out`` downstream if
+    unwanted. Keys must be unique for a total order (mix64 is bijective,
+    so unique keys stay unique)."""
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[key_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        v = ids.to_numpy(zero_copy_only=False)
+        u = v.astype(np.uint64) if v.dtype.kind == "u" else v.astype(np.int64).view(np.uint64)
+        h = _mix64(u + _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF))
+        return b.append_column(key_out, pa.array(h))
+
+    return ds.map_batches(keyed, batch_format="pyarrow").sort(key_out)

@@ -117,3 +117,20 @@ def test_pack_sequences_bucket_width_invariant(ray_session):
     ka = sorted((r["doc_id"], r["window_id"]) for r in a)
     kb = sorted((r["doc_id"], r["window_id"]) for r in b)
     assert ka == kb
+
+
+def test_epoch_shuffle_deterministic_permutation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import epoch_shuffle
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64))})
+    a = [r["doc_id"] for r in epoch_shuffle(rd.from_arrow(tbl), seed=1).take_all()]
+    b = [r["doc_id"] for r in epoch_shuffle(rd.from_arrow(tbl), seed=1).take_all()]
+    c = [r["doc_id"] for r in epoch_shuffle(rd.from_arrow(tbl), seed=2).take_all()]
+    assert a == b                     # same seed → identical order
+    assert a != c                     # different seed → different order
+    assert sorted(a) == sorted(c) == list(range(500))  # a permutation
+    assert a != list(range(500))      # actually shuffled

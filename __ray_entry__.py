@@ -315,6 +315,44 @@ def q_epoch_shuffle_docs(sf_dir: str):
     )
 
 
+def _ngram_index(sf_dir: str) -> str:
+    """Inverted word-8-gram index over documents (cached per sf_dir)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.invindex import build_ngram_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_ngramidx_{tag}_v1")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        build_ngram_index(
+            rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]),
+            idx,
+            n=8,
+            num_buckets=64,
+        )
+    return idx
+
+
+def q_phrase_lookup_docs(sf_dir: str):
+    """INVERTED-INDEX PHRASE SEARCH: find every document containing a
+    10-word phrase (taken from doc 5) as a whole-word sequence, reading
+    ONLY the phrase grams' posting buckets plus an id-filtered point
+    verify (asserted) — the text analogue of IVF partition pruning.
+    Must equal SQL whole-word contains over the raw table."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.functions.invindex import phrase_lookup
+
+    idx = _ngram_index(sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    text5 = pq.read_table(src, filters=[("doc_id", "=", 5)])["text"][0].as_py()
+    phrase = " ".join(text5.split(" ")[2:12])
+    matches, stats = phrase_lookup(idx, phrase, src, columns=["doc_id"])
+    assert stats["buckets_probed"] < stats["buckets_total"], stats
+    assert stats["postings_rows_read"] < stats["postings_total"] // 10, stats
+    return matches
+
+
 def q_decode_source_prune(sf_dir: str):
     """PARTITION PRUNING at read: decode ONLY the lexicographically first
     source's partitions from the encoded artifact (no other partition's
@@ -1037,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_lookup_docs": q_point_lookup_docs,
         "shared_ngram_docs": q_shared_ngram_docs,
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
+        "phrase_lookup_docs": q_phrase_lookup_docs,
         "decode_source_prune": q_decode_source_prune,
         "decode_projection": q_decode_projection,
         "events_time_range_scan": q_events_time_range_scan,
@@ -1117,6 +1156,11 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup_docs": (
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE text IN (SELECT text FROM documents WHERE doc_id IN (3, 17, 41))"
+        ),
+        "phrase_lookup_docs": (
+            "SELECT doc_id FROM documents WHERE contains(' ' || text || ' ', "
+            "' ' || (SELECT array_to_string(string_split(text, ' ')[3:12], ' ') "
+            "FROM documents WHERE doc_id = 5) || ' ')"
         ),
         "epoch_shuffle_docs": (
             f"WITH {_sample_hash_ctes()}, "

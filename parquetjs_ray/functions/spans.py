@@ -77,7 +77,8 @@ def _gram_doc_pairs(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.T
         )
         acc = np.zeros(total, dtype=np.uint64)
         for k in range(n):
-            acc += _mix64(wh[starts + k] ^ (_GOLDEN * _U(k + 1)))
+            salt = _U((0x9E3779B97F4A7C15 * (k + 1)) & 0xFFFFFFFFFFFFFFFF)
+            acc += _mix64(wh[starts + k] ^ salt)
         gh = _mix64(acc)
     else:
         gh = np.empty(0, np.uint64)

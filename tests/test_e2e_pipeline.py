@@ -980,8 +980,9 @@ def test_encode_stream_from_csv_source(ray_session, tmp_path):
 
 def test_where_predicate_randomized_soak(ray_session, tmp_path):
     """Randomized conjunctive predicates over the events fixture must
-    always equal the pyarrow filter of the raw input — zone pruning can
-    never drop a qualifying row."""
+    always equal the pyarrow filter of the raw input — zone AND bloom
+    pruning can never drop a qualifying row (kind/event_id carry chunk
+    Bloom filters here, so == clauses exercise both prune layers)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -992,6 +993,7 @@ def test_where_predicate_randomized_soak(ray_session, tmp_path):
     encode_dataset(
         paths, outdir, mode="files", target_rows_per_partition=300, sample_rows=3_000,
         id_col="event_id", source_col=None, unit_rows=250,
+        bloom_columns=["kind", "event_id"],
     )
     orig = pa.concat_tables([pq.read_table(p) for p in paths])
     kernels = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal, "==": pc.equal}

@@ -214,7 +214,11 @@ def run_headline() -> dict:
         try:
             import __ray_entry__ as entrymod
 
-            entrymod._events_artifact(SF_DIR)  # untimed: build the events artifact once
+            # untimed one-per-corpus artifact/index builds: the timed
+            # entries below measure QUERY latency, not amortized setup
+            entrymod._events_artifact(SF_DIR)
+            entrymod._docs_bloom_artifact(SF_DIR)
+            entrymod._ngram_index(SF_DIR)
             for qname in (
                 "per_source_doc_stats",
                 "dedup_exact_docs",
@@ -223,6 +227,10 @@ def run_headline() -> dict:
                 "minhash_dedup_docs",
                 "events_time_range_scan",  # zone-map pruned read over the artifact
                 "lineitem_order_join",  # large-large shuffle equi-join
+                "shared_ngram_docs",  # corpus-wide duplicated-span stats
+                "point_lookup_docs",  # bloom-pruned == probes on the artifact
+                "phrase_lookup_docs",  # inverted-index phrase search
+                "epoch_shuffle_docs",  # seeded global sort (range shuffle)
             ):
                 t0 = time.perf_counter()
                 res = entrymod.queries()[qname](SF_DIR)

@@ -403,9 +403,18 @@ def _run_files_mode(
 
 
 def _schema_blob(paths: list[str]) -> str:
+    """Serialized UNION schema over all input files (footer metadata only).
+
+    Appends may evolve the schema by adding or dropping columns between
+    files; the manifest records the name-based union so decode can align
+    every fragment to one target (missing columns decode as nulls).
+    Conflicting types for the same name raise — type evolution is not
+    silently coerced."""
     import base64
 
-    return base64.b64encode(_open_parquet(paths[0]).schema_arrow.serialize().to_pybytes()).decode()
+    schemas = [_open_parquet(p).schema_arrow for p in paths]
+    uni = pa.unify_schemas(schemas) if len(schemas) > 1 else schemas[0]
+    return base64.b64encode(uni.serialize().to_pybytes()).decode()
 
 
 def dataset_info(out_dir: str) -> dict:
@@ -655,6 +664,46 @@ def _decode_state(out_dir: str) -> EncoderState:
     return st
 
 
+_DECODE_SCHEMA_CACHE: dict[str, pa.Schema | None] = {}
+
+
+def _decode_target_schema(out_dir: str, columns: list[str] | None) -> pa.Schema | None:
+    """The artifact's union schema (manifest ``schema_b64``), restricted
+    to the projection — every decoded fragment aligns to it so appends
+    that added or dropped columns still concat into one block schema.
+    ``None`` for pre-schema artifacts (alignment skipped)."""
+    import base64
+
+    full = _DECODE_SCHEMA_CACHE.get(out_dir, False)
+    if full is False:
+        gm = read_global_manifest(out_dir)
+        blob = gm.get("schema_b64")
+        full = (
+            pa.ipc.read_schema(pa.BufferReader(base64.b64decode(blob))).remove_metadata()
+            if blob
+            else None
+        )
+        _DECODE_SCHEMA_CACHE[out_dir] = full
+    if full is None or columns is None:
+        return full
+    return pa.schema([f for f in full if f.name in columns])
+
+
+def _align_to_schema(t: pa.Table, target: pa.Schema) -> pa.Table:
+    """Project ``t`` onto ``target`` (order + presence): columns missing
+    from this fragment become null arrays of the target type."""
+    if t.schema.names == target.names and t.schema.types == target.types:
+        return t
+    cols = {}
+    for f in target:
+        if f.name in t.column_names:
+            c = t.column(f.name)
+            cols[f.name] = c.cast(f.type) if c.type != f.type else c
+        else:
+            cols[f.name] = pa.nulls(t.num_rows, f.type)
+    return pa.table(cols)
+
+
 def _decode_units(
     batch: pa.Table,
     out_dir: str,
@@ -698,6 +747,9 @@ def _decode_units(
                 )
             chunk = decompress_chunk(raw, fm)
         tables.append(decode_chunk(chunk, fm, state))
+    target = _decode_target_schema(out_dir, columns)
+    if target is not None:
+        tables = [_align_to_schema(t, target) for t in tables]
     out = pa.concat_tables(tables)
     if where:
         out = _apply_where(out, where)

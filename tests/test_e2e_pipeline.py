@@ -1117,3 +1117,61 @@ def test_bloom_filter_point_lookup_pruning(ray_session, tmp_path):
     # range ops ignore blooms (zones still apply); conjunction stays exact
     got = decode_dataset(outdir, where=[("key", "==", keys[50]), ("payload", ">", -1)]).take_all()
     assert [r["doc_id"] for r in got] == [50]
+
+
+def test_schema_evolution_on_append(ray_session, tmp_path):
+    """Appending files that ADD or DROP columns re-encodes incrementally
+    and decodes against the union schema: fragments written before a
+    column existed (or after it was dropped) yield nulls, projections
+    and predicates on evolved columns work, values stay exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(indir)
+    t1 = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+            "source": pa.array(["a"] * 100),
+            "n": pa.array(np.arange(100, dtype=np.int32)),
+        }
+    )
+    t2 = pa.table(  # adds "score", drops "n"
+        {
+            "doc_id": pa.array(np.arange(100, 200, dtype=np.int64)),
+            "source": pa.array(["b"] * 100),
+            "score": pa.array(np.linspace(0, 1, 100)),
+        }
+    )
+    pq.write_table(t1, os.path.join(indir, "f1.parquet"))
+    pq.write_table(t2, os.path.join(indir, "f2.parquet"))
+
+    kw = dict(mode="files", target_rows_per_partition=50, sample_rows=1_000)
+    r1 = encode_dataset([os.path.join(indir, "f1.parquet")], outdir, **kw)
+    r2 = encode_dataset(
+        [os.path.join(indir, "f1.parquet"), os.path.join(indir, "f2.parquet")], outdir, **kw
+    )
+    assert r2["resumed_fragments"] >= r1["n_fragments"]  # f1's work reused
+
+    import ray
+
+    full = pa.concat_tables(ray.get(decode_dataset(outdir).to_arrow_refs())).sort_by("doc_id")
+    assert full.column_names == ["doc_id", "source", "n", "score"]
+    assert full.num_rows == 200
+    assert full["n"].null_count == 100 and full["score"].null_count == 100
+    assert full["n"].slice(0, 100).to_pylist() == list(range(100))
+    got_scores = full["score"].slice(100).to_pylist()
+    assert got_scores == pytest.approx(np.linspace(0, 1, 100).tolist())
+
+    # projection of a column absent from half the fragments
+    proj = decode_dataset(outdir, columns=["doc_id", "score"]).take_all()
+    assert len(proj) == 200 and {len(r) for r in map(dict, proj)} == {2}
+
+    # predicate on the evolved column: nulls (pre-append rows) never match
+    hits = decode_dataset(outdir, where=[("score", ">", 0.5)]).take_all()
+    assert sorted(r["doc_id"] for r in hits) == list(range(150, 200))
+    # predicate on the dropped column only matches pre-append rows
+    hits_n = decode_dataset(outdir, where=[("n", "<", 10)]).take_all()
+    assert sorted(r["doc_id"] for r in hits_n) == list(range(10))

@@ -353,6 +353,31 @@ def q_phrase_lookup_docs(sf_dir: str):
     return matches
 
 
+def q_kmeans_assign_embeddings(sf_dir: str):
+    """CLUSTER ASSIGNMENT KERNEL: tag every embedding with its nearest
+    center (codebook = the embeddings of vec_id 0..7), one broadcast +
+    one streaming float64 matmul pass — the kernel inside distributed
+    k-means and the IVF partitioner. Must equal SQL's argmin over
+    list_distance with the same lowest-index tie-break."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquetjs_ray.functions.ann import assign_clusters
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    cent_tbl = pq.read_table(src, filters=[("vec_id", "<", 8)]).sort_by("vec_id")
+    import numpy as np
+
+    centers = np.asarray(
+        cent_tbl["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False),
+        dtype=np.float64,
+    ).reshape(cent_tbl.num_rows, -1)
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    return assign_clusters(ds, centers, dim=centers.shape[1]).select_columns(
+        ["vec_id", "cluster_id"]
+    )
+
+
 def q_decode_source_prune(sf_dir: str):
     """PARTITION PRUNING at read: decode ONLY the lexicographically first
     source's partitions from the encoded artifact (no other partition's
@@ -1076,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_ngram_docs": q_shared_ngram_docs,
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "phrase_lookup_docs": q_phrase_lookup_docs,
+        "kmeans_assign_embeddings": q_kmeans_assign_embeddings,
         "decode_source_prune": q_decode_source_prune,
         "decode_projection": q_decode_projection,
         "events_time_range_scan": q_events_time_range_scan,
@@ -1161,6 +1187,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE contains(' ' || text || ' ', "
             "' ' || (SELECT array_to_string(string_split(text, ' ')[3:12], ' ') "
             "FROM documents WHERE doc_id = 5) || ' ')"
+        ),
+        "kmeans_assign_embeddings": (
+            "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8), "
+            "d AS (SELECT e.vec_id, c.cid, list_distance(e.embedding::DOUBLE[], "
+            "c.embedding::DOUBLE[]) AS dist FROM embeddings e CROSS JOIN c), "
+            "r AS (SELECT vec_id, cid, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
+            "SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1"
         ),
         "epoch_shuffle_docs": (
             f"WITH {_sample_hash_ctes()}, "

@@ -25,7 +25,14 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-__all__ = ["topk_bruteforce", "kmeans_lite", "kmeans_distributed", "build_ivf_index", "topk_ivf"]
+__all__ = [
+    "topk_bruteforce",
+    "kmeans_lite",
+    "kmeans_distributed",
+    "assign_clusters",
+    "build_ivf_index",
+    "topk_ivf",
+]
 
 
 def _matrix(batch: pa.Table, vec_col: str, dim: int) -> np.ndarray:
@@ -198,6 +205,32 @@ def kmeans_distributed(
         centers = centers.copy()
         centers[nz] = sums[nz] / counts[nz, None]
     return centers, inertia
+
+
+def assign_clusters(
+    ds: rd.Dataset,
+    centers: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_col: str = "cluster_id",
+) -> rd.Dataset:
+    """Append each row's nearest-center index — the assignment kernel
+    shared by Lloyd's k-means and the IVF partitioner, exposed as a
+    standalone streaming operator (cluster-tag a corpus once against a
+    fixed codebook). One ``ray.put`` broadcast of the codebook; each
+    batch is a float64 ``k×dim`` matmul via the dot-product identity
+    (no ``(n,k,dim)`` broadcast temp); ties break to the lowest center
+    index (argmin order, matching the SQL replica's tie-break)."""
+    c_ref = ray.put(np.asarray(centers, dtype=np.float64))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cent = ray.get(c_ref)  # zero-copy from plasma, per task
+        m = _matrix(batch, vec_col, dim)
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
+        return batch.append_column(out_col, pa.array(d2.argmin(axis=1).astype(np.int64)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
 
 
 def build_ivf_index(

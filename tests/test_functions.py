@@ -742,3 +742,28 @@ def test_df_score(ray_session):
     assert got["d1"]["n_distinct_words"] == 2 and got["d1"]["df_sum"] == 4
     assert got["d2"]["n_distinct_words"] == 2 and got["d2"]["df_sum"] == 3
     assert got["d3"]["n_distinct_words"] == 1 and got["d3"]["df_sum"] == 2
+
+
+def test_assign_clusters_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquetjs_ray.functions.ann import assign_clusters
+
+    rng = np.random.default_rng(9)
+    m = rng.normal(0, 1, (400, 16))
+    centers = rng.normal(0, 1, (6, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+            "embedding": pa.array(list(m.astype(np.float32))),
+        }
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(rd.from_arrow(tbl), centers, dim=16).take_all()
+    }
+    m64 = m.astype(np.float32).astype(np.float64)
+    want = ((m64[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert got == {i: int(want[i]) for i in range(400)}

@@ -967,6 +967,154 @@ def decode_dataset(
     )
 
 
+def delete_rows(out_dir: str, where: list[tuple]) -> dict:
+    """Targeted delete: remove every row satisfying the conjunction
+    ``where`` from a files-mode artifact, rewriting ONLY the fragments
+    whose zones/Bloom filters admit the predicate (the retention /
+    right-to-erasure operation — at corpus scale a delete that touches a
+    handful of fragments must not rewrite the artifact).
+
+    Protocol (crash-safe, idempotent):
+
+    1. affected units come from the same pruning as a predicated read;
+    2. each admitted fragment decodes, drops matching rows, and — when
+       anything matched — re-encodes the survivors as a NEW fragment
+       whose id derives from (old id, predicate); a retry or a rerun
+       after a crash recomputes the same id and skips existing files;
+    3. the old fragment's commit marker is atomically replaced by a
+       TOMBSTONE (``{"tombstone": true, "replaced_by": ...}``) and its
+       chunk removed — the encode resume path sees the marker and never
+       resurrects the deleted rows, while manifest rebuilds skip it;
+    4. partition + global manifests are rebuilt last: a crash before
+       this step leaves the artifact readable (old manifests reference
+       only fragments whose files still exist) and the rerun converges.
+
+    Zone maps and Bloom filters are recomputed from the surviving rows;
+    the fragment's id_min/id_max bounds keep their (still valid,
+    superset) values. Returns a report. Grouped/sharded/compacted
+    partitions hold one consolidated chunk — rewrite semantics differ —
+    and raise for now."""
+    where = _check_where(where)
+    if not where:
+        raise ValueError("delete_rows requires a non-empty predicate")
+    units = list_decode_units(out_dir, where=where)
+    if any(not u["fragment"] for u in units):
+        raise NotImplementedError(
+            "delete_rows currently supports files-mode fragment partitions only"
+        )
+    import hashlib
+
+    where_tag = hashlib.sha1(repr(sorted(where)).encode()).hexdigest()[:8]
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.encoder import encode_table
+        from ..stages.writer import write_fragment
+
+        state = _decode_state(out_dir)
+        rows = []
+        for part_id, frag_id in zip(
+            batch.column("partition").to_pylist(), batch.column("fragment").to_pylist()
+        ):
+            pdir = st.join(out_dir, f"part-{part_id}")
+            fm = st.read_json(st.join(pdir, f"frag-{frag_id}.json"))
+            if fm.get("tombstone"):  # rerun after a partial earlier pass
+                continue
+            raw = st.read_bytes(st.join(pdir, f"frag-{frag_id}.bin"))
+            tbl = decode_chunk(decompress_chunk(raw, fm), fm, state)
+            mask = _where_mask(tbl, where)
+            n_hit = int(pc.sum(mask).as_py() or 0)
+            if n_hit == 0:  # zone/bloom false positive: fragment untouched
+                rows.append({"partition": part_id, "fragment": frag_id, "deleted": 0, "replaced_by": frag_id})
+                continue
+            kept = tbl.filter(pc.invert(mask))
+            new_id = None
+            if kept.num_rows:
+                new_id = hashlib.sha1(f"{frag_id}:{where_tag}".encode()).hexdigest()[:16]
+                chunk, manifest = encode_table(kept, state)
+                for k in ("id_min", "id_max"):  # still-valid superset bounds
+                    if k in fm:
+                        manifest[k] = fm[k]
+                write_fragment(out_dir, part_id, new_id, chunk, manifest, compression=fm.get("compression"))
+            tomb = {
+                "partition": part_id,
+                "fragment": frag_id,
+                "tombstone": True,
+                "replaced_by": new_id,
+                "rows": 0,
+                "raw_bytes": 0,
+                "enc_bytes": 0,
+            }
+            st.write_json_atomic(st.join(pdir, f"frag-{frag_id}.json"), tomb)
+            st.remove_quiet(st.join(pdir, f"frag-{frag_id}.bin"))
+            rows.append({"partition": part_id, "fragment": frag_id, "deleted": n_hit, "replaced_by": new_id or ""})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("partition", pa.string()),
+                    ("fragment", pa.string()),
+                    ("deleted", pa.int64()),
+                    ("replaced_by", pa.string()),
+                ]
+            ),
+        )
+
+    results = (
+        rd.from_items(units, override_num_blocks=max(1, len(units)))
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=4)
+        .take_all()
+        if units
+        else []
+    )
+
+    # ── commit: rebuild partition + global manifests (metadata only) ──
+    gm = read_global_manifest(out_dir)
+    extra = {k: gm[k] for k in ("mode", "schema_b64", "user_metadata") if k in gm}
+    from ..stages.writer import load_fragment_summaries, write_partition_manifests
+
+    fragments: list[dict] = []
+    passthrough: list[dict] = []  # consolidated (chunk.bin) partitions
+    for p in gm["partitions"]:
+        pid = p["partition"]
+        pm = st.read_json(st.join(out_dir, f"part-{pid}", "manifest.json"))
+        if "fragments" not in pm:
+            passthrough.append(p)
+            continue
+        frs = load_fragment_summaries(out_dir, pid)
+        if frs:
+            fragments.extend(frs)
+        else:  # every fragment deleted: neutralize the stale manifest
+            st.write_json_atomic(
+                st.join(out_dir, f"part-{pid}", "manifest.json"),
+                {"partition": pid, "fragments": [], "rows": 0, "n_tokens": 0,
+                 "raw_bytes": 0, "enc_bytes": 0},
+            )
+    write_partition_manifests(out_dir, fragments, extra=extra, extra_partitions=passthrough)
+    deleted = sum(r["deleted"] for r in results)
+    return {
+        "units_scanned": len(units),
+        "rows_deleted": int(deleted),
+        "fragments_rewritten": sum(1 for r in results if r["deleted"] and r["replaced_by"]),
+        "fragments_dropped": sum(1 for r in results if r["deleted"] and not r["replaced_by"]),
+    }
+
+
+def _where_mask(table: pa.Table, where: list[tuple]):
+    """Boolean mask of rows satisfying the conjunction (nulls = False)."""
+    import pyarrow.compute as _pc
+
+    kernels = {"<": _pc.less, "<=": _pc.less_equal, ">": _pc.greater, ">=": _pc.greater_equal, "==": _pc.equal, "=": _pc.equal}
+    mask = None
+    for col, op, val in where:
+        c = table.column(col)
+        s = val if isinstance(val, pa.Scalar) else pa.scalar(val, type=c.type)
+        m = kernels[op](c, s)
+        mask = m if mask is None else _pc.and_kleene(mask, m)
+    return _pc.fill_null(mask, False)
+
+
 def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
     """Merge each partition's fragments into one consolidated chunk.
 

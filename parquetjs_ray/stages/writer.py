@@ -199,6 +199,8 @@ def load_fragment_summaries(out_dir: str, part_id: str) -> list[dict]:
     for fn in st.list_names(pdir):
         if fn.startswith("frag-") and fn.endswith(".json"):
             m = st.read_json(st.join(pdir, fn))
+            if m.get("tombstone"):  # delete_rows replaced this fragment
+                continue
             out.append(
                 {
                     "partition": part_id,

@@ -1175,3 +1175,72 @@ def test_schema_evolution_on_append(ray_session, tmp_path):
     # predicate on the dropped column only matches pre-append rows
     hits_n = decode_dataset(outdir, where=[("n", "<", 10)]).take_all()
     assert sorted(r["doc_id"] for r in hits_n) == list(range(10))
+
+
+def test_delete_rows_targeted_rewrite(ray_session, tmp_path):
+    """Targeted delete rewrites only predicate-admitted fragments, leaves
+    every other fragment byte-identical, survives reruns and encode
+    resume, and never resurrects deleted rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, delete_rows, encode_dataset
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = _events_fixture(indir, rows=4_000, n_shards=4)
+    kw = dict(mode="files", target_rows_per_partition=500, sample_rows=4_000,
+              id_col="event_id", source_col=None, unit_rows=400,
+              bloom_columns=["kind"])
+    encode_dataset(paths, outdir, **kw)
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+
+    before = {
+        f: open(f, "rb").read()
+        for f in glob.glob(os.path.join(outdir, "part-*", "frag-*.bin"))
+    }
+
+    # range delete: a one-slice window of event ids (zones prune the rest)
+    rep = delete_rows(outdir, [("event_id", ">=", 1_000), ("event_id", "<", 1_500)])
+    assert rep["rows_deleted"] == 500, rep
+    assert 0 < rep["units_scanned"] < len(before), rep
+
+    got = sorted(r["event_id"] for r in decode_dataset(outdir).take_all())
+    want = sorted(
+        orig.filter(
+            pc.invert(pc.and_(pc.greater_equal(orig["event_id"], 1_000), pc.less(orig["event_id"], 1_500)))
+        )["event_id"].to_pylist()
+    )
+    assert got == want
+
+    # untouched fragments are byte-identical
+    changed = untouched = 0
+    for f, data in before.items():
+        if os.path.exists(f):
+            if open(f, "rb").read() == data:
+                untouched += 1
+            else:
+                changed += 1
+    assert changed == 0 and untouched >= len(before) - rep["units_scanned"]
+
+    # rerun of the same delete: converges with nothing left to remove
+    rep2 = delete_rows(outdir, [("event_id", ">=", 1_000), ("event_id", "<", 1_500)])
+    assert rep2["rows_deleted"] == 0, rep2
+
+    # equality (bloom-pruned) delete on a string column
+    n_buy = int(pc.sum(pc.equal(orig["kind"], "buy")).as_py())
+    rep3 = delete_rows(outdir, [("kind", "==", "buy")])
+    assert 0 < rep3["rows_deleted"] <= n_buy  # some buys were in the id window
+    assert decode_dataset(outdir, where=[("kind", "==", "buy")]).count() == 0
+
+    # encode resume does NOT resurrect deleted rows (tombstones are markers)
+    encode_dataset(paths, outdir, **kw)
+    assert decode_dataset(outdir, where=[("kind", "==", "buy")]).count() == 0
+    got2 = sorted(r["event_id"] for r in decode_dataset(outdir).take_all())
+    assert got2 == sorted(
+        orig.filter(
+            pc.and_(
+                pc.invert(pc.and_(pc.greater_equal(orig["event_id"], 1_000), pc.less(orig["event_id"], 1_500))),
+                pc.invert(pc.equal(orig["kind"], "buy")),
+            )
+        )["event_id"].to_pylist()
+    )

@@ -262,21 +262,16 @@ def q_point_lookup_docs(sf_dir: str):
     )
     texts = docs.sort_by("doc_id")["text"].to_pylist()
     total = len(list_decode_units(outdir))
-    kept = 0
-    parts = []
-    for t in texts:
-        where = [("text", "==", t)]
-        kept += len(list_decode_units(outdir, where=where))
-        parts.append(
-            decode_dataset(outdir, columns=["doc_id", "source", "n_chars"], where=where)
-            .to_arrow_refs()
-        )
+    where = [("text", "in", texts)]  # ONE multi-probe pass, any-of blooms
+    kept = len(list_decode_units(outdir, where=where))
     # bloom pruning must be real: 3 probes over the whole artifact touch
     # at most a handful of fragments, never a multiple of the corpus
     assert 0 < kept <= max(6, total // 2), (kept, total)
     import ray as _ray
 
-    tables = [t for refs in parts for t in _ray.get(refs)]
+    tables = _ray.get(
+        decode_dataset(outdir, columns=["doc_id", "source", "n_chars"], where=where).to_arrow_refs()
+    )
     return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
 
 

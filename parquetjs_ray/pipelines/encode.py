@@ -758,7 +758,7 @@ def _decode_units(
     return out
 
 
-_WHERE_OPS = ("<", "<=", ">", ">=", "==", "=")
+_WHERE_OPS = ("<", "<=", ">", ">=", "==", "=", "in")
 
 
 def _normalize_where_operand(value, tag: str):
@@ -789,11 +789,19 @@ def _zones_admit(zones: dict | None, where: list[tuple]) -> bool:
         z = zones.get(col)
         if z is None:
             continue
+        lo, hi = z["min"], z["max"]
+        if op == "in":
+            try:
+                vs = [_normalize_where_operand(v, z["t"]) for v in val]
+            except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, ValueError):
+                continue
+            if not any(lo <= v <= hi for v in vs):
+                return False
+            continue
         try:
             v = _normalize_where_operand(val, z["t"])
         except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, ValueError):
             continue  # incomparable operand: leave it to the exact filter
-        lo, hi = z["min"], z["max"]
         if (
             (op == "<" and not lo < v)
             or (op == "<=" and not lo <= v)
@@ -815,16 +823,26 @@ def _blooms_admit(blooms: dict | None, where: list[tuple]) -> bool:
     from ..stages.bloom import bloom_admits
 
     for col, op, val in where:
-        if op not in ("==", "="):
+        if op not in ("==", "=", "in"):
             continue
         b = blooms.get(col)
-        if b is not None and not bloom_admits(b, val):
+        if b is None:
+            continue
+        if op == "in":
+            if not any(bloom_admits(b, v) for v in val):
+                return False
+        elif not bloom_admits(b, val):
             return False
     return True
 
 
 def _apply_where(table: pa.Table, where: list[tuple]) -> pa.Table:
     """Exact residual filter (zone pruning only skips whole units)."""
+    return table.filter(_where_mask(table, where))
+
+
+def _where_mask(table: pa.Table, where: list[tuple]):
+    """Boolean mask of rows satisfying the conjunction (nulls = False)."""
     import pyarrow.compute as pc
 
     kernels = {
@@ -838,10 +856,13 @@ def _apply_where(table: pa.Table, where: list[tuple]) -> pa.Table:
     mask = None
     for col, op, val in where:
         c = table.column(col)
-        s = val if isinstance(val, pa.Scalar) else pa.scalar(val, type=c.type)
-        m = kernels[op](c, s)
+        if op == "in":
+            m = pc.is_in(c, value_set=pa.array(list(val), type=c.type))
+        else:
+            s = val if isinstance(val, pa.Scalar) else pa.scalar(val, type=c.type)
+            m = kernels[op](c, s)
         mask = m if mask is None else pc.and_kleene(mask, m)
-    return table.filter(mask) if mask is not None else table
+    return pc.fill_null(mask, False) if mask is not None else pa.array([True] * table.num_rows)
 
 
 def _check_where(where: list[tuple] | None) -> list[tuple] | None:
@@ -849,6 +870,8 @@ def _check_where(where: list[tuple] | None) -> list[tuple] | None:
         for clause in where:
             if len(clause) != 3 or clause[1] not in _WHERE_OPS:
                 raise ValueError(f"where clause must be (column, op, value) with op in {_WHERE_OPS}: {clause!r}")
+            if clause[1] == "in" and not isinstance(clause[2], (list, tuple, set, frozenset)):
+                raise ValueError(f"'in' operand must be a list/tuple/set of values: {clause!r}")
     return where
 
 
@@ -1004,7 +1027,7 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
         )
     import hashlib
 
-    where_tag = hashlib.sha1(repr(sorted(where)).encode()).hexdigest()[:8]
+    where_tag = hashlib.sha1(repr(list(where)).encode()).hexdigest()[:8]
 
     def rewrite(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1099,20 +1122,6 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
         "fragments_rewritten": sum(1 for r in results if r["deleted"] and r["replaced_by"]),
         "fragments_dropped": sum(1 for r in results if r["deleted"] and not r["replaced_by"]),
     }
-
-
-def _where_mask(table: pa.Table, where: list[tuple]):
-    """Boolean mask of rows satisfying the conjunction (nulls = False)."""
-    import pyarrow.compute as _pc
-
-    kernels = {"<": _pc.less, "<=": _pc.less_equal, ">": _pc.greater, ">=": _pc.greater_equal, "==": _pc.equal, "=": _pc.equal}
-    mask = None
-    for col, op, val in where:
-        c = table.column(col)
-        s = val if isinstance(val, pa.Scalar) else pa.scalar(val, type=c.type)
-        m = kernels[op](c, s)
-        mask = m if mask is None else _pc.and_kleene(mask, m)
-    return _pc.fill_null(mask, False)
 
 
 def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:

@@ -1244,3 +1244,46 @@ def test_delete_rows_targeted_rewrite(ray_session, tmp_path):
             )
         )["event_id"].to_pylist()
     )
+
+
+def test_in_predicate_pruning_and_exactness(ray_session, tmp_path):
+    """(col, 'in', values): zones admit when ANY value intersects, blooms
+    admit when ANY value hits, the residual is pc.is_in — exact against
+    the raw table; scattered int probes prune to ~per-value fragments."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset, list_decode_units
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = _events_fixture(indir, rows=3_000, n_shards=3)
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=300, sample_rows=3_000,
+        id_col="event_id", source_col=None, unit_rows=250, bloom_columns=["kind"],
+    )
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    total = len(list_decode_units(outdir))
+
+    # int IN over zone-mapped ids: widely scattered probes, narrow zones
+    ids = [5, 1_499, 2_777]
+    got = sorted(r["event_id"] for r in decode_dataset(outdir, where=[("event_id", "in", ids)]).take_all())
+    assert got == ids
+    kept = len(list_decode_units(outdir, where=[("event_id", "in", ids)]))
+    assert 0 < kept <= max(len(ids), total // 3), (kept, total)
+
+    # string IN over a bloom column (+ a conjunction with a range clause)
+    where = [("kind", "in", ["buy", "nope"]), ("event_id", "<", 500)]
+    got2 = sorted(r["event_id"] for r in decode_dataset(outdir, where=where).take_all())
+    want2 = sorted(
+        orig.filter(pc.and_(pc.is_in(orig["kind"], value_set=pa.array(["buy", "nope"])),
+                            pc.less(orig["event_id"], 500)))["event_id"].to_pylist()
+    )
+    assert got2 == want2 and len(got2) > 0
+
+    # all-absent IN: nothing decoded, ~nothing scanned
+    assert decode_dataset(outdir, where=[("kind", "in", ["zz", "yy"])]).count() == 0
+    assert len(list_decode_units(outdir, where=[("kind", "in", ["zz", "yy"])])) <= 2
+
+    # malformed operand raises
+    with pytest.raises(ValueError):
+        decode_dataset(outdir, where=[("kind", "in", "buy")])

@@ -1,4 +1,4 @@
-"""CLI: encode / decode / verify / info / compact.
+"""CLI: encode / decode / verify / info / compact / vacuum.
 
 The CLI owns its Ray session (guarded init — the library itself never
 calls ray.init; see __ray_entry__ contract).
@@ -9,6 +9,7 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray verify --artifact OUT_DIR        # vs stored fingerprints
     python -m parquetjs_ray info    OUT_DIR
     python -m parquetjs_ray compact OUT_DIR
+    python -m parquetjs_ray vacuum  OUT_DIR   # GC crash/retry remnants
 """
 
 from __future__ import annotations
@@ -63,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     pc = sub.add_parser("compact")
     pc.add_argument("out_dir")
 
+    pvac = sub.add_parser("vacuum")
+    pvac.add_argument("out_dir")
+
     args = p.parse_args(argv)
     ray = _ray()
     try:
@@ -106,6 +110,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(info))
         elif args.cmd == "compact":
             print(json.dumps(compact_dataset(args.out_dir)))
+        elif args.cmd == "vacuum":
+            from .pipelines.encode import vacuum
+
+            print(json.dumps(vacuum(args.out_dir)))
     finally:
         ray.shutdown()
     return 0

@@ -1124,6 +1124,71 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
     }
 
 
+def vacuum(out_dir: str) -> dict:
+    """Remove crash/retry remnants from a files-mode artifact: stray
+    ``.tmp-*`` spills, chunks whose commit marker is missing or
+    tombstoned, and committed fragments a crash orphaned before the
+    manifest rebuild referenced them (a rerun of the interrupted
+    operation regenerates them deterministically).  Tombstone markers
+    themselves are kept — they are what stops an encode resume from
+    resurrecting deleted rows.  Offline maintenance: do not run
+    concurrently with a writer (like any GC of an in-progress commit).
+    Consolidated (compacted/grouped) partitions are left untouched.
+    Distributed: one task batch per group of partitions; returns
+    ``{"removed_files", "reclaimed_bytes"}``."""
+    gm = read_global_manifest(out_dir)
+    parts = [p["partition"] for p in gm["partitions"]]
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        rows = []
+        for pid in batch.column("p").to_pylist():
+            pdir = st.join(out_dir, f"part-{pid}")
+            pm = st.read_json(st.join(pdir, "manifest.json"))
+            if "fragments" not in pm:  # consolidated partition: skip
+                continue
+            listed = set(pm["fragments"])
+            names = st.list_names(pdir)
+            jsons = {n[len("frag-") : -len(".json")] for n in names if n.startswith("frag-") and n.endswith(".json")}
+            tombs = {
+                f for f in jsons if st.read_json(st.join(pdir, f"frag-{f}.json")).get("tombstone")
+            }
+            removed = reclaimed = 0
+            for n in names:
+                path = st.join(pdir, n)
+                drop = False
+                if n.startswith(".tmp-"):
+                    drop = True
+                elif n.startswith("frag-") and n.endswith(".bin"):
+                    fid = n[len("frag-") : -len(".bin")]
+                    drop = fid not in jsons or fid in tombs or fid not in listed
+                elif n.startswith("frag-") and n.endswith(".json"):
+                    fid = n[len("frag-") : -len(".json")]
+                    drop = fid not in listed and fid not in tombs  # orphaned commit
+                if drop:
+                    try:
+                        reclaimed += len(st.read_bytes(path))
+                    except OSError:
+                        pass
+                    st.remove_quiet(path)
+                    removed += 1
+            rows.append({"p": pid, "removed": removed, "reclaimed": reclaimed})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("p", pa.string()), ("removed", pa.int64()), ("reclaimed", pa.int64())])
+        )
+
+    res = (
+        rd.from_items([{"p": p} for p in parts])
+        .map_batches(sweep, batch_format="pyarrow", batch_size=16)
+        .take_all()
+        if parts
+        else []
+    )
+    return {
+        "removed_files": int(sum(r["removed"] for r in res)),
+        "reclaimed_bytes": int(sum(r["reclaimed"] for r in res)),
+    }
+
+
 def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
     """Merge each partition's fragments into one consolidated chunk.
 

@@ -1287,3 +1287,38 @@ def test_in_predicate_pruning_and_exactness(ray_session, tmp_path):
     # malformed operand raises
     with pytest.raises(ValueError):
         decode_dataset(outdir, where=[("kind", "in", "buy")])
+
+
+def test_vacuum_removes_only_orphans(ray_session, tmp_path):
+    """vacuum drops crash remnants (.tmp spills, markerless chunks,
+    unreferenced commits) and nothing else; the artifact still verifies
+    and a second pass is a no-op."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset, vacuum
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = _events_fixture(indir, rows=2_000, n_shards=2)
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=400, sample_rows=2_000,
+        id_col="event_id", source_col=None,
+    )
+    pdir = sorted(glob.glob(os.path.join(outdir, "part-*")))[0]
+    legit = {f for f in os.listdir(pdir)}
+    # plant crash remnants: a temp spill, a markerless chunk, and a
+    # committed-but-unreferenced fragment pair
+    open(os.path.join(pdir, ".tmp-deadbeef"), "wb").write(b"x" * 100)
+    open(os.path.join(pdir, "frag-deadbeef00000001.bin"), "wb").write(b"y" * 100)
+    open(os.path.join(pdir, "frag-deadbeef00000002.bin"), "wb").write(b"z" * 100)
+    import json as _json
+
+    with open(os.path.join(pdir, "frag-deadbeef00000002.json"), "w") as f:
+        _json.dump({"fragment": "deadbeef00000002", "rows": 1, "raw_bytes": 1, "enc_bytes": 1, "columns": {}}, f)
+
+    rep = vacuum(outdir)
+    assert rep["removed_files"] == 4 and rep["reclaimed_bytes"] >= 300, rep
+    assert set(os.listdir(pdir)) == legit
+    v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
+    assert v["equal"]
+    assert vacuum(outdir) == {"removed_files": 0, "reclaimed_bytes": 0}

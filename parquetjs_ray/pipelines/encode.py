@@ -721,6 +721,8 @@ def _decode_units(
         pdir = st.join(out_dir, f"part-{part_id}")
         if frag_id:  # files mode: one chunk per fragment
             fm = st.read_json(st.join(pdir, f"frag-{frag_id}.json"))
+            if fm.get("tombstone"):  # snapshot read of a since-deleted fragment
+                fm = fm["prior"]
             bin_path = st.join(pdir, f"frag-{frag_id}.bin")
         else:  # grouped/sharded: single chunk per partition
             fm = st.read_json(st.join(pdir, "manifest.json"))
@@ -880,6 +882,7 @@ def list_decode_units(
     id_range: tuple | None = None,
     sources: list[str] | None = None,
     where: list[tuple] | None = None,
+    version: int | None = None,
 ) -> list[dict]:
     """Distributed decode-unit discovery → list of
     ``{"partition": …, "fragment": …}`` rows (kilobytes of metadata).
@@ -887,23 +890,43 @@ def list_decode_units(
     Only the partition list comes from the global manifest on the
     driver; per-partition manifests (and per-fragment pruning stats) are
     read inside parallel tasks — the driver never performs
-    O(#partitions) serial storage reads."""
-    manifest = read_global_manifest(out_dir)
+    O(#partitions) serial storage reads.
+
+    ``version`` pins the listing to an archived snapshot's fragment
+    lists (time travel): fragments later tombstoned by ``delete_rows``
+    still resolve through their preserved ``prior`` manifests until
+    :func:`vacuum` prunes the snapshot."""
+    from ..stages.writer import read_snapshot
+
+    snap_lists: dict[str, list[str] | None] | None = None
+    if version is not None:
+        snap = read_snapshot(out_dir, version)
+        snap_lists = {p["partition"]: p["fragments"] for p in snap["partitions"]}
+        part_names = list(snap_lists)
+    else:
+        manifest = read_global_manifest(out_dir)
+        part_names = [p["partition"] for p in manifest["partitions"]]
     parts = [
-        p["partition"]
-        for p in manifest["partitions"]
-        if sources is None or p["partition"].rsplit("-", 1)[0] in sources
+        pid for pid in part_names if sources is None or pid.rsplit("-", 1)[0] in sources
     ]
 
     def list_units(batch: pa.Table) -> pa.Table:
         rows = []
         for pid in batch.column("p").to_pylist():
             pdir = st.join(out_dir, f"part-{pid}")
-            pm = st.read_json(st.join(pdir, "manifest.json"))
+            if snap_lists is not None:
+                frag_list = snap_lists[pid]
+                pm = {"fragments": frag_list} if frag_list is not None else st.read_json(
+                    st.join(pdir, "manifest.json")
+                )
+            else:
+                pm = st.read_json(st.join(pdir, "manifest.json"))
             if "fragments" in pm:
                 for fr in pm["fragments"]:
                     if id_range is not None or where:
                         fm = st.read_json(st.join(pdir, f"frag-{fr}.json"))
+                        if fm.get("tombstone"):
+                            fm = fm["prior"]
                         if id_range is not None:
                             lo, hi = id_range
                             if fm.get("id_max") is not None and (
@@ -944,6 +967,7 @@ def decode_dataset(
     id_range: tuple | None = None,
     sources: list[str] | None = None,
     where: list[tuple] | None = None,
+    version: int | None = None,
 ) -> rd.Dataset:
     """Stream the encoded artifact back as a Dataset of the original schema.
 
@@ -967,9 +991,15 @@ def decode_dataset(
     (grouped/sharded), so decode parallelism matches the write layout and
     no task is stuck with a whole hot-source partition.
 
+    ``version`` reads an archived snapshot (time travel): the artifact
+    as it stood before later appends/deletes, as long as :func:`vacuum`
+    hasn't pruned that snapshot and the chunks only it references.
+
     Unit discovery is distributed (see :func:`list_decode_units`)."""
     where = _check_where(where)
-    unit_rows = list_decode_units(out_dir, id_range=id_range, sources=sources, where=where)
+    unit_rows = list_decode_units(
+        out_dir, id_range=id_range, sources=sources, where=where, version=version
+    )
     keep_columns = None
     decode_columns = columns
     if where and columns:
@@ -1005,9 +1035,12 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
        whose id derives from (old id, predicate); a retry or a rerun
        after a crash recomputes the same id and skips existing files;
     3. the old fragment's commit marker is atomically replaced by a
-       TOMBSTONE (``{"tombstone": true, "replaced_by": ...}``) and its
-       chunk removed — the encode resume path sees the marker and never
-       resurrects the deleted rows, while manifest rebuilds skip it;
+       TOMBSTONE (``{"tombstone": true, "replaced_by": ..., "prior":
+       <original manifest>}``) — the encode resume path sees the marker
+       and never resurrects the deleted rows, manifest rebuilds skip it,
+       and snapshots taken before the delete keep decoding the retained
+       old chunk (``decode_dataset(version=...)``) until :func:`vacuum`
+       prunes them;
     4. partition + global manifests are rebuilt last: a crash before
        this step leaves the artifact readable (old manifests reference
        only fragments whose files still exist) and the rerun converges.
@@ -1068,9 +1101,12 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
                 "rows": 0,
                 "raw_bytes": 0,
                 "enc_bytes": 0,
+                # full prior manifest: snapshots taken before this delete
+                # keep decoding the old fragment (time travel) until
+                # vacuum prunes them along with the chunk
+                "prior": fm,
             }
             st.write_json_atomic(st.join(pdir, f"frag-{frag_id}.json"), tomb)
-            st.remove_quiet(st.join(pdir, f"frag-{frag_id}.bin"))
             rows.append({"partition": part_id, "fragment": frag_id, "deleted": n_hit, "replaced_by": new_id or ""})
         return pa.Table.from_pylist(
             rows,
@@ -1124,29 +1160,48 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
     }
 
 
-def vacuum(out_dir: str) -> dict:
-    """Remove crash/retry remnants from a files-mode artifact: stray
-    ``.tmp-*`` spills, chunks whose commit marker is missing or
-    tombstoned, and committed fragments a crash orphaned before the
-    manifest rebuild referenced them (a rerun of the interrupted
-    operation regenerates them deterministically).  Tombstone markers
-    themselves are kept — they are what stops an encode resume from
-    resurrecting deleted rows.  Offline maintenance: do not run
-    concurrently with a writer (like any GC of an in-progress commit).
-    Consolidated (compacted/grouped) partitions are left untouched.
-    Distributed: one task batch per group of partitions; returns
-    ``{"removed_files", "reclaimed_bytes"}``."""
+def vacuum(out_dir: str, *, keep_snapshots: int = 1) -> dict:
+    """Remove crash/retry remnants and expired-snapshot chunks from a
+    files-mode artifact: stray ``.tmp-*`` spills, chunks whose commit
+    marker is missing, committed fragments nothing references (a crash
+    orphaned them before a manifest rebuild, or only since-pruned
+    snapshots pointed at them — reruns regenerate the former
+    deterministically), and snapshot files beyond the newest
+    ``keep_snapshots`` (the Delta-style retention knob: time travel to a
+    pruned version stops working, by design).  Tombstone markers are
+    kept — they are what stops an encode resume from resurrecting
+    deleted rows.  Offline maintenance: do not run concurrently with a
+    writer (like any GC of an in-progress commit).  Consolidated
+    (compacted/grouped) partitions are left untouched.  Distributed:
+    one task batch per group of partitions."""
+    from ..stages.writer import list_snapshots, read_snapshot
+
+    # prune expired snapshots first; the survivors define what's reachable
+    versions = list_snapshots(out_dir)
+    kept, pruned_snaps = versions[-max(0, keep_snapshots) :], versions[: -max(0, keep_snapshots) or None]
+    if keep_snapshots <= 0:
+        kept, pruned_snaps = [], versions
+    for v in pruned_snaps:
+        st.remove_quiet(st.join(out_dir, "_snapshots", f"snap-{v:06d}.json"))
+    snap_refs: dict[str, set[str]] = {}
+    for v in kept:
+        for p in read_snapshot(out_dir, v)["partitions"]:
+            if p["fragments"]:
+                snap_refs.setdefault(p["partition"], set()).update(p["fragments"])
+    refs_ref = ray.put(snap_refs)
+
     gm = read_global_manifest(out_dir)
     parts = [p["partition"] for p in gm["partitions"]]
 
     def sweep(batch: pa.Table) -> pa.Table:
+        all_snap_refs = ray.get(refs_ref)
         rows = []
         for pid in batch.column("p").to_pylist():
             pdir = st.join(out_dir, f"part-{pid}")
             pm = st.read_json(st.join(pdir, "manifest.json"))
             if "fragments" not in pm:  # consolidated partition: skip
                 continue
-            listed = set(pm["fragments"])
+            referenced = set(pm["fragments"]) | all_snap_refs.get(pid, set())
             names = st.list_names(pdir)
             jsons = {n[len("frag-") : -len(".json")] for n in names if n.startswith("frag-") and n.endswith(".json")}
             tombs = {
@@ -1160,10 +1215,10 @@ def vacuum(out_dir: str) -> dict:
                     drop = True
                 elif n.startswith("frag-") and n.endswith(".bin"):
                     fid = n[len("frag-") : -len(".bin")]
-                    drop = fid not in jsons or fid in tombs or fid not in listed
+                    drop = fid not in jsons or fid not in referenced
                 elif n.startswith("frag-") and n.endswith(".json"):
                     fid = n[len("frag-") : -len(".json")]
-                    drop = fid not in listed and fid not in tombs  # orphaned commit
+                    drop = fid not in referenced and fid not in tombs  # orphaned commit
                 if drop:
                     try:
                         reclaimed += len(st.read_bytes(path))
@@ -1186,6 +1241,8 @@ def vacuum(out_dir: str) -> dict:
     return {
         "removed_files": int(sum(r["removed"] for r in res)),
         "reclaimed_bytes": int(sum(r["reclaimed"] for r in res)),
+        "snapshots_pruned": len(pruned_snaps),
+        "snapshots_kept": kept,
     }
 
 

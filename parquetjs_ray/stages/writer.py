@@ -115,7 +115,12 @@ def write_partition(
     return summary
 
 
-def write_global_manifest(out_dir: str, partitions: list[dict], extra: dict | None = None) -> str:
+def write_global_manifest(
+    out_dir: str,
+    partitions: list[dict],
+    extra: dict | None = None,
+    fragment_lists: dict[str, list[str]] | None = None,
+) -> str:
     doc = {
         "partitions": sorted(partitions, key=lambda p: p["partition"]),
         "totals": {
@@ -128,8 +133,60 @@ def write_global_manifest(out_dir: str, partitions: list[dict], extra: dict | No
     if extra:
         doc.update(extra)
     path = st.join(out_dir, "_MANIFEST.json")
+    snap = _maybe_snapshot(out_dir, doc["partitions"], fragment_lists or {})
+    if snap is not None:
+        doc["snapshot"] = snap
     st.write_json_atomic(path, doc)
     return path
+
+
+def _maybe_snapshot(out_dir: str, partitions: list[dict], fragment_lists: dict) -> int | None:
+    """Archive this manifest state as ``_snapshots/snap-<n>.json`` — the
+    Iceberg/Delta-style snapshot log behind ``decode_dataset(version=)``.
+    A snapshot records each partition's fragment list (``null`` for
+    consolidated chunk partitions). Identical consecutive states (e.g. a
+    no-op resume rerun) do not create a new version. Old versions stay
+    readable until :func:`parquetjs_ray.pipelines.encode.vacuum` prunes
+    their snapshots and the chunks only they reference."""
+    parts = [
+        {"partition": p["partition"], "fragments": fragment_lists.get(p["partition"])}
+        for p in sorted(partitions, key=lambda p: p["partition"])
+    ]
+    versions = list_snapshots(out_dir)
+    if versions:
+        latest = read_snapshot(out_dir, versions[-1])
+        if latest["partitions"] == parts:
+            return versions[-1]
+    version = (versions[-1] + 1) if versions else 1
+    sdir = st.join(out_dir, "_snapshots")
+    st.makedirs(sdir)
+    st.write_json_atomic(
+        st.join(sdir, f"snap-{version:06d}.json"), {"version": version, "partitions": parts}
+    )
+    return version
+
+
+def list_snapshots(out_dir: str) -> list[int]:
+    """Available snapshot versions, ascending (empty for pre-snapshot
+    artifacts)."""
+    sdir = st.join(out_dir, "_snapshots")
+    if not st.exists(sdir):
+        return []
+    return sorted(
+        int(n[len("snap-") : -len(".json")])
+        for n in st.list_names(sdir)
+        if n.startswith("snap-") and n.endswith(".json")
+    )
+
+
+def read_snapshot(out_dir: str, version: int) -> dict:
+    path = st.join(out_dir, "_snapshots", f"snap-{version:06d}.json")
+    if not st.exists(path):
+        raise FileNotFoundError(
+            f"snapshot {version} not found in {out_dir} (never created, or vacuumed away; "
+            f"available: {list_snapshots(out_dir)})"
+        )
+    return st.read_json(path)
 
 
 def read_global_manifest(out_dir: str) -> dict:
@@ -241,4 +298,5 @@ def write_partition_manifests(
         }
         st.write_json_atomic(st.join(_part_dir(out_dir, part_id), "manifest.json"), doc)
         part_rows.append({k: doc[k] for k in ("partition", "rows", "n_tokens", "raw_bytes", "enc_bytes")})
-    return write_global_manifest(out_dir, part_rows, extra=extra)
+    fragment_lists = {pid: sorted(f["fragment"] for f in frs) for pid, frs in parts.items()}
+    return write_global_manifest(out_dir, part_rows, extra=extra, fragment_lists=fragment_lists)

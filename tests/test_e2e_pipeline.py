@@ -1321,4 +1321,51 @@ def test_vacuum_removes_only_orphans(ray_session, tmp_path):
     assert set(os.listdir(pdir)) == legit
     v = verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))
     assert v["equal"]
-    assert vacuum(outdir) == {"removed_files": 0, "reclaimed_bytes": 0}
+    rep2 = vacuum(outdir)
+    assert rep2["removed_files"] == 0 and rep2["reclaimed_bytes"] == 0
+
+
+def test_snapshot_time_travel(ray_session, tmp_path):
+    """Every manifest rebuild archives a snapshot; decode_dataset(
+    version=) reads the artifact as of that version — across appends AND
+    deletes (tombstones keep the prior chunk + manifest) — until vacuum
+    prunes old snapshots and the chunks only they referenced."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, delete_rows, encode_dataset, vacuum
+    from parquetjs_ray.stages.writer import list_snapshots
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = _events_fixture(indir, rows=2_000, n_shards=2)
+    kw = dict(mode="files", target_rows_per_partition=400, sample_rows=2_000,
+              id_col="event_id", source_col=None)
+
+    encode_dataset([paths[0]], outdir, **kw)
+    assert list_snapshots(outdir) == [1]
+    encode_dataset(paths, outdir, **kw)  # append shard 2
+    assert list_snapshots(outdir) == [1, 2]
+    # a no-op resume rerun does NOT mint a new version
+    encode_dataset(paths, outdir, **kw)
+    assert list_snapshots(outdir) == [1, 2]
+
+    delete_rows(outdir, [("event_id", "<", 100)])
+    assert list_snapshots(outdir) == [1, 2, 3]
+
+    n_shard1 = pq.read_metadata(paths[0]).num_rows
+    assert decode_dataset(outdir, version=1).count() == n_shard1
+    assert decode_dataset(outdir, version=2).count() == 2_000
+    assert decode_dataset(outdir, version=3).count() == 1_900
+    assert decode_dataset(outdir).count() == 1_900
+    # v2 still contains the rows v3 deleted (prior manifests + chunks)
+    got_v2 = sorted(r["event_id"] for r in
+                    decode_dataset(outdir, version=2, where=[("event_id", "<", 100)]).take_all())
+    assert got_v2 == list(range(100))
+
+    # retention: keep only the latest snapshot → old chunks reclaimed,
+    # old versions refuse cleanly, current reads unaffected
+    rep = vacuum(outdir, keep_snapshots=1)
+    assert rep["snapshots_pruned"] == 2 and rep["snapshots_kept"] == [3]
+    assert rep["removed_files"] > 0
+    assert decode_dataset(outdir).count() == 1_900
+    with pytest.raises(FileNotFoundError, match="snapshot 2"):
+        decode_dataset(outdir, version=2).count()

@@ -664,27 +664,21 @@ def _decode_state(out_dir: str) -> EncoderState:
     return st
 
 
-_DECODE_SCHEMA_CACHE: dict[str, pa.Schema | None] = {}
-
-
-def _decode_target_schema(out_dir: str, columns: list[str] | None) -> pa.Schema | None:
+def _schema_from_blob(blob: str | None, columns: list[str] | None = None) -> pa.Schema | None:
     """The artifact's union schema (manifest ``schema_b64``), restricted
-    to the projection — every decoded fragment aligns to it so appends
-    that added or dropped columns still concat into one block schema.
-    ``None`` for pre-schema artifacts (alignment skipped)."""
+    to the projection — every decoded fragment aligns to it so appends /
+    upserts that added or dropped columns still concat into one block
+    schema. ``None`` for pre-schema artifacts (alignment skipped).
+
+    The blob is resolved ON THE DRIVER per decode call and shipped to the
+    tasks: a worker-process cache keyed by ``out_dir`` would go stale the
+    moment a schema-evolving append or upsert lands in the same session."""
     import base64
 
-    full = _DECODE_SCHEMA_CACHE.get(out_dir, False)
-    if full is False:
-        gm = read_global_manifest(out_dir)
-        blob = gm.get("schema_b64")
-        full = (
-            pa.ipc.read_schema(pa.BufferReader(base64.b64decode(blob))).remove_metadata()
-            if blob
-            else None
-        )
-        _DECODE_SCHEMA_CACHE[out_dir] = full
-    if full is None or columns is None:
+    if not blob:
+        return None
+    full = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(blob))).remove_metadata()
+    if columns is None:
         return full
     return pa.schema([f for f in full if f.name in columns])
 
@@ -710,6 +704,7 @@ def _decode_units(
     columns: list[str] | None = None,
     where: list[tuple] | None = None,
     keep_columns: list[str] | None = None,
+    schema_b64: str | None = None,
 ) -> pa.Table:
     from ..stages.decoder import SparseChunk, collect_segment_ranges
 
@@ -749,7 +744,7 @@ def _decode_units(
                 )
             chunk = decompress_chunk(raw, fm)
         tables.append(decode_chunk(chunk, fm, state))
-    target = _decode_target_schema(out_dir, columns)
+    target = _schema_from_blob(schema_b64, columns)
     if target is not None:
         tables = [_align_to_schema(t, target) for t in tables]
     out = pa.concat_tables(tables)
@@ -1016,6 +1011,9 @@ def decode_dataset(
             "columns": decode_columns,
             "where": where,
             "keep_columns": keep_columns,
+            # resolved at call time, never from a worker cache: schema-
+            # evolving appends/upserts in the same session must be seen
+            "schema_b64": read_global_manifest(out_dir).get("schema_b64"),
         },
     )
 
@@ -1053,12 +1051,30 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
     where = _check_where(where)
     if not where:
         raise ValueError("delete_rows requires a non-empty predicate")
-    units = list_decode_units(out_dir, where=where)
+    results = _rewrite_fragments(out_dir, where)
+    _rebuild_manifests(out_dir)
+    deleted = sum(r["deleted"] for r in results)
+    return {
+        "units_scanned": len(results),
+        "rows_deleted": int(deleted),
+        "fragments_rewritten": sum(1 for r in results if r["deleted"] and r["replaced_by"]),
+        "fragments_dropped": sum(1 for r in results if r["deleted"] and not r["replaced_by"]),
+    }
+
+
+def _rewrite_fragments(
+    out_dir: str, where: list[tuple], skip_partitions: frozenset | set = frozenset()
+) -> list[dict]:
+    """Copy-on-write rewrite of every fragment admitting ``where``: drop
+    matching rows, write survivors as a new deterministic fragment,
+    tombstone the old marker. DATA FILES ONLY — the caller commits by
+    rebuilding manifests (:func:`_rebuild_manifests`); until then readers
+    resolve the old manifests, whose chunks are untouched."""
+    units = [u for u in list_decode_units(out_dir, where=where) if u["partition"] not in skip_partitions]
     if any(not u["fragment"] for u in units):
         raise NotImplementedError(
-            "delete_rows currently supports files-mode fragment partitions only"
+            "targeted rewrites currently support files-mode fragment partitions only"
         )
-    import hashlib
 
     where_tag = hashlib.sha1(repr(list(where)).encode()).hexdigest()[:8]
 
@@ -1120,7 +1136,7 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
             ),
         )
 
-    results = (
+    return (
         rd.from_items(units, override_num_blocks=max(1, len(units)))
         .map_batches(rewrite, batch_format="pyarrow", batch_size=4)
         .take_all()
@@ -1128,12 +1144,29 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
         else []
     )
 
-    # ── commit: rebuild partition + global manifests (metadata only) ──
+
+def _rebuild_manifests(
+    out_dir: str,
+    extra_fragments: list[dict] | None = None,
+    override_meta: dict | None = None,
+) -> None:
+    """Recompute partition + global manifests from the committed fragment
+    markers — the atomic COMMIT POINT for delete/upsert rewrites (metadata
+    only; a crash before this leaves the old manifests, which reference
+    only still-existing chunks, so readers never see a partial state).
+
+    ``extra_fragments`` are summaries for partitions not yet in the
+    global manifest (fresh upsert partitions); summaries whose partition
+    the manifest already knows are dropped — the directory sweep below
+    picks those up, so a rerun never double-counts."""
     gm = read_global_manifest(out_dir)
     extra = {k: gm[k] for k in ("mode", "schema_b64", "user_metadata") if k in gm}
+    if override_meta:
+        extra.update(override_meta)
     from ..stages.writer import load_fragment_summaries, write_partition_manifests
 
-    fragments: list[dict] = []
+    known = {p["partition"] for p in gm["partitions"]}
+    fragments: list[dict] = [f for f in (extra_fragments or []) if f["partition"] not in known]
     passthrough: list[dict] = []  # consolidated (chunk.bin) partitions
     for p in gm["partitions"]:
         pid = p["partition"]
@@ -1151,12 +1184,82 @@ def delete_rows(out_dir: str, where: list[tuple]) -> dict:
                  "raw_bytes": 0, "enc_bytes": 0},
             )
     write_partition_manifests(out_dir, fragments, extra=extra, extra_partitions=passthrough)
-    deleted = sum(r["deleted"] for r in results)
+
+
+def upsert_rows(out_dir: str, data, key: str = "doc_id", compression: str | None = None) -> dict:
+    """Keyed merge (the MERGE/upsert of Delta/Iceberg, copy-on-write):
+    rows of ``data`` REPLACE existing rows with the same ``key`` value;
+    keys the artifact has never seen are inserts. ``data`` is a
+    ``pyarrow.Table`` or a ``ray.data.Dataset``.
+
+    Protocol (crash-safe, idempotent — same contract as
+    :func:`delete_rows`):
+
+    1. new fragments for ``data`` are written first, into partitions
+       named by content hash (``u<hash>``) — a retry or rerun recomputes
+       the same ids and skips committed files. They are INVISIBLE until
+       step 3: no manifest references them yet.
+    2. every existing fragment whose zones/Bloom filters admit
+       ``key IN <new keys>`` is rewritten without the matched rows
+       (tombstone protocol of :func:`delete_rows`); the fresh upsert
+       partitions are excluded, which also makes reruns converge.
+    3. one manifest rebuild commits both sides atomically; the manifest
+       ``schema_b64`` becomes the union of the artifact schema and
+       ``data``'s (upserts may evolve the schema like appends do), and a
+       new snapshot version is cut — ``decode_dataset(version=)`` still
+       reads the pre-merge state until :func:`vacuum` prunes it.
+
+    The key list ships to the rewrite tasks (it is the predicate), so a
+    single upsert batch should stay driver-sized (≲ millions of keys);
+    bulk loads belong to ``encode_dataset`` appends. Requires unique keys
+    in ``data`` — "which version wins" would otherwise be layout-defined.
+    """
+    import base64
+
+    gm = read_global_manifest(out_dir)
+    if gm.get("mode") != "files":
+        raise NotImplementedError("upsert_rows supports files-mode artifacts only")
+    if isinstance(data, pa.Table):
+        new_ds = rd.from_arrow(data)
+        data_schema = data.schema
+    else:
+        new_ds = data
+        data_schema = new_ds.schema().base_schema
+    keys = [
+        r[key] for r in new_ds.select_columns([key]).take_all()
+    ]  # driver-sized by contract (the predicate must ship anyway)
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"upsert data contains duplicate {key!r} values")
+    target = _schema_from_blob(gm.get("schema_b64"))
+    uni = pa.unify_schemas([target, data_schema.remove_metadata()]) if target is not None else data_schema
+    schema_b64 = base64.b64encode(uni.serialize().to_pybytes()).decode()
+
+    def write_new(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.writer import write_fragment
+
+        state = _decode_state(out_dir)
+        aligned = _align_to_schema(batch, uni).combine_chunks()
+        part_id = "u" + _content_part_id(aligned, key)
+        chunk, manifest = encode_table(aligned, state)
+        ids = aligned.column(key)
+        manifest["id_min"] = pc.min(ids).as_py()
+        manifest["id_max"] = pc.max(ids).as_py()
+        row = write_fragment(out_dir, part_id, "000000", chunk, manifest, compression=compression)
+        return pa.Table.from_pylist([row], schema=_SUMMARY_SCHEMA)
+
+    new_frags = new_ds.map_batches(write_new, batch_format="pyarrow", batch_size=None).take_all()
+    new_parts = {f["partition"] for f in new_frags}
+    results = _rewrite_fragments(out_dir, [(key, "in", keys)], skip_partitions=new_parts)
+    _rebuild_manifests(out_dir, extra_fragments=new_frags, override_meta={"schema_b64": schema_b64})
+    updated = sum(r["deleted"] for r in results)
     return {
-        "units_scanned": len(units),
-        "rows_deleted": int(deleted),
-        "fragments_rewritten": sum(1 for r in results if r["deleted"] and r["replaced_by"]),
-        "fragments_dropped": sum(1 for r in results if r["deleted"] and not r["replaced_by"]),
+        "rows_upserted": int(sum(f["rows"] for f in new_frags)),
+        "rows_updated": int(updated),
+        "rows_inserted": int(sum(f["rows"] for f in new_frags) - updated),
+        "fragments_rewritten": sum(1 for r in results if r["deleted"]),
+        "new_partitions": sorted(new_parts),
     }
 
 

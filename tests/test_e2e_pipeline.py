@@ -1246,6 +1246,87 @@ def test_delete_rows_targeted_rewrite(ray_session, tmp_path):
     )
 
 
+def test_upsert_rows_keyed_merge(ray_session, tmp_path):
+    """upsert_rows: matched keys replaced, unseen keys inserted, untouched
+    fragments byte-identical, reruns converge, a later upsert of the same
+    key keeps exactly the newest version, a schema-evolving upsert adds a
+    column that decodes as null elsewhere, and the pre-merge snapshot
+    still time-travels."""
+    import ray
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset, upsert_rows
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 2_000, n_shards=2)
+    encode_dataset(paths, outdir, mode="files", target_rows_per_partition=250, sample_rows=2_000)
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    all_ids = sorted(set(orig["doc_id"].to_pylist()))
+    upd_ids, new_ids = all_ids[:5], ["zz-up-0", "zz-up-1", "zz-up-2"]
+
+    def patch(ids: list[str], marker: int, extra_col: bool = False) -> pa.Table:
+        cols = {
+            "doc_id": pa.array(ids, pa.string()),
+            "tokens": pa.array([[7, 7, marker]] * len(ids), pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * len(ids), pa.int32()),
+            "source": pa.array(["patched"] * len(ids), pa.string()),
+        }
+        if extra_col:
+            cols["rev"] = pa.array([marker] * len(ids), pa.int64())
+        return pa.table(cols)
+
+    before = {
+        f: open(f, "rb").read()
+        for f in glob.glob(os.path.join(outdir, "part-*", "frag-*.bin"))
+    }
+    rep = upsert_rows(outdir, patch(upd_ids + new_ids, 1), key="doc_id")
+    assert rep["rows_updated"] == 5 and rep["rows_inserted"] == 3, rep
+
+    got = pa.concat_tables(ray.get(decode_dataset(outdir).to_arrow_refs()))
+    assert got.num_rows == 2_003
+    assert len(set(got["doc_id"].to_pylist())) == 2_003  # one version per key
+    patched = got.filter(pc.equal(got["source"], "patched"))
+    assert sorted(patched["doc_id"].to_pylist()) == sorted(upd_ids + new_ids)
+
+    # fragments the merge didn't touch are byte-identical
+    changed = sum(
+        1 for f, data in before.items()
+        if os.path.exists(f) and open(f, "rb").read() != data
+    )
+    assert changed == 0
+
+    # rerun of the identical upsert converges (deterministic ids skip)
+    rep2 = upsert_rows(outdir, patch(upd_ids + new_ids, 1), key="doc_id")
+    assert rep2["rows_updated"] == 0, rep2
+    assert decode_dataset(outdir).count() == 2_003
+
+    # a later upsert of 2 of the same keys (new content + a new column)
+    # replaces the previous upsert's rows, not just the original ones
+    rep3 = upsert_rows(outdir, patch(upd_ids[:2], 2, extra_col=True), key="doc_id")
+    assert rep3["rows_updated"] == 2, rep3
+    got3 = pa.concat_tables(ray.get(decode_dataset(outdir).to_arrow_refs()))
+    assert got3.num_rows == 2_003
+    assert len(set(got3["doc_id"].to_pylist())) == 2_003
+    assert got3["rev"].null_count == 2_001  # only the v2 rows carry it
+    v2 = got3.filter(pc.equal(pc.fill_null(got3["rev"], -1), 2))
+    assert sorted(v2["doc_id"].to_pylist()) == sorted(upd_ids[:2])
+    assert v2["tokens"].to_pylist() == [[7, 7, 2]] * 2
+
+    # duplicate keys in one upsert batch are rejected (undefined winner)
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_rows(outdir, patch(["a", "a"], 9), key="doc_id")
+
+    # time travel: the pre-merge snapshot still reads the original corpus
+    from parquetjs_ray.stages.writer import list_snapshots
+
+    v0 = list_snapshots(outdir)[0]
+    old = pa.concat_tables(ray.get(decode_dataset(outdir, version=v0).to_arrow_refs()))
+    assert old.num_rows == 2_000
+    assert sorted(set(old["doc_id"].to_pylist())) == all_ids
+
+
 def test_in_predicate_pruning_and_exactness(ray_session, tmp_path):
     """(col, 'in', values): zones admit when ANY value intersects, blooms
     admit when ANY value hits, the residual is pc.is_in — exact against

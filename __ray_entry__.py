@@ -510,6 +510,20 @@ def q_collapse_repeats_docs(sf_dir: str):
     return ds.select_columns(["doc_id", "text_norepeat", "n_removed"])
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking: each doc's whitespace-token stream cut
+    into overlapping 64-token windows every 48 tokens (the LLM
+    pre-training chunking step); boundary token CONTENT is part of the
+    output, so the oracle pins real chunk extents, not just counts."""
+    from parquetjs_ray.functions.text import chunk_windows_batch
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(chunk_windows_batch, batch_format="pyarrow")
+    )
+
+
 def q_lineitem_order_join(sf_dir: str):
     """LARGE-LARGE shuffle equi-join (no broadcast side): lineitem ⨝
     orders on orderkey via hash-bucketed repartition join, then a
@@ -1105,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "lineitem_order_join": q_lineitem_order_join,
         "collapse_repeats_docs": q_collapse_repeats_docs,
+        "chunk_docs": q_chunk_docs,
         "quality_docs": q_quality_docs,
         "events_by_segment": q_events_by_segment,
         "session_windows_events": q_session_windows_events,
@@ -1247,6 +1262,20 @@ def oracle_sql() -> dict[str, str]:
             "   FILTER (WHERE prev IS NULL OR tok <> prev), '') AS text_norepeat, "
             " (count(*) FILTER (WHERE tok = prev))::BIGINT AS n_removed "
             "FROM d GROUP BY doc_id"
+        ),
+        "chunk_docs": (
+            # same window arithmetic in integer SQL: a doc with n <= 64
+            # tokens is one chunk, else 1 + ceil((n-64)/48) chunks;
+            # DuckDB lists are 1-based, generate_series is inclusive
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "c AS (SELECT doc_id, toks, len(toks) AS n, "
+            "      unnest(generate_series(0, CASE WHEN len(toks) <= 64 THEN 0 "
+            "        ELSE (len(toks) - 64 + 47) // 48 END)) AS chunk_idx FROM t) "
+            "SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, "
+            " least(64, n - chunk_idx * 48)::BIGINT AS chunk_len, "
+            " toks[chunk_idx * 48 + 1] AS first_tok, "
+            " toks[chunk_idx * 48 + least(64, n - chunk_idx * 48)] AS last_tok "
+            "FROM c"
         ),
         "quality_docs": (
             "SELECT doc_id, "

@@ -22,6 +22,7 @@ __all__ = [
     "quality_batch",
     "langid_batch",
     "collapse_repeats_batch",
+    "chunk_windows_batch",
 ]
 
 _U = np.uint64
@@ -123,6 +124,54 @@ def collapse_repeats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     joined = pc.binary_join(new_list, pa.scalar(" "))
     removed = pa.array((np.diff(off) - kept_per_row).astype(np.int64))
     return batch.append_column("text_norepeat", joined).append_column("n_removed", removed)
+
+
+def chunk_windows_batch(
+    batch: pa.Table,
+    column: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> pa.Table:
+    """Context-window chunking: split each document's whitespace-token
+    stream into overlapping windows of ``size`` tokens starting every
+    ``stride`` tokens — the standard LLM pre-training "context chunks
+    with overlap" step. One output row per chunk: ``(id, chunk_idx,
+    chunk_len, first_tok, last_tok)``; first/last token content pins the
+    chunk boundaries, not just the arithmetic.
+
+    A doc with n ≤ size tokens yields one chunk; otherwise
+    ``1 + ceil((n - size) / stride)`` chunks, the last possibly short.
+    Fully vectorized (one split, offsets math, two flat takes); embar-
+    rassingly parallel per batch — no shuffle at any corpus size."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    arr = batch[column]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    toks = pc.split_pattern(arr, " ")
+    vals = toks.values
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.diff(off)  # ≥1: split of "" is [""]
+    n_chunks = np.where(n <= size, 1, 1 + (n - size + stride - 1) // stride)
+    row_starts = np.concatenate([[0], np.cumsum(n_chunks)])
+    total = int(row_starts[-1])
+    row_of_chunk = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(row_starts[:-1], n_chunks)
+    start = chunk_idx * stride
+    clen = np.minimum(size, n[row_of_chunk] - start)
+    first_flat = off[:-1][row_of_chunk] + start
+    last_flat = first_flat + clen - 1
+    ids = batch[id_col]
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(row_of_chunk)),
+            "chunk_idx": pa.array(chunk_idx),
+            "chunk_len": pa.array(clen.astype(np.int64)),
+            "first_tok": vals.take(pa.array(first_flat)),
+            "last_tok": vals.take(pa.array(last_flat)),
+        }
+    )
 
 
 _STOPWORDS = {

@@ -621,6 +621,38 @@ def test_collapse_repeats_edge_cases():
     assert out2.column("text_norepeat").to_pylist() == ["end tok", "tok start"]
 
 
+def test_chunk_windows_batch():
+    from parquetjs_ray.functions.text import chunk_windows_batch
+
+    def doc(n):  # n tokens "t0 t1 ... t{n-1}"
+        return " ".join(f"t{i}" for i in range(n))
+
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            # n <= size → 1 chunk; n = size → 1; n = size+1 → 2; big → many; empty
+            "text": [doc(3), doc(8), doc(9), doc(30), ""],
+        }
+    )
+    out = chunk_windows_batch(t, size=8, stride=5)
+    rows = list(zip(*(out.column(c).to_pylist() for c in out.column_names)))
+    by_doc = {}
+    for did, idx, ln, ft, lt in rows:
+        by_doc.setdefault(did, []).append((idx, ln, ft, lt))
+    assert by_doc["a"] == [(0, 3, "t0", "t2")]
+    assert by_doc["b"] == [(0, 8, "t0", "t7")]
+    assert by_doc["c"] == [(0, 8, "t0", "t7"), (1, 4, "t5", "t8")]
+    # n=30, size=8, stride=5 → 1+ceil(22/5)=6 chunks, starts 0..25
+    assert [r[0] for r in by_doc["d"]] == list(range(6))
+    assert by_doc["d"][-1] == (5, 5, "t25", "t29")
+    assert by_doc["d"][0] == (0, 8, "t0", "t7")
+    # empty text splits to [""] → one 1-token chunk of the empty token
+    assert by_doc["e"] == [(0, 1, "", "")]
+    # every chunk covers [idx*stride, idx*stride+len) within its doc
+    with pytest.raises(ValueError):
+        chunk_windows_batch(t, size=0, stride=5)
+
+
 def test_group_top_k(ray_session):
     import ray.data as rd
 

@@ -1269,7 +1269,8 @@ def vacuum(out_dir: str, *, keep_snapshots: int = 1) -> dict:
     marker is missing, committed fragments nothing references (a crash
     orphaned them before a manifest rebuild, or only since-pruned
     snapshots pointed at them — reruns regenerate the former
-    deterministically), and snapshot files beyond the newest
+    deterministically), whole partitions no manifest knows (an upsert
+    that crashed before its commit), and snapshot files beyond the newest
     ``keep_snapshots`` (the Delta-style retention knob: time travel to a
     pruned version stops working, by design).  Tombstone markers are
     kept — they are what stops an encode resume from resurrecting
@@ -1294,14 +1295,25 @@ def vacuum(out_dir: str, *, keep_snapshots: int = 1) -> dict:
     refs_ref = ray.put(snap_refs)
 
     gm = read_global_manifest(out_dir)
-    parts = [p["partition"] for p in gm["partitions"]]
+    # sweep the union of manifest-known, on-disk, and snapshot-referenced
+    # partitions: a crash before an upsert's commit leaves part dirs no
+    # manifest knows (sweep them fully), and a partition whose last row
+    # was deleted drops out of the global manifest while kept snapshots
+    # may still reference its chunks (sweep it, protecting those)
+    disk = {n[len("part-") :] for n in st.list_names(out_dir) if n.startswith("part-")}
+    parts = sorted({p["partition"] for p in gm["partitions"]} | disk | set(snap_refs))
 
     def sweep(batch: pa.Table) -> pa.Table:
         all_snap_refs = ray.get(refs_ref)
         rows = []
         for pid in batch.column("p").to_pylist():
             pdir = st.join(out_dir, f"part-{pid}")
-            pm = st.read_json(st.join(pdir, "manifest.json"))
+            mpath = st.join(pdir, "manifest.json")
+            if not st.exists(pdir):
+                continue
+            # no manifest = an uncommitted (crashed) partition: nothing
+            # references it beyond snapshots, same contract as orphans
+            pm = st.read_json(mpath) if st.exists(mpath) else {"fragments": []}
             if "fragments" not in pm:  # consolidated partition: skip
                 continue
             referenced = set(pm["fragments"]) | all_snap_refs.get(pid, set())

@@ -1405,6 +1405,18 @@ def test_vacuum_removes_only_orphans(ray_session, tmp_path):
     rep2 = vacuum(outdir)
     assert rep2["removed_files"] == 0 and rep2["reclaimed_bytes"] == 0
 
+    # a whole partition no manifest knows (an upsert that crashed before
+    # its commit) is swept too — snapshots can't reference it either
+    orphan = os.path.join(outdir, "part-udeadbeefdeadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "frag-000000.bin"), "wb").write(b"o" * 50)
+    with open(os.path.join(orphan, "frag-000000.json"), "w") as f:
+        _json.dump({"fragment": "000000", "rows": 1, "raw_bytes": 1, "enc_bytes": 1, "columns": {}}, f)
+    rep3 = vacuum(outdir)
+    assert rep3["removed_files"] == 2, rep3
+    assert os.listdir(orphan) == []  # only the (harmless) empty dir remains
+    assert verify_roundtrip(rd.read_parquet(paths), decode_dataset(outdir))["equal"]
+
 
 def test_snapshot_time_travel(ray_session, tmp_path):
     """Every manifest rebuild archives a snapshot; decode_dataset(

@@ -524,6 +524,38 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_tokenize_docs(sf_dir: str):
+    """Corpus tokenization: rank vocabulary from a combiner-shuffled
+    word count (top-100 so the OOV path is exercised), broadcast once,
+    one vectorized index_in pass per batch. Flattened to (doc_id, pos,
+    token_id) so the SQL replica can pin every id exactly."""
+    import numpy as np
+
+    from parquetjs_ray.functions.tokenize import tokenize
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    tok = tokenize(ds, top_k=100, keep_columns=())
+
+    def flat(batch: pa.Table) -> pa.Table:
+        t = batch["tokens"]
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        off = t.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(off)
+        ids = batch["doc_id"]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        row = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        pos = np.arange(int(off[-1]) - int(off[0]), dtype=np.int64) - np.repeat(off[:-1] - off[0], n) + 1
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(row)),
+                "pos": pa.array(pos),
+                "token_id": t.values.cast(pa.int64()),
+            }
+        )
+
+    return tok.map_batches(flat, batch_format="pyarrow")
+
+
 def q_lineitem_order_join(sf_dir: str):
     """LARGE-LARGE shuffle equi-join (no broadcast side): lineitem ⨝
     orders on orderkey via hash-bucketed repartition join, then a
@@ -1120,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_order_join": q_lineitem_order_join,
         "collapse_repeats_docs": q_collapse_repeats_docs,
         "chunk_docs": q_chunk_docs,
+        "tokenize_docs": q_tokenize_docs,
         "quality_docs": q_quality_docs,
         "events_by_segment": q_events_by_segment,
         "session_windows_events": q_session_windows_events,
@@ -1262,6 +1295,18 @@ def oracle_sql() -> dict[str, str]:
             "   FILTER (WHERE prev IS NULL OR tok <> prev), '') AS text_norepeat, "
             " (count(*) FILTER (WHERE tok = prev))::BIGINT AS n_removed "
             "FROM d GROUP BY doc_id"
+        ),
+        "tokenize_docs": (
+            # vocabulary rank = row_number over (count desc, word asc) —
+            # the same total order the Ray vocab build sorts by; OOV
+            # (rank > 100) words coalesce to the reserved id 0
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks) AS w, "
+            "      unnest(generate_series(1, len(toks))) AS pos FROM t), "
+            "r AS (SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS id "
+            "      FROM u GROUP BY w QUALIFY id <= 100) "
+            "SELECT u.doc_id, u.pos::BIGINT AS pos, coalesce(r.id, 0)::BIGINT AS token_id "
+            "FROM u LEFT JOIN r ON u.w = r.w"
         ),
         "chunk_docs": (
             # same window arithmetic in integer SQL: a doc with n <= 64

@@ -653,6 +653,39 @@ def test_chunk_windows_batch():
         chunk_windows_batch(t, size=0, stride=5)
 
 
+def test_tokenize_vocab_ids_and_encode_roundtrip(ray_session, tmp_path):
+    """Vocabulary ranks by (count desc, word asc); OOV maps to UNK_ID=0;
+    and the tokenized output feeds encode_stream → decode exactly (the
+    full text → north-rule-table → encoded-artifact pipeline)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.tokenize import UNK_ID, build_vocab, tokenize
+
+    docs = pa.table(
+        {"doc_id": ["d1", "d2", "d3"], "text": ["b a a", "a b c", "a z z"]}
+    )
+    ds = rd.from_arrow(docs)
+    # counts: a=4, b=2, z=2, c=1 → ranks a=1, b=2 (tie breaks asc), z=3
+    vocab = build_vocab(ds, top_k=3)
+    assert vocab.to_pylist() == ["a", "b", "z"]
+    got = {r["doc_id"]: r for r in tokenize(ds, vocab=vocab, keep_columns=()).take_all()}
+    assert got["d1"]["tokens"] == [2, 1, 1] and got["d1"]["n_tok"] == 3
+    assert got["d2"]["tokens"] == [1, 2, UNK_ID]  # c is out-of-vocabulary
+    assert got["d3"]["tokens"] == [1, 3, 3]
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_stream
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages.stats import build_plan_from_dataset
+
+    tok = tokenize(ds, vocab=vocab, keep_columns=())
+    plan = build_plan_from_dataset(tok, sample_rows=10)
+    outdir = str(tmp_path / "artifact")
+    rep = encode_stream(tok, outdir, plan=plan)
+    assert rep["rows"] == 3
+    v = verify_roundtrip(tokenize(ds, vocab=vocab, keep_columns=()), decode_dataset(outdir))
+    assert v["equal"], v
+
+
 def test_group_top_k(ray_session):
     import ray.data as rd
 

@@ -149,6 +149,30 @@ def run_headline() -> dict:
     ratio_zstd = round(rep_z["ratio"], 4)
     shutil.rmtree(zstd_dir, ignore_errors=True)
 
+    # ── timed fast-profile encode + decode: the codec speed/size knob's
+    # other end (vpack disabled → fewest passes). Reported alongside the
+    # headline so the tradeoff is a measured datapoint, not a claim. ──
+    from dataclasses import replace as _dc_replace
+
+    t_enc_fast = t_dec_fast = ratio_fast = None
+    if not os.environ.get("GRAFT_BENCH_SCALING_RUN"):  # scaling legs time the headline only
+        fast_dir = os.path.join(OUT_BASE, f"fast_{NCPU}")
+        plan_fast = _dc_replace(plan, profile="fast")
+        for _ in range(2):
+            shutil.rmtree(fast_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            rep_f = encode_dataset(
+                paths, fast_dir, mode="files", target_rows_per_partition=32_768, plan=plan_fast
+            )
+            t_enc_fast = min(t_enc_fast or 1e9, time.perf_counter() - t0)
+        ratio_fast = round(rep_f["ratio"], 4)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_f = decode_dataset(fast_dir).count()
+            t_dec_fast = min(t_dec_fast or 1e9, time.perf_counter() - t0)
+        assert n_f == rows, (n_f, rows)
+        shutil.rmtree(fast_dir, ignore_errors=True)
+
     # ── timed decode + verify ──
     # The original corpus' fingerprint is a pure function of the (cached)
     # input, so it is computed once per input fixture and reused — the
@@ -251,12 +275,28 @@ def run_headline() -> dict:
         "tokens_per_sec": round(totals["n_tokens"] / t_encode, 1),
         "compression_ratio": round(totals["enc_bytes"] / max(1, totals["raw_bytes"]), 4),
         "compression_ratio_zstd": ratio_zstd,
+        **(
+            {
+                "compression_ratio_fast_profile": ratio_fast,
+                "tokens_per_sec_fast_profile": round(totals["n_tokens"] / t_enc_fast, 1),
+            }
+            if t_enc_fast is not None
+            else {}
+        ),
         "verify_equal": verdict["equal"],
         "verify_sec": round(t_verify, 3),
         "n_partitions": report["n_partitions"],
         "queries": {
             "encode": round(t_encode, 3),
             "decode_only": round(t_decode, 3),
+            **(
+                {
+                    "encode_fast_profile": round(t_enc_fast, 3),
+                    "decode_only_fast_profile": round(t_dec_fast, 3),
+                }
+                if t_enc_fast is not None
+                else {}
+            ),
             "decode_verify": round(t_verify, 3),
             **(
                 {

@@ -472,8 +472,16 @@ def encode_dataset(
     row_fingerprint: bool = False,
     unit_rows: int | None = None,
     bloom_columns: list[str] | None = None,
+    profile: str | None = None,
 ) -> dict:
     """Run the full encode pipeline; returns the report (totals + ratios).
+
+    ``profile`` picks the codec speed/size tradeoff: ``"fast"`` never
+    selects the multi-pass vpack codec (maximum encode/decode
+    throughput), ``"balanced"`` (default) requires a ≥10% size win,
+    ``"small"`` takes any win. Persisted in the plan artifact so resume
+    keeps the original choice; decode reads per-chunk manifests, so
+    artifacts with mixed profiles still decode exactly.
 
     ``bloom_columns`` opts columns into per-chunk Bloom filters (stored
     in the fragment manifests, ~1–16 KiB each) so
@@ -516,10 +524,14 @@ def encode_dataset(
             )
             if bloom_columns:
                 plan.bloom_columns = list(bloom_columns)
+            if profile:
+                plan.profile = profile
             save_plan(plan, out_dir)
     elif not st.exists(st.join(out_dir, "_artifacts", "plan.json")):
         if bloom_columns and not plan.bloom_columns:
             plan.bloom_columns = list(bloom_columns)
+        if profile:
+            plan.profile = profile
         save_plan(plan, out_dir)  # caller-supplied plan: persist for decode/resume
     plan_ref = ray.put(plan)
 

@@ -44,11 +44,21 @@ FSST_MAX_RATIO = 0.9  # use FSST only if sampled ratio beats plain by ≥10%
 FSST_MAX_AVG_LEN = 64.0
 
 
+# codec speed/size profiles: the vpack margin is the fraction of the
+# best FOR/PFOR estimate that vpack must beat to be selected. vpack is
+# the densest int codec on smooth heavy tails but costs the most encode/
+# decode passes (selector scatter) — "fast" trades ~1.7× ratio on Zipf
+# tokens for ~1.7× throughput (measured in BASELINE.md), "small" takes
+# any size win.
+_VPACK_MARGIN = {"fast": -1.0, "balanced": 0.9, "small": 1.0}
+
+
 class EncoderState:
     """Per-actor prepared state: broadcast artifacts deserialized once."""
 
     def __init__(self, plan: EncodePlan):
         self.plan = plan
+        self.vpack_margin = _VPACK_MARGIN.get(getattr(plan, "profile", None) or "balanced", 0.9)
         self.source_dict = plan.source_dict_array() if plan.source_dict else None
         self.fsst_table = plan.fsst_table()
         self.stats = plan.stats
@@ -82,7 +92,8 @@ class _ChunkBuilder:
 
 
 def encode_int_stream(
-    values: np.ndarray, cb: _ChunkBuilder, _allow_delta: bool = True
+    values: np.ndarray, cb: _ChunkBuilder, _allow_delta: bool = True,
+    vpack_margin: float = 0.9,
 ) -> tuple[str, dict, dict]:
     """Integer stream: choose delta vs FOR+RLE vs PFOR vs vpack per chunk.
 
@@ -131,7 +142,9 @@ def encode_int_stream(
                 # bounded below by the same full_width term delta beats
                 first = int(v[0])
                 diffs = np.diff(v) if v.dtype.itemsize == 8 else np.diff(v.astype(np.int64))
-                icodec, isegs, iparams = encode_int_stream(diffs, cb, _allow_delta=False)
+                icodec, isegs, iparams = encode_int_stream(
+                    diffs, cb, _allow_delta=False, vpack_margin=vpack_margin
+                )
                 return "delta", isegs, {
                     "delta": {"first": first, "inner_codec": icodec, "inner_params": iparams},
                     "estimates": {"for_upper": est_for_upper, "delta": round(est_delta, 1)},
@@ -148,7 +161,7 @@ def encode_int_stream(
         est_vpack = est_vpack_s * scale
         run_heavy = transitions < 0.6 * n  # runs → RLE hybrid pays
         if not run_heavy:
-            if vp_widths is not None and est_vpack < 0.9 * min(est_for_upper, est_pfor):
+            if vp_widths is not None and est_vpack < vpack_margin * min(est_for_upper, est_pfor):
                 # top class must cover the TRUE range, not the sample's
                 vp_widths = [min(w, full_width) for w in vp_widths[:3]] + [full_width]
                 bufs, params = vpack_mod.encode(v, _pre=(lo, residuals, vp_widths))
@@ -248,12 +261,12 @@ def _seg_bytes(segments: dict) -> int:
     return sum(seg[1] for seg in segments.values())
 
 
-def _encode_int(name: str, arr: pa.Array, cb: _ChunkBuilder) -> dict:
+def _encode_int(name: str, arr: pa.Array, cb: _ChunkBuilder, vpack_margin: float = 0.9) -> dict:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     values = arr.to_numpy(zero_copy_only=False)
     width_bytes = arr.type.bit_width // 8
-    codec, segments, params = encode_int_stream(values, cb)
+    codec, segments, params = encode_int_stream(values, cb, vpack_margin=vpack_margin)
     meta = {
         "codec": codec,
         "segments": segments,
@@ -324,7 +337,9 @@ def _encode_token_values(flat: np.ndarray, state: EncoderState, cb: _ChunkBuilde
 
     pos_buf, pos_params = fornum_mod.encode(exc_pos)
     val_buf, val_params = fornum_mod.encode(v[exc_pos])
-    inner_codec, inner_segs, inner_params = encode_int_stream(codes, cb)
+    inner_codec, inner_segs, inner_params = encode_int_stream(
+        codes, cb, vpack_margin=state.vpack_margin
+    )
     return {
         "codec": "dict_ranks",
         "inner": {"codec": inner_codec, "segments": inner_segs, "params": inner_params},
@@ -341,8 +356,9 @@ def _encode_token_values(flat: np.ndarray, state: EncoderState, cb: _ChunkBuilde
 
 def _encode_list_int(name: str, arr: pa.Array, cb: _ChunkBuilder, state: EncoderState | None = None) -> dict:
     flat, lengths = list_buffers(arr)
+    margin = state.vpack_margin if state is not None else 0.9
     raw_bytes = flat.dtype.itemsize * len(flat) + 4 * (len(lengths) + 1)
-    len_codec, len_segs, len_params = encode_int_stream(lengths, cb)
+    len_codec, len_segs, len_params = encode_int_stream(lengths, cb, vpack_margin=margin)
     values_meta = None
     if state is not None and state.token_dict_column == name:
         values_meta = _encode_token_values(flat, state, cb)
@@ -350,7 +366,7 @@ def _encode_list_int(name: str, arr: pa.Array, cb: _ChunkBuilder, state: Encoder
     if values_meta is not None and "skipped" in values_meta:
         skipped, values_meta = values_meta["skipped"], None
     if values_meta is None:
-        val_codec, val_segs, val_params = encode_int_stream(flat, cb)
+        val_codec, val_segs, val_params = encode_int_stream(flat, cb, vpack_margin=margin)
         values_meta = {"codec": val_codec, "segments": val_segs, "params": val_params}
         if skipped:
             values_meta["estimates"] = skipped
@@ -392,7 +408,7 @@ def encode_table(table: pa.Table, state: EncoderState) -> tuple[bytes, dict]:
         if no_nulls and (pa.types.is_string(t) or pa.types.is_large_string(t)):
             columns[name] = _encode_string(name, arr, state, cb)
         elif no_nulls and pa.types.is_integer(t):
-            columns[name] = _encode_int(name, arr, cb)
+            columns[name] = _encode_int(name, arr, cb, state.vpack_margin)
         elif (
             no_nulls
             and pa.types.is_list(t)

@@ -87,7 +87,7 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
         # full unsliced child — rebase by offsets[0] only (see arrow_util)
         offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lengths = np.diff(offsets)
-        codec, segs, params = encode_int_stream(lengths, cb)
+        codec, segs, params = encode_int_stream(lengths, cb, vpack_margin=state.vpack_margin)
         child = arr.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
         meta.update(
             codec="list",
@@ -130,7 +130,7 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
     elif (it := _storage_int_type(t)) is not None:
         ints = arr.cast(it)
         values = ints.to_numpy(zero_copy_only=False)
-        codec, segs, params = encode_int_stream(values, cb)
+        codec, segs, params = encode_int_stream(values, cb, vpack_margin=state.vpack_margin)
         meta.update(codec=codec, segments=segs, params=params, dtype=str(it))
     elif pa.types.is_interval(t):
         # Arrow month_day_nano_interval ↔ the reference's INTERVAL logical
@@ -145,7 +145,9 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
         )[arr.offset :]
         sub = {}
         for key, vals in (("months", rec["m"]), ("days", rec["d"]), ("nanos", rec["n"])):
-            codec, segs, params = encode_int_stream(np.ascontiguousarray(vals), cb)
+            codec, segs, params = encode_int_stream(
+                np.ascontiguousarray(vals), cb, vpack_margin=state.vpack_margin
+            )
             sub[key] = {"codec": codec, "segments": segs, "params": params}
         meta.update(codec="interval_mdn", streams=sub, segments={})
     elif pa.types.is_floating(t):

@@ -50,6 +50,10 @@ class EncodePlan:
     token_dict_column: str | None = None  # list<int> column with a rank dict
     token_dict_vals: list[int] = field(default_factory=list)  # rank → value
     bloom_columns: list[str] = field(default_factory=list)  # per-chunk Bloom filters (== pruning)
+    # codec speed/size profile: "fast" never selects vpack (fewest encode/
+    # decode passes, r2-era throughput), "balanced" (default) requires a
+    # ≥10% size win, "small" takes any size win
+    profile: str | None = None
     version: int = FORMAT_VERSION
 
     def source_dict_array(self) -> pa.Array:
@@ -73,6 +77,7 @@ def save_plan(plan: EncodePlan, out_dir: str) -> str:
         "token_dict_column": plan.token_dict_column,
         "token_dict_vals": plan.token_dict_vals,
         "bloom_columns": plan.bloom_columns,
+        "profile": plan.profile,
     }
     path = st.join(art, "plan.json")
     st.write_json_atomic(path, doc)
@@ -91,5 +96,6 @@ def load_plan(out_dir: str) -> EncodePlan:
         token_dict_column=doc.get("token_dict_column"),
         token_dict_vals=doc.get("token_dict_vals", []),
         bloom_columns=doc.get("bloom_columns", []),
+        profile=doc.get("profile"),
         version=doc["version"],
     )

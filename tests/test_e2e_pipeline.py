@@ -1177,6 +1177,41 @@ def test_schema_evolution_on_append(ray_session, tmp_path):
     assert sorted(r["doc_id"] for r in hits_n) == list(range(10))
 
 
+def test_codec_profile_fast_and_small(ray_session, tmp_path):
+    """profile="fast" never selects the multi-pass vpack codec and still
+    round-trips exactly; "small" compresses at least as well as the
+    default; all three persist their choice in the plan artifact."""
+    import json as _json
+
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.state.artifacts import load_plan
+
+    indir = str(tmp_path / "in")
+    paths = write_synth(indir, 4_000, n_shards=2)
+    ratios = {}
+    for prof in ("fast", "balanced", "small"):
+        out = str(tmp_path / prof)
+        rep = encode_dataset(
+            paths, out, mode="files", target_rows_per_partition=1_000,
+            sample_rows=4_000, profile=prof,
+        )
+        ratios[prof] = rep["ratio"]
+        assert load_plan(out).profile == prof
+        assert verify_roundtrip(rd.read_parquet(paths), decode_dataset(out))["equal"]
+        codecs_used = " ".join(
+            _json.dumps(_json.load(open(f)))
+            for f in glob.glob(os.path.join(out, "part-*", "frag-*.json"))
+        )
+        if prof == "fast":
+            assert '"vpack"' not in codecs_used
+        else:  # zipf token ids: vpack wins under both other profiles
+            assert '"vpack"' in codecs_used
+    assert ratios["small"] <= ratios["balanced"] < ratios["fast"] < 1.0, ratios
+
+
 def test_delete_rows_targeted_rewrite(ray_session, tmp_path):
     """Targeted delete rewrites only predicate-admitted fragments, leaves
     every other fragment byte-identical, survives reruns and encode

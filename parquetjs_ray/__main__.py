@@ -10,6 +10,8 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray info    OUT_DIR
     python -m parquetjs_ray compact OUT_DIR
     python -m parquetjs_ray vacuum  OUT_DIR   # GC crash/retry remnants
+    python -m parquetjs_ray delete  OUT_DIR --where '[["event_id", ">=", 1000]]'
+    python -m parquetjs_ray upsert  OUT_DIR NEW_ROWS.parquet [--key doc_id]
 """
 
 from __future__ import annotations
@@ -46,11 +48,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="record per-unit row fingerprints for artifact self-verification")
     pe.add_argument("--bloom-cols", default=None, metavar="A,B",
                     help="columns to index with per-chunk Bloom filters (== predicate pruning)")
+    pe.add_argument("--profile", default=None, choices=["fast", "balanced", "small"],
+                    help="codec speed/size tradeoff (persisted in the plan artifact)")
 
     pd = sub.add_parser("decode")
     pd.add_argument("out_dir")
     pd.add_argument("dest")
     pd.add_argument("--columns", default=None)
+    pd.add_argument("--version", type=int, default=None,
+                    help="time travel: read the artifact as of this snapshot version")
+
+    pdel = sub.add_parser("delete")
+    pdel.add_argument("out_dir")
+    pdel.add_argument("--where", required=True,
+                      help='JSON conjunction, e.g. \'[["event_id", ">=", 1000]]\'')
+
+    pup = sub.add_parser("upsert")
+    pup.add_argument("out_dir")
+    pup.add_argument("data", help="parquet file/dir of rows to merge by key")
+    pup.add_argument("--key", default="doc_id")
 
     pv = sub.add_parser("verify")
     pv.add_argument("input", nargs="?")
@@ -84,12 +100,24 @@ def main(argv: list[str] | None = None) -> int:
                 source_col=args.source_col or None,
                 row_fingerprint=args.row_fingerprint,
                 bloom_columns=args.bloom_cols.split(",") if args.bloom_cols else None,
+                profile=args.profile,
             )
             print(json.dumps(report))
         elif args.cmd == "decode":
             cols = args.columns.split(",") if args.columns else None
-            decode_dataset(args.out_dir, columns=cols).write_parquet(args.dest)
+            decode_dataset(args.out_dir, columns=cols, version=args.version).write_parquet(args.dest)
             print(json.dumps({"dest": args.dest}))
+        elif args.cmd == "delete":
+            from .pipelines.encode import delete_rows
+
+            clauses = [tuple(c) for c in json.loads(args.where)]
+            print(json.dumps(delete_rows(args.out_dir, clauses)))
+        elif args.cmd == "upsert":
+            import ray.data as rd
+
+            from .pipelines.encode import upsert_rows
+
+            print(json.dumps(upsert_rows(args.out_dir, rd.read_parquet(args.data), key=args.key)))
         elif args.cmd == "verify":
             if args.artifact:
                 from .pipelines.verify import verify_artifact

@@ -12,6 +12,7 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray vacuum  OUT_DIR   # GC crash/retry remnants
     python -m parquetjs_ray delete  OUT_DIR --where '[["event_id", ">=", 1000]]'
     python -m parquetjs_ray upsert  OUT_DIR NEW_ROWS.parquet [--key doc_id]
+    python -m parquetjs_ray changes OUT_DIR V_FROM DEST_DIR [--v-to N]   # CDC feed
 """
 
 from __future__ import annotations
@@ -68,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     pup.add_argument("data", help="parquet file/dir of rows to merge by key")
     pup.add_argument("--key", default="doc_id")
 
+    pch = sub.add_parser("changes")
+    pch.add_argument("out_dir")
+    pch.add_argument("v_from", type=int)
+    pch.add_argument("dest", help="parquet dir for the change feed")
+    pch.add_argument("--v-to", type=int, default=None)
+
     pv = sub.add_parser("verify")
     pv.add_argument("input", nargs="?")
     pv.add_argument("out_dir", nargs="?")
@@ -118,6 +125,12 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.encode import upsert_rows
 
             print(json.dumps(upsert_rows(args.out_dir, rd.read_parquet(args.data), key=args.key)))
+        elif args.cmd == "changes":
+            from .pipelines.changes import table_changes
+
+            feed = table_changes(args.out_dir, args.v_from, args.v_to)
+            feed.write_parquet(args.dest)
+            print(json.dumps({"dest": args.dest}))
         elif args.cmd == "verify":
             if args.artifact:
                 from .pipelines.verify import verify_artifact

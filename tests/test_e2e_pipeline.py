@@ -1362,6 +1362,73 @@ def test_upsert_rows_keyed_merge(ray_session, tmp_path):
     assert sorted(set(old["doc_id"].to_pylist())) == all_ids
 
 
+def test_table_changes_cdc_feed(ray_session, tmp_path):
+    """table_changes between snapshots: pure deletes show only the
+    deleted rows (a rewrite's survivors cancel), an upsert shows old
+    versions as deletes and new versions as inserts, and spans compose
+    across multiple versions."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.changes import table_changes
+    from parquetjs_ray.pipelines.encode import delete_rows, encode_dataset, upsert_rows
+    from parquetjs_ray.stages.writer import list_snapshots
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 1_000, n_shards=2)
+    encode_dataset(paths, outdir, mode="files", target_rows_per_partition=200, sample_rows=1_000)
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    v1 = list_snapshots(outdir)[-1]
+
+    # v2: delete a band of rows (rewrites fragments; survivors must cancel)
+    lo, hi = 400, 500  # n_tok is lognormal around 512: decent mass here
+    rep = delete_rows(outdir, [("n_tok", ">=", lo), ("n_tok", "<", hi)])
+    assert rep["rows_deleted"] > 0
+    v2 = list_snapshots(outdir)[-1]
+    feed = pa.concat_tables(
+        [pa.Table.from_pylist(table_changes(outdir, v1, v2).take_all())]
+    )
+    assert set(feed["_change_type"].to_pylist()) == {"delete"}
+    assert feed.num_rows == rep["rows_deleted"]
+    want_deleted = orig.filter(
+        pc.and_(pc.greater_equal(orig["n_tok"], lo), pc.less(orig["n_tok"], hi))
+    )
+    assert sorted(feed["doc_id"].to_pylist()) == sorted(want_deleted["doc_id"].to_pylist())
+
+    # v3: upsert 3 existing keys → 3 deletes (old versions) + 3 inserts
+    keys = sorted(set(orig["doc_id"].to_pylist()) - set(want_deleted["doc_id"].to_pylist()))[:3]
+    up = pa.table(
+        {
+            "doc_id": pa.array(keys, pa.string()),
+            "tokens": pa.array([[1, 2]] * 3, pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 3, pa.int32()),
+            "source": pa.array(["cdc"] * 3, pa.string()),
+        }
+    )
+    upsert_rows(outdir, up, key="doc_id")
+    v3 = list_snapshots(outdir)[-1]
+    feed2 = pa.Table.from_pylist(table_changes(outdir, v2, v3).take_all())
+    ins = feed2.filter(pc.equal(feed2["_change_type"], "insert"))
+    dels = feed2.filter(pc.equal(feed2["_change_type"], "delete"))
+    assert sorted(ins["doc_id"].to_pylist()) == keys
+    assert sorted(dels["doc_id"].to_pylist()) == keys
+    assert set(ins["source"].to_pylist()) == {"cdc"}
+    assert "cdc" not in set(dels["source"].to_pylist())
+
+    # composed span v1 → v3: band deletes + upsert old-versions as
+    # deletes, upsert new-versions as inserts
+    feed3 = pa.Table.from_pylist(table_changes(outdir, v1, v3).take_all())
+    dels3 = feed3.filter(pc.equal(feed3["_change_type"], "delete"))
+    ins3 = feed3.filter(pc.equal(feed3["_change_type"], "insert"))
+    assert sorted(ins3["doc_id"].to_pylist()) == keys
+    assert sorted(dels3["doc_id"].to_pylist()) == sorted(
+        want_deleted["doc_id"].to_pylist() + keys
+    )
+
+    # identical versions → empty feed
+    assert table_changes(outdir, v3, v3).count() == 0
+
+
 def test_in_predicate_pruning_and_exactness(ray_session, tmp_path):
     """(col, 'in', values): zones admit when ANY value intersects, blooms
     admit when ANY value hits, the residual is pc.is_in — exact against

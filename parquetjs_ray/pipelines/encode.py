@@ -1373,6 +1373,35 @@ def vacuum(out_dir: str, *, keep_snapshots: int = 1) -> dict:
     }
 
 
+def recluster_dataset(
+    out_dir: str,
+    dest_dir: str,
+    by: str,
+    *,
+    id_col: str = "doc_id",
+    target_rows_per_partition: int = 16_384,
+    compression: str | None = None,
+) -> dict:
+    """OPTIMIZE-style layout rewrite: decode → distributed range sort by
+    ``by`` → re-encode into a NEW artifact whose chunks cover narrow,
+    non-overlapping ``by`` ranges, so zone-map pruning on that column
+    approaches the ideal (a range scan reads ~the fragments holding the
+    range, nothing else). The cure for an artifact ingested in an order
+    uncorrelated with its dominant query predicate.
+
+    One all-to-all exchange (Ray's sort) — the cost every clustering
+    rewrite pays; the encode plan is reused from the source artifact, so
+    there is no second sampling pass. The source stays untouched (reads
+    can continue against it; switch readers to ``dest_dir`` when the
+    rewrite commits its manifest)."""
+    plan = load_plan(out_dir)
+    ds = decode_dataset(out_dir).sort(by)
+    return encode_stream(
+        ds, dest_dir, plan=plan, id_col=id_col,
+        target_rows_per_partition=target_rows_per_partition, compression=compression,
+    )
+
+
 def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
     """Merge each partition's fragments into one consolidated chunk.
 

@@ -1362,6 +1362,53 @@ def test_upsert_rows_keyed_merge(ray_session, tmp_path):
     assert sorted(set(old["doc_id"].to_pylist())) == all_ids
 
 
+def test_recluster_tightens_zone_pruning(ray_session, tmp_path):
+    """recluster_dataset: an artifact ingested in an order uncorrelated
+    with the query predicate admits ~every unit on a range scan; the
+    sorted rewrite prunes to a handful, with identical query results."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import (
+        decode_dataset,
+        encode_dataset,
+        list_decode_units,
+        recluster_dataset,
+    )
+
+    indir = str(tmp_path / "in")
+    paths = _events_fixture(indir, rows=4_000, n_shards=2)
+    # destroy the natural ts order: shuffle rows deterministically
+    shuffled = pa.concat_tables([pq.read_table(p) for p in paths])
+    perm = np.random.default_rng(3).permutation(shuffled.num_rows)
+    bad = os.path.join(indir, "shuffled.parquet")
+    pq.write_table(shuffled.take(pa.array(perm)), bad)
+
+    src = str(tmp_path / "src")
+    encode_dataset(
+        [bad], src, mode="files", target_rows_per_partition=250, sample_rows=4_000,
+        id_col="event_id", source_col=None, unit_rows=250,
+    )
+    t0 = pa.scalar(1_700_000_000_000_000 + 1_000 * 60_000_000, pa.timestamp("us"))
+    t1 = pa.scalar(1_700_000_000_000_000 + 1_200 * 60_000_000, pa.timestamp("us"))
+    where = [("ts", ">=", t0), ("ts", "<", t1)]
+    units_src = list_decode_units(src, where=where)
+    total_src = list_decode_units(src)
+    assert len(units_src) > 0.8 * len(total_src)  # shuffled layout: no pruning
+
+    dst = str(tmp_path / "dst")
+    rep = recluster_dataset(src, dst, by="ts", id_col="event_id", target_rows_per_partition=250)
+    assert rep["rows"] == 4_000
+    units_dst = list_decode_units(dst, where=where)
+    total_dst = list_decode_units(dst)
+    # 200 of 4000 rows = 5% of the range → a clustered layout reads ~5%
+    assert len(units_dst) <= max(3, 0.15 * len(total_dst)), (len(units_dst), len(total_dst))
+
+    got = sorted(r["event_id"] for r in decode_dataset(dst, where=where).take_all())
+    want = sorted(r["event_id"] for r in decode_dataset(src, where=where).take_all())
+    assert got == want == list(range(1_000, 1_200))
+
+
 def test_table_changes_cdc_feed(ray_session, tmp_path):
     """table_changes between snapshots: pure deletes show only the
     deleted rows (a rewrite's survivors cancel), an upsert shows old

@@ -1362,6 +1362,91 @@ def test_upsert_rows_keyed_merge(ray_session, tmp_path):
     assert sorted(set(old["doc_id"].to_pylist())) == all_ids
 
 
+def test_table_mutation_soak(ray_session, tmp_path):
+    """Randomized delete/upsert/vacuum sequence against a driver-side
+    model: after every mutation the decoded table equals the model, and
+    the first→last CDC feed equals the model diff. Catches interactions
+    (upsert over rewritten fragments, vacuum mid-history, repeated keys)
+    no directed test enumerates."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.changes import table_changes
+    from parquetjs_ray.pipelines.encode import (
+        decode_dataset,
+        delete_rows,
+        encode_dataset,
+        upsert_rows,
+        vacuum,
+    )
+    from parquetjs_ray.stages.writer import list_snapshots
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 800, n_shards=2)
+    encode_dataset(paths, outdir, mode="files", target_rows_per_partition=200, sample_rows=800)
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    model = {
+        d: (int(n), s)
+        for d, n, s in zip(
+            orig["doc_id"].to_pylist(), orig["n_tok"].to_pylist(), orig["source"].to_pylist()
+        )
+    }
+    model_v1 = dict(model)
+    v1 = list_snapshots(outdir)[-1]
+
+    def check():
+        got = {
+            r["doc_id"]: (r["n_tok"], r["source"])
+            for r in decode_dataset(outdir, columns=["doc_id", "n_tok", "source"]).take_all()
+        }
+        assert got == model
+
+    rng = np.random.default_rng(17)
+    new_i = 0
+    for step in range(8):
+        op = rng.choice(["delete", "upsert", "upsert"])  # upserts twice as likely
+        if op == "delete":
+            lo = int(rng.integers(100, 900))
+            hi = lo + int(rng.integers(20, 120))
+            rep = delete_rows(outdir, [("n_tok", ">=", lo), ("n_tok", "<", hi)])
+            expect = [d for d, (n, _) in model.items() if lo <= n < hi]
+            assert rep["rows_deleted"] == len(expect), (step, lo, hi)
+            for d in expect:
+                del model[d]
+        else:
+            pool = sorted(model)
+            k_old = min(len(pool), int(rng.integers(1, 4)))
+            keys = list(rng.choice(pool, size=k_old, replace=False))
+            if rng.random() < 0.7:
+                keys.append(f"zz-soak-{new_i}")
+                new_i += 1
+            m = int(rng.integers(100, 900))
+            up = pa.table(
+                {
+                    "doc_id": pa.array(keys, pa.string()),
+                    "tokens": pa.array([[7] * m] * len(keys), pa.list_(pa.int32())),
+                    "n_tok": pa.array([m] * len(keys), pa.int32()),
+                    "source": pa.array([f"patch{step}"] * len(keys), pa.string()),
+                }
+            )
+            rep = upsert_rows(outdir, up, key="doc_id")
+            assert rep["rows_upserted"] == len(keys)
+            for d in keys:
+                model[d] = (m, f"patch{step}")
+        if step == 4:
+            vacuum(outdir, keep_snapshots=100)  # GC remnants, keep history
+        check()
+
+    # CDC v1 → latest equals the model diff (changed keys appear as a
+    # delete of the old version + an insert of the new one)
+    feed = table_changes(outdir, v1).take_all()
+    ins = {(r["doc_id"], r["n_tok"], r["source"]) for r in feed if r["_change_type"] == "insert"}
+    dels = {(r["doc_id"], r["n_tok"], r["source"]) for r in feed if r["_change_type"] == "delete"}
+    want_ins = {(d, n, s) for d, (n, s) in model.items() if model_v1.get(d) != (n, s)}
+    want_del = {(d, n, s) for d, (n, s) in model_v1.items() if model.get(d) != (n, s)}
+    assert ins == want_ins
+    assert dels == want_del
+
+
 def test_recluster_tightens_zone_pruning(ray_session, tmp_path):
     """recluster_dataset: an artifact ingested in an order uncorrelated
     with the query predicate admits ~every unit on a range scan; the

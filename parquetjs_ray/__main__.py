@@ -13,6 +13,7 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray delete  OUT_DIR --where '[["event_id", ">=", 1000]]'
     python -m parquetjs_ray upsert  OUT_DIR NEW_ROWS.parquet [--key doc_id]
     python -m parquetjs_ray changes OUT_DIR V_FROM DEST_DIR [--v-to N]   # CDC feed
+    python -m parquetjs_ray history OUT_DIR   # version log with cut-time totals
 """
 
 from __future__ import annotations
@@ -68,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     pup.add_argument("out_dir")
     pup.add_argument("data", help="parquet file/dir of rows to merge by key")
     pup.add_argument("--key", default="doc_id")
+
+    ph = sub.add_parser("history")
+    ph.add_argument("out_dir")
 
     pch = sub.add_parser("changes")
     pch.add_argument("out_dir")
@@ -125,6 +129,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.encode import upsert_rows
 
             print(json.dumps(upsert_rows(args.out_dir, rd.read_parquet(args.data), key=args.key)))
+        elif args.cmd == "history":
+            from .pipelines.encode import table_history
+
+            print(json.dumps(table_history(args.out_dir)))
         elif args.cmd == "changes":
             from .pipelines.changes import table_changes
 

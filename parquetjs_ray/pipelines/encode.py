@@ -1373,6 +1373,30 @@ def vacuum(out_dir: str, *, keep_snapshots: int = 1) -> dict:
     }
 
 
+def table_history(out_dir: str) -> list[dict]:
+    """The artifact's version log (Delta DESCRIBE HISTORY analogue):
+    one row per retained snapshot, newest last, with the totals recorded
+    at cut time. Metadata-only — never touches chunk data. Versions
+    pruned by :func:`vacuum` drop out; snapshots from before totals were
+    recorded report ``None``."""
+    from ..stages.writer import list_snapshots, read_snapshot
+
+    out = []
+    for v in list_snapshots(out_dir):
+        snap = read_snapshot(out_dir, v)
+        t = snap.get("totals") or {}
+        out.append(
+            {
+                "version": v,
+                "rows": t.get("rows"),
+                "enc_bytes": t.get("enc_bytes"),
+                "n_partitions": t.get("n_partitions"),
+                "n_fragments": t.get("n_fragments"),
+            }
+        )
+    return out
+
+
 def recluster_dataset(
     out_dir: str,
     dest_dir: str,

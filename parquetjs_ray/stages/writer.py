@@ -161,7 +161,19 @@ def _maybe_snapshot(out_dir: str, partitions: list[dict], fragment_lists: dict) 
     sdir = st.join(out_dir, "_snapshots")
     st.makedirs(sdir)
     st.write_json_atomic(
-        st.join(sdir, f"snap-{version:06d}.json"), {"version": version, "partitions": parts}
+        st.join(sdir, f"snap-{version:06d}.json"),
+        {
+            "version": version,
+            "partitions": parts,
+            # totals at cut time (DESCRIBE HISTORY without re-reading
+            # fragment manifests; absent in pre-v4-session snapshots)
+            "totals": {
+                "rows": sum(p.get("rows", 0) for p in partitions),
+                "enc_bytes": sum(p.get("enc_bytes", 0) for p in partitions),
+                "n_partitions": len(partitions),
+                "n_fragments": sum(len(f or ()) for f in fragment_lists.values()),
+            },
+        },
     )
     return version
 

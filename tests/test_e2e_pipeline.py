@@ -1446,6 +1446,15 @@ def test_table_mutation_soak(ray_session, tmp_path):
     assert ins == want_ins
     assert dels == want_del
 
+    # version log: ascending versions, cut-time totals track the model
+    from parquetjs_ray.pipelines.encode import table_history
+
+    hist = table_history(outdir)
+    versions = [h["version"] for h in hist]
+    assert versions == sorted(versions) and versions[0] == v1
+    assert hist[0]["rows"] == len(model_v1)
+    assert hist[-1]["rows"] == len(model)
+
 
 def test_recluster_tightens_zone_pruning(ray_session, tmp_path):
     """recluster_dataset: an artifact ingested in an order uncorrelated

@@ -14,6 +14,7 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray upsert  OUT_DIR NEW_ROWS.parquet [--key doc_id]
     python -m parquetjs_ray changes OUT_DIR V_FROM DEST_DIR [--v-to N]   # CDC feed
     python -m parquetjs_ray history OUT_DIR   # version log with cut-time totals
+    python -m parquetjs_ray restore OUT_DIR VERSION   # undo to a snapshot
 """
 
 from __future__ import annotations
@@ -72,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
 
     ph = sub.add_parser("history")
     ph.add_argument("out_dir")
+
+    pr = sub.add_parser("restore")
+    pr.add_argument("out_dir")
+    pr.add_argument("version", type=int)
 
     pch = sub.add_parser("changes")
     pch.add_argument("out_dir")
@@ -133,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.encode import table_history
 
             print(json.dumps(table_history(args.out_dir)))
+        elif args.cmd == "restore":
+            from .pipelines.encode import restore_version
+
+            print(json.dumps(restore_version(args.out_dir, args.version)))
         elif args.cmd == "changes":
             from .pipelines.changes import table_changes
 

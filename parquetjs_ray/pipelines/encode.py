@@ -1397,6 +1397,93 @@ def table_history(out_dir: str) -> list[dict]:
     return out
 
 
+def restore_version(out_dir: str, version: int) -> dict:
+    """Delta-style RESTORE: make snapshot ``version`` the artifact's
+    current state again (the undo for a bad delete/upsert/append).
+
+    Metadata-only and crash-safe: every fragment the snapshot names
+    still exists on disk (that is exactly the invariant :func:`vacuum`'s
+    retention protects), so restoring = un-tombstoning those markers
+    (the tombstone embeds the prior manifest) and rebuilding the
+    partition + global manifests from the snapshot's fragment lists.
+    Fragments added after ``version`` stay on disk unreferenced until
+    :func:`vacuum` reclaims them. The rebuild cuts a NEW snapshot whose
+    state equals the old one — history is append-only, the restore
+    itself is auditable and time-travel across it keeps working."""
+    from ..stages.writer import read_snapshot
+
+    snap = read_snapshot(out_dir, version)
+    if any(p["fragments"] is None for p in snap["partitions"]):
+        raise NotImplementedError("restore supports files-mode fragment partitions only")
+    gm = read_global_manifest(out_dir)
+    extra = {k: gm[k] for k in ("mode", "schema_b64", "user_metadata") if k in gm}
+    fragments: list[dict] = []
+    untombstoned = tombstoned = 0
+    for p in snap["partitions"]:
+        pid = p["partition"]
+        pdir = st.join(out_dir, f"part-{pid}")
+        keep = set(p["fragments"])
+        for fr in p["fragments"]:
+            jpath = st.join(pdir, f"frag-{fr}.json")
+            fm = st.read_json(jpath)
+            if fm.get("tombstone"):  # resurrect: the prior manifest is embedded
+                fm = fm["prior"]
+                st.write_json_atomic(jpath, fm)
+                untombstoned += 1
+            fragments.append(
+                {
+                    "partition": pid,
+                    "fragment": fr,
+                    "rows": fm["rows"],
+                    "n_tokens": fm.get("columns", {}).get("tokens", {}).get("n_values", 0),
+                    "raw_bytes": fm["raw_bytes"],
+                    "enc_bytes": fm["enc_bytes"],
+                }
+            )
+        # post-version fragments in a restored partition (delete/upsert
+        # rewrites) must become tombstones: a later manifest rebuild
+        # sweeps partition dirs, and a live marker would resurrect the
+        # rewrite alongside the restored original (duplicate rows).
+        # Tombstoning keeps later snapshots readable via the embedded
+        # prior manifest, exactly like a delete.
+        for name in st.list_names(pdir):
+            if not (name.startswith("frag-") and name.endswith(".json")):
+                continue
+            fid = name[len("frag-") : -len(".json")]
+            if fid in keep:
+                continue
+            fm = st.read_json(st.join(pdir, name))
+            if fm.get("tombstone"):
+                continue
+            st.write_json_atomic(
+                st.join(pdir, name),
+                {"partition": pid, "fragment": fid, "tombstone": True,
+                 "replaced_by": None, "rows": 0, "raw_bytes": 0, "enc_bytes": 0,
+                 "prior": fm},
+            )
+            tombstoned += 1
+    # partitions that exist now but aren't in the snapshot (post-version
+    # upsert partitions) must drop out: rebuild strictly from the
+    # snapshot's lists, then neutralize stale partition manifests
+    restored_pids = {p["partition"] for p in snap["partitions"]}
+    for p in gm["partitions"]:
+        if p["partition"] in restored_pids:
+            continue
+        st.write_json_atomic(
+            st.join(out_dir, f"part-{p['partition']}", "manifest.json"),
+            {"partition": p["partition"], "fragments": [], "rows": 0, "n_tokens": 0,
+             "raw_bytes": 0, "enc_bytes": 0},
+        )
+    write_partition_manifests(out_dir, fragments, extra=extra)
+    return {
+        "restored_version": version,
+        "fragments": len(fragments),
+        "untombstoned": untombstoned,
+        "tombstoned": tombstoned,
+        "rows": sum(f["rows"] for f in fragments),
+    }
+
+
 def recluster_dataset(
     out_dir: str,
     dest_dir: str,

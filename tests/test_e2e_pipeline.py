@@ -1455,6 +1455,19 @@ def test_table_mutation_soak(ray_session, tmp_path):
     assert hist[0]["rows"] == len(model_v1)
     assert hist[-1]["rows"] == len(model)
 
+    # RESTORE to v1 undoes the whole history...
+    from parquetjs_ray.pipelines.encode import restore_version
+
+    rep = restore_version(outdir, v1)
+    assert rep["rows"] == len(model_v1), rep
+    model = dict(model_v1)
+    check()
+    # ...and the artifact stays mutable afterwards: a rebuild-driven op
+    # must NOT resurrect pre-restore rewrite fragments (duplicate rows)
+    rep = delete_rows(outdir, [("n_tok", ">=", 100), ("n_tok", "<", 200)])
+    model = {d: v for d, v in model.items() if not (100 <= v[0] < 200)}
+    check()
+
 
 def test_recluster_tightens_zone_pruning(ray_session, tmp_path):
     """recluster_dataset: an artifact ingested in an order uncorrelated

@@ -767,7 +767,7 @@ def _decode_units(
     return out
 
 
-_WHERE_OPS = ("<", "<=", ">", ">=", "==", "=", "in")
+_WHERE_OPS = ("<", "<=", ">", ">=", "==", "=", "in", "contains")
 
 
 def _normalize_where_operand(value, tag: str):
@@ -799,6 +799,14 @@ def _zones_admit(zones: dict | None, where: list[tuple]) -> bool:
         if z is None:
             continue
         lo, hi = z["min"], z["max"]
+        if op == "contains":  # list<int> columns zone over their FLAT values
+            try:
+                v = _normalize_where_operand(val, z["t"])
+            except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, ValueError):
+                continue
+            if not lo <= v <= hi:
+                return False
+            continue
         if op == "in":
             try:
                 vs = [_normalize_where_operand(v, z["t"]) for v in val]
@@ -832,7 +840,7 @@ def _blooms_admit(blooms: dict | None, where: list[tuple]) -> bool:
     from ..stages.bloom import bloom_admits
 
     for col, op, val in where:
-        if op not in ("==", "=", "in"):
+        if op not in ("==", "=", "in", "contains"):
             continue
         b = blooms.get(col)
         if b is None:
@@ -840,7 +848,7 @@ def _blooms_admit(blooms: dict | None, where: list[tuple]) -> bool:
         if op == "in":
             if not any(bloom_admits(b, v) for v in val):
                 return False
-        elif not bloom_admits(b, val):
+        elif not bloom_admits(b, val):  # "contains" blooms hold the flat values
             return False
     return True
 
@@ -865,7 +873,18 @@ def _where_mask(table: pa.Table, where: list[tuple]):
     mask = None
     for col, op, val in where:
         c = table.column(col)
-        if op == "in":
+        if op == "contains":
+            # list<int> membership per row, vectorized: one equality pass
+            # over the flat values + a prefix-sum segment count
+            arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            flat = arr.values
+            hit = pc.fill_null(
+                pc.equal(flat, pa.scalar(val, type=arr.type.value_type)), False
+            ).to_numpy(zero_copy_only=False)
+            cum = np.concatenate(([0], np.cumsum(hit, dtype=np.int64)))
+            off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            m = pa.array(cum[off[1:]] - cum[off[:-1]] > 0)
+        elif op == "in":
             m = pc.is_in(c, value_set=pa.array(list(val), type=c.type))
         else:
             s = val if isinstance(val, pa.Scalar) else pa.scalar(val, type=c.type)

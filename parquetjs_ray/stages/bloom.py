@@ -73,6 +73,18 @@ def column_hash(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, str] | Non
         # canonical 64-bit pattern: sign-extend signed, zero-extend unsigned
         u = v.astype(np.uint64) if v.dtype.kind == "u" else v.astype(np.int64).view(np.uint64)
         return _mix64(u), "int"
+    if pa.types.is_list(t) and pa.types.is_integer(t.value_type):
+        # token-list columns: the bloom keys are the chunk's DISTINCT
+        # flat values (so the filter sizes by vocabulary, not token
+        # count) — drives the `contains` predicate's fragment pruning
+        import pyarrow.compute as pc
+
+        flat = pc.unique(pc.list_flatten(arr))
+        if flat.null_count:
+            flat = flat.drop_null()
+        v = flat.to_numpy(zero_copy_only=False)
+        u = v.astype(np.uint64) if v.dtype.kind == "u" else v.astype(np.int64).view(np.uint64)
+        return _mix64(u), "int"
     return None
 
 

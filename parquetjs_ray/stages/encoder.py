@@ -485,6 +485,12 @@ def _column_zones(table: pa.Table) -> dict[str, dict]:
             tag = "date32"
         elif pa.types.is_date64(t):
             tag = "date64"
+        elif pa.types.is_list(t) and pa.types.is_integer(t.value_type):
+            # token-list columns: zone over the FLAT values — prunes the
+            # `contains` predicate by value range before blooms probe
+            flat = pc.list_flatten(arr)
+            if len(flat) and flat.null_count < len(flat):
+                arr, tag = flat, "int"
         if tag is None or arr.null_count == len(arr):
             continue
         mm = pc.min_max(arr)

@@ -1362,6 +1362,45 @@ def test_upsert_rows_keyed_merge(ray_session, tmp_path):
     assert sorted(set(old["doc_id"].to_pylist())) == all_ids
 
 
+def test_contains_predicate_token_pruning(ray_session, tmp_path):
+    """`contains` on a list<int32> column: flat-value zones + Bloom
+    filters prune fragments before any byte is read (rare-token search
+    over the token corpus), and the residual is exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset, list_decode_units
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = write_synth(indir, 3_000, n_shards=2)
+    encode_dataset(
+        paths, outdir, mode="files", target_rows_per_partition=300, sample_rows=3_000,
+        bloom_columns=["tokens"],
+    )
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    flat = pc.list_flatten(orig["tokens"])
+    vc = pc.value_counts(flat)
+    counts = vc.field("counts").to_numpy(zero_copy_only=False)
+    rare = int(vc.field("values")[int(np.argmin(counts))].as_py())  # appears once
+
+    total = len(list_decode_units(outdir))
+    admitted = list_decode_units(outdir, where=[("tokens", "contains", rare)])
+    assert total > 10
+    assert len(admitted) <= max(2, 0.2 * total), (len(admitted), total)
+
+    got = decode_dataset(outdir, where=[("tokens", "contains", rare)]).take_all()
+    want_ids = [
+        d for d, row in zip(orig["doc_id"].to_pylist(), orig["tokens"].to_pylist())
+        if rare in row
+    ]
+    assert sorted(r["doc_id"] for r in got) == sorted(want_ids)
+    assert all(rare in r["tokens"] for r in got)
+
+    # an id outside the corpus value range: zones prune EVERYTHING
+    assert list_decode_units(outdir, where=[("tokens", "contains", -7)]) == []
+    assert decode_dataset(outdir, where=[("tokens", "contains", -7)]).count() == 0
+
+
 def test_table_mutation_soak(ray_session, tmp_path):
     """Randomized delete/upsert/vacuum sequence against a driver-side
     model: after every mutation the decoded table equals the model, and

@@ -455,6 +455,58 @@ def q_events_time_range_scan(sf_dir: str):
     )
 
 
+def _events_reclustered(sf_dir: str) -> str:
+    """OPTIMIZE-reclustered events artifact (cached once per sf_dir):
+    recluster_dataset sorts by ts and re-encodes, producing consolidated
+    (sharded-layout) partitions whose zone pruning the query below
+    oracle-checks — no other oracle exercises consolidated-partition
+    zones."""
+    from parquetjs_ray.pipelines.encode import recluster_dataset
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(
+        tempfile.gettempdir(), f"parquetjs_ray_eventsrc_{tag}_v{FORMAT_VERSION}"
+    )
+    if not os.path.exists(os.path.join(dest, "_MANIFEST.json")):
+        recluster_dataset(
+            _events_artifact(sf_dir), dest, by="ts",
+            id_col="event_id", target_rows_per_partition=5_000,
+        )
+    return dest
+
+
+def q_events_reclustered_scan(sf_dir: str):
+    """Time-range scan over the RECLUSTERED artifact (week 3): zone
+    pruning on consolidated partitions, asserted real, oracle-equal to
+    SQL over the raw table."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Max, Min
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, list_decode_units
+
+    outdir = _events_reclustered(sf_dir)
+    ts = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])["ts"]
+    lo_us = pc.min(ts).cast(pa.int64()).as_py() + 3 * _WEEK_US
+    lo = pa.scalar(lo_us, pa.int64()).cast(pa.timestamp("us")).as_py()
+    hi = pa.scalar(lo_us + _WEEK_US, pa.int64()).cast(pa.timestamp("us")).as_py()
+    where = [("ts", ">=", lo), ("ts", "<", hi)]
+    kept = len(list_decode_units(outdir, where=where))
+    total = len(list_decode_units(outdir))
+    assert 0 < kept < total, (kept, total)  # consolidated-partition pruning is real
+    ds = decode_dataset(outdir, columns=["event_type", "event_id"], where=where)
+    return (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("event_id", alias_name="min_event"),
+            Max("event_id", alias_name="max_event"),
+        )
+        .select_columns(["event_type", "n", "min_event", "max_event"])
+    )
+
+
 def q_decode_projection(sf_dir: str):
     """COLUMN PROJECTION at read: decode only (doc_id, n_chars) — the
     storage layer reads just those columns' segment byte ranges — and
@@ -1146,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_source_prune": q_decode_source_prune,
         "decode_projection": q_decode_projection,
         "events_time_range_scan": q_events_time_range_scan,
+        "events_reclustered_scan": q_events_reclustered_scan,
         "fingerprint_distinct_docs": q_fingerprint_distinct_docs,
         "docs_top_longest": q_docs_top_longest,
         "top_docs_per_source": q_top_docs_per_source,
@@ -1263,6 +1316,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_time_range_scan": (
             "WITH b AS (SELECT min(epoch_us(ts)) + 604800000000 AS lo FROM events) "
+            "SELECT event_type, count(*) AS n, min(event_id) AS min_event, "
+            "max(event_id) AS max_event FROM events, b "
+            "WHERE epoch_us(ts) >= b.lo AND epoch_us(ts) < b.lo + 604800000000 "
+            "GROUP BY event_type"
+        ),
+        "events_reclustered_scan": (
+            "WITH b AS (SELECT min(epoch_us(ts)) + 3 * 604800000000 AS lo FROM events) "
             "SELECT event_type, count(*) AS n, min(event_id) AS min_event, "
             "max(event_id) AS max_event FROM events, b "
             "WHERE epoch_us(ts) >= b.lo AND epoch_us(ts) < b.lo + 604800000000 "

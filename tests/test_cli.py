@@ -1,0 +1,71 @@
+"""End-to-end CLI surface test: every subcommand drives a real Ray
+session in its own subprocess (the CLI owns its session — the library
+never calls ray.init), chained into one table-lifecycle narrative:
+encode → info → upsert → history → delete → changes → restore →
+verify → vacuum."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args: str) -> dict | list:
+    p = subprocess.run(
+        [sys.executable, "-m", "parquetjs_ray", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert p.returncode == 0, (args, p.stderr[-2000:])
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def test_cli_table_lifecycle(tmp_path):
+    from parquetjs_ray.sources.synth import generate_shard
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    t = generate_shard(0, 400)
+    pq.write_table(t, str(indir / "s0.parquet"))
+    up = t.slice(0, 3).set_column(
+        t.schema.get_field_index("source"), "source", pa.array(["patched"] * 3)
+    )
+    pq.write_table(up, str(tmp_path / "up.parquet"))
+    art = str(tmp_path / "art")
+
+    rep = run_cli("encode", str(indir), art, "--target-rows", "100", "--profile", "balanced")
+    assert rep["rows"] == 400 and rep["ratio"] < 0.5
+
+    info = run_cli("info", art)
+    assert info["row_count"] == 400 and info["mode"] == "files"
+
+    rep = run_cli("upsert", art, str(tmp_path / "up.parquet"))
+    assert rep["rows_updated"] == 3 and rep["rows_inserted"] == 0
+
+    hist = run_cli("history", art)
+    assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+    assert hist[-1]["rows"] == 400
+
+    rep = run_cli("delete", art, "--where", '[["source", "==", "patched"]]')
+    assert rep["rows_deleted"] == 3
+
+    # v1 → latest: the 3 originals were replaced (v2) and the
+    # replacements deleted (v3) → net feed is 3 deletes of the originals
+    feed_dir = str(tmp_path / "feed")
+    run_cli("changes", art, "1", feed_dir)
+    feed = pq.read_table(feed_dir)
+    assert feed.num_rows == 3
+    assert set(feed["_change_type"].to_pylist()) == {"delete"}
+
+    rep = run_cli("restore", art, "1")
+    assert rep["rows"] == 400
+
+    v = run_cli("verify", str(indir), art)
+    assert v["equal"] is True
+
+    rep = run_cli("vacuum", art)
+    assert rep["snapshots_kept"]

@@ -1158,6 +1158,19 @@ def q_mix_sources_equal(sf_dir: str):
     return mix_sources(ds, weights)
 
 
+def q_split_assign_docs(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment — total and
+    disjoint by construction (one hash band per split), byte-stable
+    across runs/resumes/cluster sizes; per-row output so the SQL CASE
+    replica pins every assignment."""
+    from parquetjs_ray.functions.sampling import assign_splits
+
+    return assign_splits(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        {"train": 90, "val": 5, "test": 5},
+    )
+
+
 def q_pack_windows_docs(sf_dir: str):
     """Sequence packing (concat-and-chop): per-source token stream in
     doc_id order chopped into 4096-token windows via a distributed
@@ -1234,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_uniform": q_sample_docs_uniform,
         "mix_sources_equal": q_mix_sources_equal,
         "pack_windows_docs": q_pack_windows_docs,
+        "split_assign_docs": q_split_assign_docs,
     }
 
 
@@ -1554,6 +1568,12 @@ def oracle_sql() -> dict[str, str]:
             " FROM w CROSS JOIN tot CROSS JOIN feas) "
             "SELECT h5.doc_id, h5.source FROM h5 JOIN r ON h5.source = r.source "
             "WHERE h5.x % 1000000 < r.num"
+        ),
+        "split_assign_docs": (
+            # cuts = den*cumw//W for 90/5/5 → 900000, 950000 (den last)
+            f"WITH {_sample_hash_ctes()} "
+            "SELECT doc_id, source, CASE WHEN x % 1000000 < 900000 THEN 'train' "
+            "WHEN x % 1000000 < 950000 THEN 'val' ELSE 'test' END AS split FROM h5"
         ),
         "pack_windows_docs": (
             "WITH t AS (SELECT doc_id, source, "

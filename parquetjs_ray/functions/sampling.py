@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_keep_mask", "stratified_sample", "mix_sources", "epoch_shuffle"]
+__all__ = ["hash_keep_mask", "stratified_sample", "mix_sources", "epoch_shuffle", "assign_splits"]
 
 _U = np.uint64
 _GOLDEN = 0x9E3779B97F4A7C15
@@ -111,6 +111,39 @@ def mix_sources(
         target = N * w // W
         rates[s] = min(den, target * den // counts[s])
     return stratified_sample(ds, rates, key_col, source_col, den, seed)
+
+
+def assign_splits(
+    ds,
+    splits: dict[str, int],
+    key_col: str = "doc_id",
+    den: int = 1_000_000,
+    seed: int = 0,
+):
+    """Deterministic named split assignment (train/val/test): a row
+    lands in split i iff ``mix64(key + seed·GOLDEN) % den`` falls in
+    split i's cumulative-weight band (integer cuts ``den·cumw_i // W``).
+
+    TOTAL and DISJOINT by construction — every row gets exactly one
+    split, so splits can never overlap or leak rows across re-runs,
+    resumes, appends, or cluster sizes (the property a per-split
+    ``stratified_sample`` chain can't guarantee). One stateless
+    vectorized pass, no shuffle; SQL-replicable (same CASE over the
+    HUGEINT hash replica). Appends a ``split`` string column."""
+    names = list(splits)
+    w = np.fromiter(splits.values(), dtype=np.int64, count=len(splits))
+    if len(names) < 2 or (w <= 0).any():
+        raise ValueError("splits needs >=2 names with positive integer weights")
+    cuts = (np.cumsum(w) * den // int(w.sum())).astype(np.uint64)
+    lookup = np.array(names, dtype=object)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        x = _mix64(ids.astype(np.uint64) + _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF))
+        idx = np.searchsorted(cuts, x % _U(den), side="right")
+        return batch.append_column("split", pa.array(lookup[idx].tolist(), type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def epoch_shuffle(ds, *, key_col: str = "doc_id", seed: int = 0, key_out: str = "epoch_key"):

@@ -472,6 +472,7 @@ def _events_reclustered(sf_dir: str) -> str:
         recluster_dataset(
             _events_artifact(sf_dir), dest, by="ts",
             id_col="event_id", target_rows_per_partition=5_000,
+            layout="sharded",  # this oracle exists to exercise consolidated zones
         )
     return dest
 

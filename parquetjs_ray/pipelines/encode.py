@@ -219,21 +219,47 @@ def _encode_and_write(
 
 
 class EncoderActor:
-    """Actor-pool stage for sharded mode: plan fetched once per actor."""
+    """Actor-pool stage for streamed encodes: plan fetched once per actor.
+
+    ``layout="sharded"`` (default) writes one consolidated ``chunk.bin``
+    per content-hashed partition; ``layout="files"`` writes the same
+    batch as a files-mode FRAGMENT (``part-u<hash>/frag-000000``), which
+    makes the streamed artifact a first-class mutable table — delete /
+    upsert / snapshots-with-fragments / CDC / restore all operate on
+    fragment partitions."""
 
     def __init__(self, plan_ref, out_dir: str, id_col: str = "doc_id", compression: str | None = None,
-                 row_fingerprint: bool = False):
+                 row_fingerprint: bool = False, layout: str = "sharded"):
         self.state = EncoderState(ray.get(plan_ref))
         self.out_dir = out_dir
         self.id_col = id_col
         self.compression = compression
         self.row_fingerprint = row_fingerprint
+        self.layout = layout
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        row = _encode_and_write(
-            batch, _content_part_id(batch, self.id_col), self.state, self.out_dir,
-            compression=self.compression, row_fingerprint=self.row_fingerprint,
-        )
+        part_id = _content_part_id(batch, self.id_col)
+        if self.layout == "files":
+            import pyarrow.compute as pc
+
+            from ..stages.writer import write_fragment
+
+            stored = batch.combine_chunks()
+            chunk, manifest = encode_table(stored, self.state)
+            if self.row_fingerprint:
+                _fingerprint_into(manifest, stored)
+            ids = stored.column(self.id_col)
+            manifest["id_min"] = pc.min(ids).as_py()
+            manifest["id_max"] = pc.max(ids).as_py()
+            row = write_fragment(
+                self.out_dir, "u" + part_id, "000000", chunk, manifest,
+                compression=self.compression,
+            )
+        else:
+            row = _encode_and_write(
+                batch, part_id, self.state, self.out_dir,
+                compression=self.compression, row_fingerprint=self.row_fingerprint,
+            )
         return pa.Table.from_pylist([row])
 
 
@@ -623,14 +649,24 @@ def encode_stream(
     row_fingerprint: bool = False,
     concurrency: int | tuple[int, int] | None = None,
     user_metadata: dict | None = None,
+    layout: str = "sharded",
 ) -> dict:
     """Encode an arbitrary ``ray.data.Dataset`` — the transform-then-
     encode path (the reference's ParquetTransformer shape,
     `/root/reference/lib/writer.js:256-289`): upstream ``map_batches`` /
     ``filter`` stages stream straight into the encoder actor pool with
-    no intermediate parquet. Sharded layout (partition id = content
-    hash); the caller supplies the plan (built once per corpus via
-    ``stats.build_plan`` or loaded from a previous artifact)."""
+    no intermediate parquet. The caller supplies the plan (built once
+    per corpus via ``stats.build_plan`` or loaded from a previous
+    artifact).
+
+    ``layout="sharded"`` (default) consolidates each content-hashed
+    partition into one chunk; ``layout="files"`` writes fragment
+    partitions instead, making the streamed artifact a first-class
+    MUTABLE table (delete/upsert/CDC/restore/time-travel all work).
+    Streamed artifacts carry no input-file union schema either way; the
+    stream's own schema is the contract."""
+    if layout not in ("sharded", "files"):
+        raise ValueError(f"layout must be 'sharded' or 'files': {layout!r}")
     st.makedirs(out_dir)
     if not st.exists(st.join(out_dir, "_artifacts", "plan.json")):
         save_plan(plan, out_dir)
@@ -644,16 +680,22 @@ def encode_stream(
         fn_constructor_kwargs={
             "plan_ref": plan_ref, "out_dir": out_dir, "id_col": id_col,
             "compression": compression, "row_fingerprint": row_fingerprint,
+            "layout": layout,
         },
     )
-    partitions = manifest_ds.take_all()  # small: one row per partition
-    extra: dict = {"mode": "sharded"}
+    rows = manifest_ds.take_all()  # small: one row per partition/fragment
+    extra: dict = {"mode": layout}
     if user_metadata:
         extra["user_metadata"] = user_metadata
-    path = write_global_manifest(out_dir, partitions, extra=extra)
+    if layout == "files":
+        from ..stages.writer import write_partition_manifests
+
+        path = write_partition_manifests(out_dir, rows, extra=extra)
+    else:
+        path = write_global_manifest(out_dir, rows, extra=extra)
     totals = dict(read_global_manifest(out_dir)["totals"])
-    totals["n_partitions"] = len(partitions)
-    totals["resumed_partitions"] = sum(1 for p in partitions if p.get("skipped"))
+    totals["n_partitions"] = len({r.get("partition") for r in rows})
+    totals["resumed_partitions"] = sum(1 for p in rows if p.get("skipped"))
     totals["ratio"] = totals["enc_bytes"] / max(1, totals["raw_bytes"])
     totals["manifest"] = path
     return totals
@@ -1511,6 +1553,7 @@ def recluster_dataset(
     id_col: str = "doc_id",
     target_rows_per_partition: int = 16_384,
     compression: str | None = None,
+    layout: str = "files",
 ) -> dict:
     """OPTIMIZE-style layout rewrite: decode → distributed range sort by
     ``by`` → re-encode into a NEW artifact whose chunks cover narrow,
@@ -1523,11 +1566,13 @@ def recluster_dataset(
     rewrite pays; the encode plan is reused from the source artifact, so
     there is no second sampling pass. The source stays untouched (reads
     can continue against it; switch readers to ``dest_dir`` when the
-    rewrite commits its manifest)."""
+    rewrite commits its manifest). Default ``layout="files"`` keeps the
+    reclustered artifact fully mutable (delete/upsert/CDC/restore);
+    ``"sharded"`` consolidates each partition into one chunk."""
     plan = load_plan(out_dir)
     ds = decode_dataset(out_dir).sort(by)
     return encode_stream(
-        ds, dest_dir, plan=plan, id_col=id_col,
+        ds, dest_dir, plan=plan, id_col=id_col, layout=layout,
         target_rows_per_partition=target_rows_per_partition, compression=compression,
     )
 

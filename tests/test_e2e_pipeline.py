@@ -1554,6 +1554,15 @@ def test_recluster_tightens_zone_pruning(ray_session, tmp_path):
     want = sorted(r["event_id"] for r in decode_dataset(src, where=where).take_all())
     assert got == want == list(range(1_000, 1_200))
 
+    # default layout="files" keeps the reclustered artifact fully
+    # MUTABLE: a targeted delete works on it directly
+    from parquetjs_ray.pipelines.encode import delete_rows
+
+    rep2 = delete_rows(dst, [("event_id", ">=", 1_000), ("event_id", "<", 1_200)])
+    assert rep2["rows_deleted"] == 200, rep2
+    assert decode_dataset(dst, where=where).count() == 0
+    assert decode_dataset(dst).count() == 3_800
+
 
 def test_table_changes_cdc_feed(ray_session, tmp_path):
     """table_changes between snapshots: pure deletes show only the

@@ -667,6 +667,16 @@ def encode_stream(
     stream's own schema is the contract."""
     if layout not in ("sharded", "files"):
         raise ValueError(f"layout must be 'sharded' or 'files': {layout!r}")
+    schema_blob = None
+    if layout == "files":
+        # record the stream's schema in the manifest (the files-mode
+        # union-schema contract): schema-evolving upserts/appends on the
+        # streamed artifact then align exactly like path-based encodes.
+        # May execute one upstream block to infer a transformed schema.
+        import base64
+
+        sch = ds.schema(fetch_if_missing=True).base_schema
+        schema_blob = base64.b64encode(sch.serialize().to_pybytes()).decode()
     st.makedirs(out_dir)
     if not st.exists(st.join(out_dir, "_artifacts", "plan.json")):
         save_plan(plan, out_dir)
@@ -690,6 +700,7 @@ def encode_stream(
     if layout == "files":
         from ..stages.writer import write_partition_manifests
 
+        extra["schema_b64"] = schema_blob
         path = write_partition_manifests(out_dir, rows, extra=extra)
     else:
         path = write_global_manifest(out_dir, rows, extra=extra)

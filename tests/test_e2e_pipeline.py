@@ -1401,6 +1401,45 @@ def test_contains_predicate_token_pruning(ray_session, tmp_path):
     assert decode_dataset(outdir, where=[("tokens", "contains", -7)]).count() == 0
 
 
+def test_streamed_files_layout_is_mutable(ray_session, tmp_path):
+    """encode_stream(layout='files'): the streamed artifact records its
+    schema and supports keyed upsert — including one that OMITS a column
+    (aligned to the recorded union schema, decoding as null)."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_stream, upsert_rows
+    from parquetjs_ray.stages.stats import build_plan_from_dataset
+
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"d{i:03d}" for i in range(300)], pa.string()),
+                "tokens": pa.array([[i, i + 1] for i in range(300)], pa.list_(pa.int32())),
+                "n_tok": pa.array([2] * 300, pa.int32()),
+            }
+        )
+    )
+    plan = build_plan_from_dataset(src, sample_rows=300, fsst_columns=("doc_id",))
+    outdir = str(tmp_path / "art")
+    rep = encode_stream(src, outdir, plan=plan, target_rows_per_partition=100, layout="files")
+    assert rep["rows"] == 300 and rep["n_partitions"] == 3
+
+    # upsert WITHOUT the tokens column: aligns to the recorded schema
+    up = pa.table(
+        {
+            "doc_id": pa.array(["d000", "zz-new"], pa.string()),
+            "n_tok": pa.array([9, 9], pa.int32()),
+        }
+    )
+    r = upsert_rows(outdir, up, key="doc_id")
+    assert r["rows_updated"] == 1 and r["rows_inserted"] == 1
+    got = {r["doc_id"]: r for r in decode_dataset(outdir).take_all()}
+    assert len(got) == 301
+    assert got["d000"]["n_tok"] == 9 and got["d000"]["tokens"] is None
+    assert got["zz-new"]["tokens"] is None
+    assert got["d001"]["tokens"] == [1, 2]
+
+
 def test_table_mutation_soak(ray_session, tmp_path):
     """Randomized delete/upsert/vacuum sequence against a driver-side
     model: after every mutation the decoded table equals the model, and

@@ -1603,6 +1603,56 @@ def test_recluster_tightens_zone_pruning(ray_session, tmp_path):
     assert decode_dataset(dst).count() == 3_800
 
 
+def test_zorder_prunes_on_both_columns(ray_session, tmp_path):
+    """Z-ORDER rewrite: after clustering by the interleaved quantile
+    ranks of (event_id, value), range predicates on EITHER column prune
+    substantially — which no single-column sort can give — and results
+    stay exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import (
+        decode_dataset,
+        encode_dataset,
+        list_decode_units,
+        zorder_dataset,
+    )
+
+    indir = str(tmp_path / "in")
+    paths = _events_fixture(indir, rows=8_000, n_shards=2)
+    shuffled = pa.concat_tables([pq.read_table(p) for p in paths])
+    perm = np.random.default_rng(5).permutation(shuffled.num_rows)
+    bad = os.path.join(indir, "shuffled.parquet")
+    pq.write_table(shuffled.take(pa.array(perm)), bad)
+
+    src = str(tmp_path / "src")
+    encode_dataset(
+        [bad], src, mode="files", target_rows_per_partition=500, sample_rows=8_000,
+        id_col="event_id", source_col=None, unit_rows=500,
+    )
+    dst = str(tmp_path / "dst")
+    rep = zorder_dataset(
+        src, dst, by=["event_id", "value"], id_col="event_id",
+        target_rows_per_partition=250, bits=8,
+    )
+    assert rep["rows"] == 8_000
+
+    total = len(list_decode_units(dst))
+    w_id = [("event_id", ">=", 2_000), ("event_id", "<", 2_400)]  # 5% band
+    w_val = [("value", ">=", 1.6)]  # ~5.5% upper tail
+    for where in (w_id, w_val):
+        src_kept = len(list_decode_units(src, where=where))
+        src_total = len(list_decode_units(src))
+        assert src_kept > 0.7 * src_total  # shuffled layout: no pruning
+        kept = len(list_decode_units(dst, where=where))
+        assert kept < 0.6 * total, (where, kept, total)
+        got = decode_dataset(dst, where=where).take_all()
+        from parquetjs_ray.pipelines.encode import _where_mask
+
+        want = shuffled.filter(_where_mask(shuffled, where))
+        assert sorted(r["event_id"] for r in got) == sorted(want["event_id"].to_pylist())
+
+
 def test_table_changes_cdc_feed(ray_session, tmp_path):
     """table_changes between snapshots: pure deletes show only the
     deleted rows (a rewrite's survivors cancel), an upsert shows old

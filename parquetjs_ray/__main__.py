@@ -15,6 +15,8 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray changes OUT_DIR V_FROM DEST_DIR [--v-to N]   # CDC feed
     python -m parquetjs_ray history OUT_DIR   # version log with cut-time totals
     python -m parquetjs_ray restore OUT_DIR VERSION   # undo to a snapshot
+    python -m parquetjs_ray optimize OUT_DIR DEST --by ts          # sorted recluster
+    python -m parquetjs_ray optimize OUT_DIR DEST --by ts,value    # Z-ORDER
 """
 
 from __future__ import annotations
@@ -70,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
     pup.add_argument("out_dir")
     pup.add_argument("data", help="parquet file/dir of rows to merge by key")
     pup.add_argument("--key", default="doc_id")
+
+    po = sub.add_parser("optimize")
+    po.add_argument("out_dir")
+    po.add_argument("dest")
+    po.add_argument("--by", required=True, metavar="A[,B...]",
+                    help="cluster column(s): one column = sorted recluster, several = Z-ORDER")
+    po.add_argument("--id-col", default="doc_id")
+    po.add_argument("--target-rows", type=int, default=16_384)
 
     ph = sub.add_parser("history")
     ph.add_argument("out_dir")
@@ -134,6 +144,21 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.encode import upsert_rows
 
             print(json.dumps(upsert_rows(args.out_dir, rd.read_parquet(args.data), key=args.key)))
+        elif args.cmd == "optimize":
+            from .pipelines.encode import recluster_dataset, zorder_dataset
+
+            cols = args.by.split(",")
+            if len(cols) == 1:
+                rep = recluster_dataset(
+                    args.out_dir, args.dest, by=cols[0], id_col=args.id_col,
+                    target_rows_per_partition=args.target_rows,
+                )
+            else:
+                rep = zorder_dataset(
+                    args.out_dir, args.dest, by=cols, id_col=args.id_col,
+                    target_rows_per_partition=args.target_rows,
+                )
+            print(json.dumps(rep))
         elif args.cmd == "history":
             from .pipelines.encode import table_history
 

@@ -69,3 +69,9 @@ def test_cli_table_lifecycle(tmp_path):
 
     rep = run_cli("vacuum", art)
     assert rep["snapshots_kept"]
+
+    opt = str(tmp_path / "opt")
+    rep = run_cli("optimize", art, opt, "--by", "n_tok", "--target-rows", "100")
+    assert rep["rows"] == 400
+    v = run_cli("verify", str(indir), opt)
+    assert v["equal"] is True  # reclustered artifact holds the same rows

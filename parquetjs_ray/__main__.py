@@ -17,6 +17,7 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray restore OUT_DIR VERSION   # undo to a snapshot
     python -m parquetjs_ray optimize OUT_DIR DEST --by ts          # sorted recluster
     python -m parquetjs_ray optimize OUT_DIR DEST --by ts,value    # Z-ORDER
+    python -m parquetjs_ray stats OUT_DIR   # per-column codec/size metrics
 """
 
 from __future__ import annotations
@@ -80,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="cluster column(s): one column = sorted recluster, several = Z-ORDER")
     po.add_argument("--id-col", default="doc_id")
     po.add_argument("--target-rows", type=int, default=16_384)
+
+    ps = sub.add_parser("stats")
+    ps.add_argument("out_dir")
 
     ph = sub.add_parser("history")
     ph.add_argument("out_dir")
@@ -159,6 +163,10 @@ def main(argv: list[str] | None = None) -> int:
                     target_rows_per_partition=args.target_rows,
                 )
             print(json.dumps(rep))
+        elif args.cmd == "stats":
+            from .pipelines.encode import column_stats
+
+            print(json.dumps(column_stats(args.out_dir)))
         elif args.cmd == "history":
             from .pipelines.encode import table_history
 

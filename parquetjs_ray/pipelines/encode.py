@@ -1445,6 +1445,79 @@ def vacuum(out_dir: str, *, keep_snapshots: int = 1) -> dict:
     }
 
 
+def column_stats(out_dir: str) -> dict[str, dict]:
+    """Per-column codec/size metrics aggregated from the fragment
+    manifests (the north rule's "codec/size metrics" surface, queryable
+    without touching chunk data): for every column, bytes raw/encoded,
+    the overall ratio, and how many chunks each codec won — the
+    auto-selector's decisions laid bare.
+
+    Distributed: partition manifests are read in parallel tasks; only
+    kilobyte aggregates reach the driver."""
+    gm = read_global_manifest(out_dir)
+    parts = [p["partition"] for p in gm["partitions"]]
+
+    def collect(batch: pa.Table) -> pa.Table:
+        rows = []
+        for pid in batch.column("p").to_pylist():
+            pdir = st.join(out_dir, f"part-{pid}")
+            pm = st.read_json(st.join(pdir, "manifest.json"))
+            frag_manifests = (
+                [st.read_json(st.join(pdir, f"frag-{fr}.json")) for fr in pm["fragments"]]
+                if "fragments" in pm
+                else [pm]
+            )
+            for fm in frag_manifests:
+                if fm.get("tombstone"):
+                    continue
+                for col, meta in fm.get("columns", {}).items():
+                    codec = meta.get("codec", "?")
+                    if codec == "list_int":  # name the values codec, the real decision
+                        codec = f"list_int/{meta.get('values', {}).get('codec', '?')}"
+                    rows.append(
+                        {
+                            "column": col,
+                            "codec": codec,
+                            "raw_bytes": int(meta.get("raw_bytes", 0)),
+                            "enc_bytes": int(meta.get("enc_bytes", 0)),
+                        }
+                    )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("column", pa.string()), ("codec", pa.string()),
+                 ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64())]
+            ),
+        )
+
+    if not parts:
+        return {}
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        rd.from_items([{"p": p} for p in parts])
+        .map_batches(collect, batch_format="pyarrow", batch_size=16)
+        .groupby(["column", "codec"])
+        .aggregate(
+            Count(alias_name="n_chunks"),
+            Sum("raw_bytes", alias_name="raw_bytes"),
+            Sum("enc_bytes", alias_name="enc_bytes"),
+        )
+        .take_all()
+    )
+    out: dict[str, dict] = {}
+    for r in agg:
+        c = out.setdefault(
+            r["column"], {"raw_bytes": 0, "enc_bytes": 0, "codecs": {}}
+        )
+        c["raw_bytes"] += r["raw_bytes"]
+        c["enc_bytes"] += r["enc_bytes"]
+        c["codecs"][r["codec"]] = int(r["n_chunks"])
+    for c in out.values():
+        c["ratio"] = round(c["enc_bytes"] / max(1, c["raw_bytes"]), 4)
+    return out
+
+
 def table_history(out_dir: str) -> list[dict]:
     """The artifact's version log (Delta DESCRIBE HISTORY analogue):
     one row per retained snapshot, newest last, with the totals recorded

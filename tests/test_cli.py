@@ -75,3 +75,8 @@ def test_cli_table_lifecycle(tmp_path):
     assert rep["rows"] == 400
     v = run_cli("verify", str(indir), opt)
     assert v["equal"] is True  # reclustered artifact holds the same rows
+
+    stats = run_cli("stats", art)
+    assert set(stats) == {"doc_id", "tokens", "n_tok", "source"}
+    assert stats["source"]["ratio"] < 0.05  # dict-encoded low-cardinality column
+    assert sum(stats["tokens"]["codecs"].values()) > 0

@@ -18,6 +18,7 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray optimize OUT_DIR DEST --by ts          # sorted recluster
     python -m parquetjs_ray optimize OUT_DIR DEST --by ts,value    # Z-ORDER
     python -m parquetjs_ray stats OUT_DIR   # per-column codec/size metrics
+    python -m parquetjs_ray check OUT_DIR --rules '{"id_nonneg": [["event_id", ">=", 0]]}'
 """
 
 from __future__ import annotations
@@ -84,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
 
     ps = sub.add_parser("stats")
     ps.add_argument("out_dir")
+
+    pk = sub.add_parser("check")
+    pk.add_argument("out_dir")
+    pk.add_argument("--rules", required=True,
+                    help='JSON rules, e.g. \'{"id_nonneg": [["event_id", ">=", 0]]}\'')
 
     ph = sub.add_parser("history")
     ph.add_argument("out_dir")
@@ -167,6 +173,13 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.encode import column_stats
 
             print(json.dumps(column_stats(args.out_dir)))
+        elif args.cmd == "check":
+            from .pipelines.encode import validate_artifact
+
+            rules = {k: [tuple(c) for c in v] for k, v in json.loads(args.rules).items()}
+            rep = validate_artifact(args.out_dir, rules)
+            print(json.dumps(rep))
+            return 0 if rep["ok"] else 2
         elif args.cmd == "history":
             from .pipelines.encode import table_history
 

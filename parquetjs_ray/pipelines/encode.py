@@ -790,6 +790,16 @@ def _decode_units(
         if columns:  # projection pushdown: decode only requested columns
             fm = dict(fm)
             fm["columns"] = {k: v for k, v in fm["columns"].items() if k in columns}
+            if not fm["columns"]:
+                # fragment predates EVERY projected column (schema
+                # evolution): its rows still exist — emit typed nulls
+                # instead of silently dropping them
+                target = _schema_from_blob(schema_b64, columns)
+                if target is not None and len(target):
+                    tables.append(
+                        pa.table({f.name: pa.nulls(int(fm["rows"]), f.type) for f in target})
+                    )
+                continue
         if columns and not fm.get("compression"):
             # push the projection into STORAGE: read only the projected
             # columns' segment byte ranges (ranged GETs on object stores).
@@ -1442,6 +1452,40 @@ def vacuum(out_dir: str, *, keep_snapshots: int = 1) -> dict:
         "reclaimed_bytes": int(sum(r["reclaimed"] for r in res)),
         "snapshots_pruned": len(pruned_snaps),
         "snapshots_kept": kept,
+    }
+
+
+def validate_artifact(out_dir: str, rules: dict[str, list[tuple]]) -> dict:
+    """CHECK-constraint validation (the Delta constraints / expectations
+    idea): every rule is a ``where``-style conjunction that EVERY row
+    must satisfy; returns per-rule violation counts and a pass flag.
+
+    One streaming decode pass evaluates all rules per batch (vectorized
+    masks, kilobyte count partials to the driver — the corpus is never
+    materialized). Rules over columns a chunk lacks count those rows as
+    violations (nulls fail a CHECK, as in SQL)."""
+    checked = {name: _check_where(list(cs)) for name, cs in rules.items()}
+    if not checked:
+        return {"rows": 0, "violations": {}, "ok": True}
+    cols = sorted({c for cs in checked.values() for c, _, _ in cs})
+
+    def count_violations(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        row = {"__rows": batch.num_rows}
+        for name, cs in checked.items():
+            ok = pc.fill_null(_where_mask(batch, cs), False)
+            row[name] = batch.num_rows - int(pc.sum(ok).as_py() or 0)
+        return pa.Table.from_pylist([row])
+
+    parts = decode_dataset(out_dir, columns=cols).map_batches(
+        count_violations, batch_format="pyarrow"
+    ).take_all()
+    violations = {name: int(sum(p[name] for p in parts)) for name in checked}
+    return {
+        "rows": int(sum(p["__rows"] for p in parts)),
+        "violations": violations,
+        "ok": all(v == 0 for v in violations.values()),
     }
 
 

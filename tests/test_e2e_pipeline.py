@@ -1603,6 +1603,43 @@ def test_recluster_tightens_zone_pruning(ray_session, tmp_path):
     assert decode_dataset(dst).count() == 3_800
 
 
+def test_validate_artifact_check_constraints(ray_session, tmp_path):
+    """CHECK-constraint validation: satisfied rules report zero
+    violations, violated ones exact counts, and a rule over a column
+    with nulls counts the nulls as failures (SQL CHECK semantics)."""
+    from parquetjs_ray.pipelines.encode import encode_dataset, upsert_rows, validate_artifact
+
+    indir, outdir = str(tmp_path / "in"), str(tmp_path / "out")
+    paths = _events_fixture(indir, rows=2_000, n_shards=2)
+    encode_dataset(paths, outdir, mode="files", target_rows_per_partition=500,
+                   sample_rows=2_000, id_col="event_id", source_col=None)
+    rep = validate_artifact(
+        outdir,
+        {
+            "id_nonneg": [("event_id", ">=", 0)],
+            "id_small": [("event_id", "<", 1_500)],
+            "kind_known": [("kind", "in", ["click", "view", "buy"])],
+        },
+    )
+    assert rep["rows"] == 2_000
+    assert rep["violations"] == {"id_nonneg": 0, "id_small": 500, "kind_known": 0}
+    assert rep["ok"] is False
+
+    # schema-evolving upsert: rows predating the new column fail its CHECK
+    up = pa.table(
+        {
+            "event_id": pa.array([10_001], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            "value": pa.array([0.0], pa.float64()),
+            "kind": pa.array(["click"], pa.string()),
+            "rev": pa.array([1], pa.int64()),
+        }
+    )
+    upsert_rows(outdir, up, key="event_id")
+    rep2 = validate_artifact(outdir, {"rev_set": [("rev", ">=", 0)]})
+    assert rep2["rows"] == 2_001 and rep2["violations"]["rev_set"] == 2_000
+
+
 def test_zorder_prunes_on_both_columns(ray_session, tmp_path):
     """Z-ORDER rewrite: after clustering by the interleaved quantile
     ranks of (event_id, value), range predicates on EITHER column prune

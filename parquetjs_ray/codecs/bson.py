@@ -97,6 +97,10 @@ def _decode_doc(buf: memoryview, at: int) -> tuple[dict, int]:
     out: dict = {}
     pos = at + 4
     while True:
+        # corrupt inner lengths can push pos past the declared end before
+        # the 0 terminator: fail as BsonError, never a raw IndexError
+        if pos >= end:
+            raise BsonError("truncated document")
         kind = buf[pos]
         pos += 1
         if kind == 0:
@@ -143,7 +147,10 @@ def _decode_doc(buf: memoryview, at: int) -> tuple[dict, int]:
 
 
 def decode(data: bytes | memoryview) -> dict:
-    doc, pos = _decode_doc(memoryview(data), 0)
+    try:
+        doc, pos = _decode_doc(memoryview(data), 0)
+    except (IndexError, struct.error) as e:  # corrupt operand lengths
+        raise BsonError(f"truncated element: {e}") from e
     if pos != len(data):
         raise BsonError("trailing bytes after document")
     return doc

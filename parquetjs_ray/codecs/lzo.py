@@ -156,9 +156,17 @@ def decompress(src: bytes, out_len: int | None = None) -> bytes:
     if t0 > 17:
         ip = 1
         lit = t0 - 17
+        if ip + lit > n:
+            raise LzoError("truncated stream")
         out.extend(src[ip : ip + lit])
         ip += lit
         state = lit if lit < 4 else 4
+
+    # bounds guard: multi-byte operand reads must fail as LzoError (the
+    # codec's documented error contract), never as a raw IndexError
+    def _need(ip: int, k: int) -> None:
+        if ip + k > n:
+            raise LzoError("truncated stream")
 
     while True:
         if ip >= n:
@@ -171,6 +179,7 @@ def decompress(src: bytes, out_len: int | None = None) -> bytes:
             else:
                 length = 3 + ((t >> 5) & 1)
             d, s = (t >> 2) & 7, t & 3
+            _need(ip, 1)
             dist = (src[ip] << 3) + d + 1
             ip += 1
         elif t >= 32:  # M4: distance ≤ 16kB
@@ -179,6 +188,7 @@ def decompress(src: bytes, out_len: int | None = None) -> bytes:
                 length, ip = _take_extended(src, ip)
                 length += 31
             length += 2
+            _need(ip, 2)
             le16 = src[ip] | (src[ip + 1] << 8)
             ip += 2
             dist, s = (le16 >> 2) + 1, le16 & 3
@@ -188,6 +198,7 @@ def decompress(src: bytes, out_len: int | None = None) -> bytes:
                 length, ip = _take_extended(src, ip)
                 length += 7
             length += 2
+            _need(ip, 2)
             le16 = src[ip] | (src[ip + 1] << 8)
             ip += 2
             dist, s = 16384 + (((t >> 3) & 1) << 14) + (le16 >> 2), le16 & 3
@@ -200,11 +211,13 @@ def decompress(src: bytes, out_len: int | None = None) -> bytes:
                     length, ip = _take_extended(src, ip)
                     length += 15
                 length += 3
+                _need(ip, length)
                 out.extend(src[ip : ip + length])
                 ip += length
                 state = 4
                 continue
             d, s = (t >> 2) & 3, t & 3
+            _need(ip, 1)
             if state == 4:  # 3-byte match at 2..3kB
                 length = 3
                 dist = (src[ip] << 2) + d + 2049
@@ -221,6 +234,7 @@ def decompress(src: bytes, out_len: int | None = None) -> bytes:
         else:  # overlapping copy: byte-at-a-time semantics
             for k in range(length):
                 out.append(out[start + k])
+        _need(ip, s)
         out.extend(src[ip : ip + s])
         ip += s
         state = s

@@ -1332,15 +1332,29 @@ def upsert_rows(out_dir: str, data, key: str = "doc_id", compression: str | None
         import pyarrow.compute as pc
 
         from ..stages.writer import write_fragment
+        from .verify import row_hashes
 
         state = _decode_state(out_dir)
         aligned = _align_to_schema(batch, uni).combine_chunks()
-        part_id = "u" + _content_part_id(aligned, key)
+        # the partition id must cover FULL row content, not just the key
+        # column: upserting the same key set with new values is the
+        # canonical MERGE use, and a key-only hash would alias the new
+        # batch to the old partition (whose commit marker then skips the
+        # write). Retry-stable: same data -> same id, so reruns converge.
+        content = hashlib.sha1(row_hashes(aligned).tobytes()).hexdigest()[:16]
+        part_id = "u" + hashlib.sha1(
+            (_content_part_id(aligned, key) + content).encode()
+        ).hexdigest()[:16]
         chunk, manifest = encode_table(aligned, state)
         ids = aligned.column(key)
         manifest["id_min"] = pc.min(ids).as_py()
         manifest["id_max"] = pc.max(ids).as_py()
-        row = write_fragment(out_dir, part_id, "000000", chunk, manifest, compression=compression)
+        # resurrect_tombstone: re-upserting data whose identical earlier
+        # fragment was since tombstoned must land, not skip
+        row = write_fragment(
+            out_dir, part_id, "000000", chunk, manifest,
+            compression=compression, resurrect_tombstone=True,
+        )
         return pa.Table.from_pylist([row], schema=_SUMMARY_SCHEMA)
 
     new_frags = new_ds.map_batches(write_new, batch_format="pyarrow", batch_size=None).take_all()
@@ -1408,9 +1422,14 @@ def vacuum(out_dir: str, *, keep_snapshots: int = 1) -> dict:
             # no manifest = an uncommitted (crashed) partition: nothing
             # references it beyond snapshots, same contract as orphans
             pm = st.read_json(mpath) if st.exists(mpath) else {"fragments": []}
-            if "fragments" not in pm:  # consolidated partition: skip
-                continue
-            referenced = set(pm["fragments"]) | all_snap_refs.get(pid, set())
+            # consolidated (compacted/grouped/sharded) partitions hold
+            # their live rows in chunk.bin; any frag-* files left behind
+            # by compaction survive only while a kept snapshot still
+            # references them (time travel), then get reclaimed here
+            consolidated = "fragments" not in pm
+            referenced = (
+                set() if consolidated else set(pm["fragments"])
+            ) | all_snap_refs.get(pid, set())
             names = st.list_names(pdir)
             jsons = {n[len("frag-") : -len(".json")] for n in names if n.startswith("frag-") and n.endswith(".json")}
             tombs = {
@@ -1787,10 +1806,23 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
     mode partition (single ``chunk.bin``); its manifest keeps the absorbed
     fragment ids so a later encode resume still sees them as done.
     """
+    from ..stages.writer import list_snapshots, read_snapshot
+
     gm = read_global_manifest(out_dir)
     parts = [{"partition": p["partition"], "fragment": ""} for p in gm["partitions"]]
+    # fragments still referenced by ANY snapshot must survive compaction:
+    # time travel / CDC / restore decode them until vacuum's retention
+    # prunes the snapshots (and only then the files). Deleting them here
+    # would break every prior version the instant the table compacts.
+    snap_refs: dict[str, set[str]] = {}
+    for v in list_snapshots(out_dir):
+        for p in read_snapshot(out_dir, v)["partitions"]:
+            if p["fragments"]:
+                snap_refs.setdefault(p["partition"], set()).update(p["fragments"])
+    refs_ref = ray.put(snap_refs)
 
     def compact_parts(batch: pa.Table) -> pa.Table:
+        all_snap_refs = ray.get(refs_ref)
         state = _decode_state(out_dir)
         rows = []
         for pid in batch.column("partition").to_pylist():
@@ -1821,7 +1853,10 @@ def compact_dataset(out_dir: str, *, max_fragments: int = 1) -> dict:
             manifest["checksum_crc32"] = zlibmod.crc32(chunk)
             st.write_bytes_atomic(st.join(pdir, "chunk.bin"), chunk)
             st.write_json_atomic(st.join(pdir, "manifest.json"), manifest)  # commit point
+            referenced = all_snap_refs.get(pid, set())
             for fr in frags:  # cleanup (safe: manifest now points at chunk.bin)
+                if fr in referenced:  # a kept snapshot still decodes it
+                    continue
                 for ext in (".bin", ".json"):
                     st.remove_quiet(st.join(pdir, f"frag-{fr}{ext}"))
             rows.append({"partition": pid, "compacted": True, "n_fragments": len(frags)})

@@ -67,7 +67,10 @@ def column_hash(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, str] | Non
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return fingerprint64(arr), "str"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return fingerprint64(arr.cast(pa.large_string() if pa.types.is_large_binary(t) else pa.string())), "str"
+        # hash the raw bytes directly (fingerprint64 reads the offsets/
+        # data buffers, which binary shares with string) — a cast to
+        # string would UTF-8-validate and raise on arbitrary bytes
+        return fingerprint64(arr), "str"
     if pa.types.is_integer(t):
         v = arr.to_numpy(zero_copy_only=False)
         # canonical 64-bit pattern: sign-extend signed, zero-extend unsigned
@@ -96,7 +99,9 @@ def scalar_hash(value, tag: str) -> int | None:
 
     if tag == "str":
         if isinstance(value, bytes):
-            value = value.decode("utf-8", errors="surrogateescape")
+            # bytes operand: hash the raw bytes, same domain as a binary
+            # column's fingerprint (no lossy UTF-8 round-trip)
+            return int(fingerprint64(pa.array([value], pa.binary()))[0])
         if not isinstance(value, str):
             return None
         return int(fingerprint64(pa.array([value], pa.string()))[0])

@@ -228,9 +228,16 @@ def fragment_done(out_dir: str, part_id: str, frag_id: str) -> bool:
 
 def write_fragment(
     out_dir: str, part_id: str, frag_id: str, chunk: bytes, manifest: dict,
-    compression: str | None = None,
+    compression: str | None = None, resurrect_tombstone: bool = False,
 ) -> dict:
-    """Write one fragment: data first, ``.json`` commit marker last."""
+    """Write one fragment: data first, ``.json`` commit marker last.
+
+    ``resurrect_tombstone=True`` lets an EXPLICIT re-insert (upsert of
+    data whose earlier fragment was tombstoned by ``delete_rows``)
+    overwrite the tombstone marker instead of being skipped as "already
+    committed". Encode/resume paths must keep the default ``False`` —
+    for them the tombstone is exactly what stops a rerun from
+    resurrecting deleted rows."""
     pdir = _part_dir(out_dir, part_id)
     st.makedirs(pdir)
     jpath = st.join(pdir, f"frag-{frag_id}.json")
@@ -251,8 +258,9 @@ def write_fragment(
         "skipped": False,
     }
     if st.exists(jpath):
-        summary["skipped"] = True
-        return summary
+        if not (resurrect_tombstone and st.read_json(jpath).get("tombstone")):
+            summary["skipped"] = True
+            return summary
     manifest["partition"] = part_id
     manifest["fragment"] = frag_id
     manifest["checksum_crc32"] = zlib.crc32(chunk)

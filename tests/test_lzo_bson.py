@@ -199,3 +199,37 @@ def test_bson_column_through_encode_pipeline(ray_session, tmp_path):
         sorted(decode_dataset(outdir).take_all(), key=lambda r: r["doc_id"])
     )
     assert bson.decode_column(back["payload"].combine_chunks()) == docs
+
+
+def test_lzo_corrupt_operands_raise_lzo_error_not_indexerror():
+    """Every multi-byte operand read is bounds-checked: truncating a
+    stream at ANY byte yields LzoError (the codec's error contract),
+    never a raw IndexError (round-3 advice)."""
+    samples = [
+        lzo.compress(b"hello world, hello world, hello world"),
+        lzo.compress(bytes(range(256)) * 8),
+        lzo.compress(b"ababababab" * 50),
+        b"\x13abc",  # first-byte literal run cut short
+    ]
+    for c in samples:
+        for cut in range(len(c)):
+            try:
+                lzo.decompress(c[:cut])
+            except lzo.LzoError:
+                pass  # the only acceptable failure mode
+
+
+def test_bson_corrupt_lengths_raise_bson_error_not_indexerror():
+    """Corrupt inner lengths (string/binary sizes pointing past the
+    buffer, truncated element operands) must raise BsonError."""
+    good = bson.encode({"s": "hello", "i": 7, "b": b"\x01\x02\x03", "d": {"x": 1.5}})
+    for cut in range(len(good)):
+        try:
+            bson.decode(good[:cut])
+        except bson.BsonError:
+            pass
+    # string length larger than the document
+    doc = bytearray(bson.encode({"s": "hi"}))
+    doc[9:13] = (10_000).to_bytes(4, "little")  # s's length field
+    with pytest.raises(bson.BsonError):
+        bson.decode(bytes(doc))

@@ -121,15 +121,13 @@ def q_distinct_cardinalities(sf_dir: str):
 
 
 def q_dedup_exact_docs(sf_dir: str):
-    """Exact dedup by full text: representative (min doc_id) + copy count."""
-    from ray.data.aggregate import Count, Min
+    """Exact dedup via the scale-safe operator: the shuffle moves only
+    (64-bit content hash, doc_id) pairs — 16 bytes/row — never the text
+    (``functions/dedup.py:exact_dedup``). The hash is collision-free at
+    oracle scales, so the result matches a full-text GROUP BY exactly."""
+    from parquetjs_ray.functions.dedup import exact_dedup
 
-    out = (
-        _docs(sf_dir)
-        .groupby("text")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
-    )
-    return out.select_columns(["doc_id", "n_copies"])
+    return exact_dedup(_docs(sf_dir), text_col="text", id_col="doc_id")
 
 
 def q_token_count_docs(sf_dir: str):
@@ -1078,8 +1076,9 @@ def q_audio_features(sf_dir: str):
 def q_corpus_clean_encode(sf_dir: str):
     """The full training-data story composed end to end: quality filter →
     exact-dedup survivors → transform-streamed encode (no intermediate
-    parquet) → artifact self-verification. Returns the per-partition
-    manifest summary (rows-only check; the compose itself is the point)."""
+    parquet) → artifact self-verification → decode. Returns the DECODED
+    survivors' (doc_id, source), so the oracle hash-checks the whole
+    clean→encode→decode chain against SQL."""
     import shutil
 
     import pyarrow.compute as pc
@@ -1099,24 +1098,39 @@ def q_corpus_clean_encode(sf_dir: str):
     outdir = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_clean_{tag}_v{FORMAT_VERSION}")
     shutil.rmtree(outdir, ignore_errors=True)
 
-    # pass 1 (metadata-only): representative id per duplicate text group
+    # pass 1 (metadata-only): representative id per DUPLICATED text group
+    # only — the driver and the broadcast hold O(duplicates), never one
+    # entry per distinct document (which is ≈ the corpus at 100 TB).
+    # A row is dropped iff its fingerprint is in a duplicated group AND
+    # it is not that group's representative (min doc_id).
     def fp(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"], "__fp": pa.array(fingerprint64(batch["text"]).view(np.int64))})
 
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Count, Min
 
-    reps = (
+    dup_groups = (
         rd.read_parquet(docs_path)
         .map_batches(fp, batch_format="pyarrow")
         .groupby("__fp")
-        .aggregate(Min("doc_id", alias_name="keep_id"))
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n"))
+        .filter(lambda r: r["n"] > 1)
+        .take_all()
     )
-    keep_arr = pa.array(sorted(r["keep_id"] for r in reps.take_all()), pa.int64())
-    keep_ref = ray.put(keep_arr)
+    dup_fps = np.array(sorted(r["__fp"] for r in dup_groups), dtype=np.int64)
+    keep_by_fp = np.array(
+        [r["keep_id"] for r in sorted(dup_groups, key=lambda r: r["__fp"])], dtype=np.int64
+    )
+    dup_ref = ray.put((dup_fps, keep_by_fp))
 
     def clean(batch: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        batch = batch.filter(pc.is_in(batch["doc_id"], value_set=keep))  # dedup
+        dup_fps, keep_by_fp = ray.get(dup_ref)
+        if len(dup_fps):
+            fps = fingerprint64(batch["text"]).view(np.int64)
+            pos = np.clip(np.searchsorted(dup_fps, fps), 0, len(dup_fps) - 1)
+            in_dup = dup_fps[pos] == fps
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            drop = in_dup & (ids != keep_by_fp[pos])
+            batch = batch.filter(pa.array(~drop))  # dedup: drop non-representatives
         batch = batch.filter(pc.greater(pc.utf8_length(batch["text"]), 80))  # quality
         return pa.table(
             {
@@ -1131,11 +1145,9 @@ def q_corpus_clean_encode(sf_dir: str):
     encode_stream(stream, outdir, plan=plan, target_rows_per_partition=2_000, row_fingerprint=True)
     v = verify_artifact(outdir)
     assert v["equal"], v
-    from parquetjs_ray.stages.writer import read_global_manifest
+    from parquetjs_ray.pipelines.encode import decode_dataset
 
-    df = pd.DataFrame(read_global_manifest(outdir)["partitions"])
-    df["verified"] = True
-    return df
+    return decode_dataset(outdir, columns=["doc_id", "source"])
 
 
 def q_sample_docs_uniform(sf_dir: str):
@@ -1270,6 +1282,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "corpus_clean_encode": (
+            # the Ray side groups by 64-bit content fingerprint (collision-
+            # free at oracle scale), keeps min(doc_id) per text, quality-
+            # filters len>80, encodes, verifies, decodes back
+            "WITH reps AS (SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text) "
+            "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.source FROM documents d "
+            "JOIN reps r ON d.text = r.text AND d.doc_id = r.keep_id "
+            "WHERE length(d.text) > 80"
         ),
         "token_count_docs": (
             "SELECT doc_id, (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_ws_tokens "

@@ -998,31 +998,17 @@ def q_parts_by_type(sf_dir: str):
 
 
 def q_source_quantiles(sf_dir: str):
-    """Exact per-source discrete quantiles of doc length — distributed
-    via groupby().map_groups (one source's lengths bound a group, the
-    same per-key assumption as session windows)."""
-    import numpy as np
+    """Exact per-source discrete quantiles of doc length via the
+    hot-key-proof histogram operator: per-batch (source, n_chars) count
+    combiner → distinct-pair shuffle → per-source histogram groups
+    bounded by the VALUE RANGE, never by a source's row count."""
+    from parquetjs_ray.functions.quantiles import grouped_quantiles
 
-    def qtile(group: pa.Table) -> pa.Table:
-        v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False))
-        # quantile_disc semantics: element at ceil(q*n)-1 (1-based)
-        def disc(q: float) -> int:
-            return int(v[max(0, int(np.ceil(q * len(v))) - 1)])
-
-        return pa.table(
-            {
-                "source": pa.array([group["source"][0].as_py()]),
-                "p50": pa.array([disc(0.5)], pa.int64()),
-                "p90": pa.array([disc(0.9)], pa.int64()),
-                "p99": pa.array([disc(0.99)], pa.int64()),
-            }
-        )
-
-    return (
-        _docs(sf_dir)
-        .select_columns(["source", "n_chars"])
-        .groupby("source")
-        .map_groups(qtile, batch_format="pyarrow")
+    return grouped_quantiles(
+        _docs(sf_dir).select_columns(["source", "n_chars"]),
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        key="source",
+        value="n_chars",
     )
 
 

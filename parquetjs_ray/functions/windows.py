@@ -38,23 +38,99 @@ def tumbling_counts(ds: rd.Dataset, *, key: str = "user_id", ts: str = "ts", siz
     )
 
 
-def session_windows(ds: rd.Dataset, *, key: str = "user_id", ts: str = "ts", gap_us: int = 1_800_000_000) -> rd.Dataset:
+def session_windows(
+    ds: rd.Dataset, *, key: str = "user_id", ts: str = "ts",
+    gap_us: int = 1_800_000_000, bucket_us: int | None = None,
+) -> rd.Dataset:
     """Session windows: a new session starts when the gap to the previous
     event of the same key exceeds ``gap_us``. Returns one row per session
-    (key, session_start_us, n_events) — all integers."""
+    (key, session_start_us, n_events) — all integers.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(g[ts].astype("int64").to_numpy())
+    Two-phase so NO group ever materializes one key's full history (a hot
+    key at 100 TB owns billions of events):
+
+    1. sessionize WITHIN ``(key, time bucket)`` groups — a group holds
+       only that key's events inside one ``bucket_us`` span;
+    2. merge cross-bucket chains over per-bucket BOUNDARY sessions only
+       (the first and last session of each bucket — interior sessions are
+       separated from both boundaries by > ``gap_us`` and pass through).
+
+    ``bucket_us`` must exceed ``gap_us`` (default 16×): consecutive
+    events inside one session are ≤ ``gap_us`` apart, so a session can
+    never span an EMPTY bucket and boundary merges only ever join
+    adjacent non-empty buckets. Phase-1 output (session summaries, ≤
+    output-sized) is materialized to the object store so the boundary
+    and interior branches don't recompute the event scan."""
+    import pyarrow.compute as pc
+
+    bucket_us = bucket_us or max(gap_us * 16, gap_us + 1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        b = pc.divide(epoch, bucket_us)  # integer division (ts ≥ 0)
+        return pa.table({key: batch[key], "__ts": epoch, "__b": b})
+
+    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["__ts"].to_numpy())
         new = np.ones(len(t), dtype=bool)
         new[1:] = (t[1:] - t[:-1]) > gap_us
         sid = np.cumsum(new) - 1
         starts = t[new]
         counts = np.bincount(sid)
+        last_idx = np.concatenate((np.flatnonzero(new)[1:] - 1, [len(t) - 1]))
+        n_sess = len(starts)
+        boundary = np.zeros(n_sess, dtype=bool)
+        boundary[0] = boundary[-1] = True  # only these can merge across buckets
         return pd.DataFrame(
-            {key: g[key].iloc[0], "session_start_us": starts, "n_events": counts}
+            {
+                key: g[key].iloc[0],
+                "session_start_us": starts,
+                "session_end_us": t[last_idx],
+                "n_events": counts,
+                "__boundary": boundary,
+            }
         )
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    sessions = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .map_groups(local_sessions, batch_format="pandas")
+        .materialize()
+    )
+    def take_interior(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.invert(batch["__boundary"]))
+        return out.select([key, "session_start_us", "n_events"])
+
+    def take_boundary(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["__boundary"])
+
+    interior = sessions.map_batches(take_interior, batch_format="pyarrow")
+
+    def merge_chains(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start_us")
+        s = g["session_start_us"].to_numpy()
+        e = g["session_end_us"].to_numpy()
+        n = g["n_events"].to_numpy()
+        # a chain continues while the next boundary session starts within
+        # gap_us of the running end (ends are bucket-monotone, so the
+        # running max IS the previous end)
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = (s[1:] - e[:-1]) > gap_us
+        cid = np.cumsum(new) - 1
+        return pd.DataFrame(
+            {
+                key: g[key].iloc[0],
+                "session_start_us": s[new],
+                "n_events": np.bincount(cid, weights=n).astype(np.int64),
+            }
+        )
+
+    merged = (
+        sessions.map_batches(take_boundary, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge_chains, batch_format="pandas")
+    )
+    return interior.union(merged)
 
 
 def sliding_counts(

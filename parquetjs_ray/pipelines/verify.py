@@ -104,6 +104,107 @@ def _list_int_col_hash(arr: pa.Array) -> np.ndarray:
     return _positional_value_hash(flat, offsets, lens)
 
 
+def _is_composite(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+        or pa.types.is_struct(t)
+        or pa.types.is_map(t)
+    )
+
+
+# incremented by the per-row repr fallback; tests pin that nested
+# production types (list/struct at any nesting) never reach it
+_REPR_FALLBACK_CALLS = 0
+
+
+def _value_hashes(arr: pa.Array) -> np.ndarray:
+    """Vectorized per-element content hash for ANY Arrow type, recursing
+    through list/struct/map nesting with the same kernels the flat paths
+    use — no per-row Python. Null elements hash to 0 (callers mix the
+    validity bitmap separately, so null vs value is always distinguished
+    at every nesting level)."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if arr.null_count:
+        out = np.zeros(len(arr), dtype=np.uint64)
+        vidx = np.flatnonzero(pc.is_valid(arr).to_numpy(zero_copy_only=False))
+        if len(vidx):
+            out[vidx] = _value_hashes(arr.drop_null())
+        return out
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return _string_col_hash(arr)  # string_buffers reads all four layouts
+    if pa.types.is_fixed_size_binary(t):
+        return _string_col_hash(arr.cast(pa.binary()))
+    if pa.types.is_map(t):
+        # a map is a list<struct<key,value>> — reuse that shape
+        arr = arr.cast(pa.list_(pa.struct([("key", t.key_type), ("value", t.item_type)])))
+        t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        arr = arr.cast(pa.list_(t.value_type))
+        t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if pa.types.is_integer(t.value_type):
+            return _list_int_col_hash(arr)  # flat fast path, hash-compatible
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = int(offsets[0])
+        lens = np.diff(offsets)
+        child = arr.values.slice(lo, int(offsets[-1]) - lo)
+        if len(child) == 0:
+            return _mix64(lens.astype(np.uint64))
+        ch = _value_hashes(child)
+        # child validity is part of the element identity (null item ≠
+        # item whose hash is 0) — added UNCONDITIONALLY so an element's
+        # hash never depends on whether its batch-mates contain nulls
+        if child.null_count:
+            ch = ch + pc.is_valid(child).to_numpy(zero_copy_only=False).astype(np.uint64) * _U(7919)
+        else:
+            ch = ch + _U(7919)
+        off0 = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off0[1:])
+        return _positional_value_hash(ch, off0, lens)
+    if pa.types.is_struct(t):
+        h = np.zeros(len(arr), dtype=np.uint64)
+        # flatten() propagates the struct's validity into the children,
+        # so garbage under null parents never reaches the hash
+        for j, field in enumerate(arr.flatten()):
+            fh = _value_hashes(field)
+            h ^= _mix64(fh + _U(1000003) * _U(j + 1))
+            fvalid = pc.is_valid(field).to_numpy(zero_copy_only=False)
+            h ^= _mix64(fvalid.astype(np.uint64) + _U(7919) * _U(j + 1))
+        return h
+    if pa.types.is_interval(t):
+        rec = np.frombuffer(
+            arr.buffers()[1], dtype=np.uint64, count=2 * (len(arr) + arr.offset)
+        )[2 * arr.offset :].reshape(-1, 2)
+        return _mix64(rec[:, 0]) ^ _mix64(rec[:, 1] + _U(17))
+    if pa.types.is_unsigned_integer(t):
+        return _mix64(arr.cast(pa.uint64()).to_numpy(zero_copy_only=False).astype(np.uint64, copy=False))
+    if pa.types.is_integer(t) or (pa.types.is_temporal(t) and not pa.types.is_interval(t)) or pa.types.is_boolean(t):
+        return _mix64(arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64))
+    if pa.types.is_floating(t):
+        return _mix64(arr.to_numpy(zero_copy_only=False).astype(np.float64).view(np.uint64))
+    # exotic leaves (decimal, dictionary, union): per-row repr, logged once
+    global _REPR_FALLBACK_CALLS
+    if not _REPR_FALLBACK_CALLS:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "row_hashes: per-row Python fallback for type %s — add a vectorized branch", t
+        )
+    _REPR_FALLBACK_CALLS += 1
+    import hashlib as _hl
+
+    return np.array(
+        [int.from_bytes(_hl.sha1(repr(x).encode()).digest()[:8], "little") for x in arr.to_pylist()],
+        dtype=np.uint64,
+    )
+
+
 def row_hashes(batch: pa.Table) -> np.ndarray:
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     for i, name in enumerate(sorted(batch.column_names)):
@@ -116,27 +217,28 @@ def row_hashes(batch: pa.Table) -> np.ndarray:
         valid = pa.compute.is_valid(arr).to_numpy(zero_copy_only=False)
         h ^= _mix64(valid.astype(np.uint64) + _U(7919) * _U(i + 1))
         if arr.null_count:
-            if pa.types.is_list(t) and pa.types.is_integer(t.value_type):
-                # hash valid rows with the vectorized kernel and scatter:
-                # a row's hash never depends on its batch-mates' nulls
-                # (validity itself is already mixed in above)
+            if _is_composite(t):
+                # hash valid rows with the vectorized recursive kernel and
+                # scatter: a row's hash never depends on its batch-mates'
+                # nulls (validity itself is already mixed in above)
                 ch = np.zeros(len(arr), dtype=np.uint64)
                 vidx = np.flatnonzero(valid)
                 if len(vidx):
-                    ch[vidx] = _list_int_col_hash(arr.drop_null())
+                    ch[vidx] = _value_hashes(arr.drop_null())
                 h ^= _mix64(ch + _U(1000003) * _U(i + 1))
                 continue
-            if not (pa.types.is_list(t) or pa.types.is_struct(t)):
-                try:
-                    arr = pa.compute.fill_null(arr, pa.scalar("" if pa.types.is_string(t) else 0 if not pa.types.is_floating(t) else 0.0, type=t))
-                except Exception:
-                    arr = pa.compute.fill_null(arr, arr[0])
-            # other list/struct: fall through to the per-row repr fallback,
-            # which hashes None deterministically regardless of batching
+            try:
+                arr = pa.compute.fill_null(arr, pa.scalar("" if pa.types.is_string(t) else 0 if not pa.types.is_floating(t) else 0.0, type=t))
+            except Exception:
+                arr = pa.compute.fill_null(arr, arr[0])
         if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
             ch = _string_col_hash(arr if not pa.types.is_binary(t) else arr.cast(pa.binary()))
         elif pa.types.is_list(t) and pa.types.is_integer(t.value_type):
             ch = _list_int_col_hash(arr)
+        elif _is_composite(t):
+            # nested non-int-list types (list<string>, struct, map, …):
+            # vectorized recursive kernel, never the per-row fallback
+            ch = _value_hashes(arr)
         elif pa.types.is_interval(t):
             # month_day_nano: hash the raw (m:i4, d:i4, n:i8) records as
             # two uint64 words (vectorized; nulls already filled above? —
@@ -163,13 +265,9 @@ def row_hashes(batch: pa.Table) -> np.ndarray:
             bitsv = v.astype(np.float64).view(np.uint64)  # bit-pattern hash
             ch = _mix64(bitsv)
         else:
-            # generic fallback: per-row python repr hash (slow; nested types)
-            import hashlib as _hl
-
-            ch = np.array(
-                [int.from_bytes(_hl.sha1(repr(x).encode()).digest()[:8], "little") for x in arr.to_pylist()],
-                dtype=np.uint64,
-            )
+            # exotic leaves only (decimal/dictionary/union): _value_hashes
+            # ends at a logged per-row fallback for these
+            ch = _value_hashes(arr)
         h ^= _mix64(ch + _U(1000003) * _U(i + 1))
     return h
 

@@ -2008,3 +2008,60 @@ def test_bloom_on_non_utf8_binary_column():
     hs, ts = column_hash(pa.array(["alpha", "beta"], pa.string()))
     bs = build_bloom(hs, ts)
     assert bloom_admits(bs, b"alpha") and bloom_admits(bs, "alpha")
+
+
+def test_row_hashes_nested_vectorized_no_python_fallback():
+    """Nested production types (list<string>, struct, struct-in-list,
+    map, fixed_size_list) hash through the vectorized recursive kernel —
+    the per-row repr fallback is never reached — and the hashes stay
+    batch-composition-independent and null-sensitive at every level."""
+    from parquetjs_ray.pipelines import verify as V
+
+    tbl = pa.table(
+        {
+            "tags": pa.array([["a", "bb"], [], None, ["ccc", None, "d"], ["a"], ["zz"]],
+                             pa.list_(pa.string())),
+            "meta": pa.array(
+                [{"x": 1, "s": "u"}, {"x": None, "s": "v"}, None,
+                 {"x": 4, "s": None}, {"x": 5, "s": "y"}, {"x": 6, "s": "z"}],
+                pa.struct([("x", pa.int64()), ("s", pa.string())]),
+            ),
+            "pairs": pa.array(
+                [[{"name": "a", "price": 1.5}], [], [{"name": None, "price": None}],
+                 [{"name": "b", "price": 2.0}, {"name": "c", "price": 3.0}], None, []],
+                pa.list_(pa.struct([("name", pa.string()), ("price", pa.float64())])),
+            ),
+            "fsl": pa.array([[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12]],
+                            pa.list_(pa.int32(), 2)),
+        }
+    )
+    before = V._REPR_FALLBACK_CALLS
+    a = V.row_hashes(tbl)
+    b = np.concatenate([V.row_hashes(tbl.slice(i, 1)) for i in range(6)])
+    c = np.concatenate([V.row_hashes(tbl.slice(0, 2)), V.row_hashes(tbl.slice(2, 4))])
+    assert np.array_equal(a, b) and np.array_equal(a, c)
+    assert len(set(a.tolist())) == 6  # distinct rows -> distinct hashes
+    assert V._REPR_FALLBACK_CALLS == before  # no per-row Python anywhere
+
+    # null sensitivity inside composites: null item != empty != value
+    t1 = pa.table({"tags": pa.array([["a", None]], pa.list_(pa.string()))})
+    t2 = pa.table({"tags": pa.array([["a", ""]], pa.list_(pa.string()))})
+    t3 = pa.table({"tags": pa.array([["a"]], pa.list_(pa.string()))})
+    hs = {int(V.row_hashes(t)[0]) for t in (t1, t2, t3)}
+    assert len(hs) == 3
+
+    # struct field null vs zero
+    s1 = pa.table({"m": pa.array([{"x": 0}], pa.struct([("x", pa.int64())]))})
+    s2 = pa.table({"m": pa.array([{"x": None}], pa.struct([("x", pa.int64())]))})
+    assert int(V.row_hashes(s1)[0]) != int(V.row_hashes(s2)[0])
+
+    # the fruits fixture (the reference's nested integration shape) also
+    # avoids the fallback entirely
+    from parquetjs_ray.sources.synth import fruits_table
+
+    fr = fruits_table(repeats=10)
+    before = V._REPR_FALLBACK_CALLS
+    fa = V.row_hashes(fr)
+    fb = np.concatenate([V.row_hashes(fr.slice(i, 5)) for i in range(0, fr.num_rows, 5)])
+    assert np.array_equal(fa, fb)
+    assert V._REPR_FALLBACK_CALLS == before

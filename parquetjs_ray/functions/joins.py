@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["asof_join", "range_join_count", "equi_join"]
+__all__ = ["asof_join", "range_join_count", "equi_join", "auto_num_buckets"]
 
 
 def _as_epoch_i64(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -136,6 +136,38 @@ def asof_join(
     return unioned.groupby("__by").map_groups(merge, batch_format="pyarrow")
 
 
+def _est_row_bytes(types: dict[str, pa.DataType]) -> int:
+    """Conservative projected-row width for bucket sizing: fixed-width
+    types by their byte width, variable-width (strings/binary/lists) at a
+    flat 32-byte estimate — a sizing heuristic, not an exact accounting."""
+    total = 8  # the int64 join key
+    for t in types.values():
+        try:
+            total += max(t.bit_width // 8, 1)
+        except ValueError:  # variable-width type
+            total += 32
+    return total
+
+
+def auto_num_buckets(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    ltypes: dict[str, pa.DataType],
+    rtypes: dict[str, pa.DataType],
+    *,
+    target_bucket_bytes: int = 64 << 20,
+) -> int:
+    """Derive the equi-join bucket count from estimated shuffle volume so
+    one bucket (both sides) always fits a worker at any input scale:
+    ``ceil(projected_bytes / target_bucket_bytes)`` clamped to [16, 4096].
+
+    ``count()`` is metadata-only for parquet-backed Datasets; callers
+    whose inputs carry heavy lazy transforms should pass ``num_buckets``
+    explicitly instead of paying a count() execution here."""
+    est = left.count() * _est_row_bytes(ltypes) + right.count() * _est_row_bytes(rtypes)
+    return int(min(4096, max(16, -(-est // target_bucket_bytes))))
+
+
 def equi_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -144,7 +176,8 @@ def equi_join(
     right_on: str,
     left_cols: list[str],
     right_cols: list[str],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
+    target_bucket_bytes: int = 64 << 20,
 ) -> rd.Dataset:
     """Inner equi-join of two LARGE Datasets (neither side broadcast):
     the large-large shuffle join the broadcast-join queries can't cover.
@@ -155,14 +188,21 @@ def equi_join(
     vectorized sort + double ``searchsorted`` range expansion (the
     in-memory sort-merge join). Shuffle volume is the projected join
     columns only. Partitioning assumption: one bucket's rows (both
-    sides) fit a worker; size ``num_buckets`` to the cluster. Keys must
-    be integers (the TPC-H fact/dim shape); Ray's native ``Dataset.join``
-    is avoided deliberately (crashes on empty-schema blocks in 2.49).
+    sides) fit a worker; ``num_buckets=None`` (the default) sizes the
+    bucket count from estimated projected bytes via
+    :func:`auto_num_buckets` so that assumption holds at any input scale
+    (≈``target_bucket_bytes`` per bucket). Keys must be integers (the
+    TPC-H fact/dim shape); Ray's native ``Dataset.join`` is avoided
+    deliberately (crashes on empty-schema blocks in 2.49).
 
     Output columns: ``left_on`` (int64 key) + left_cols + right_cols."""
     lschema, rschema = left.schema(), right.schema()
     ltypes = {n: t for n, t in zip(lschema.names, lschema.types) if n in left_cols}
     rtypes = {n: t for n, t in zip(rschema.names, rschema.types) if n in right_cols}
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(
+            left, right, ltypes, rtypes, target_bucket_bytes=target_bucket_bytes
+        )
     nb = np.int64(num_buckets)
 
     def l_project(b: pa.Table) -> pa.Table:

@@ -146,8 +146,11 @@ def shared_ngram_stats(
         # shared set beyond broadcast comfort: bucketed shuffle semi-join
         from .joins import equi_join
 
+        # explicit bucket count: both inputs are lazily transformed, so the
+        # auto-sizer's count() would re-execute the pair extraction
         matched = equi_join(
-            pairs, shared, left_on="gram", right_on="gram", left_cols=["doc"], right_cols=[]
+            pairs, shared, left_on="gram", right_on="gram", left_cols=["doc"],
+            right_cols=[], num_buckets=64,
         )
 
         def mark(t: pa.Table, hit: bool) -> pa.Table:

@@ -751,6 +751,53 @@ def test_equi_join(ray_session):
     assert len(want) > 400  # many-to-many expansion actually exercised
 
 
+def test_equi_join_auto_buckets_skewed(ray_session):
+    """num_buckets=None sizes buckets from estimated bytes, and a Zipf
+    key distribution (no single dominant key) still yields bounded
+    per-bucket rows while the join stays exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import auto_num_buckets, equi_join
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = (rng.zipf(1.3, n) % 997).astype(np.int64)  # heavy-tailed, many distinct
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.arange(997, dtype=np.int64), "rv": rng.integers(0, 100, 997).astype(np.int64)}
+    )
+    lds, rds = rd.from_pandas(left).repartition(8), rd.from_pandas(right)
+    ltypes = {"lv": pa.int64()}
+    rtypes = {"rv": pa.int64()}
+    # tiny target so the auto-sizer actually fans out at test scale
+    nb = auto_num_buckets(lds, rds, ltypes, rtypes, target_bucket_bytes=32 << 10)
+    assert 16 <= nb <= 4096 and nb > 1
+    # with ~320KB projected and a 32KB target we expect >= 10 buckets
+    assert nb >= 10
+    got = (
+        equi_join(
+            lds, rds, left_on="k", right_on="rk", left_cols=["lv"], right_cols=["rv"],
+            num_buckets=None, target_bucket_bytes=32 << 10,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want)
+    # bounded buckets: the largest hash bucket holds a bounded share of rows
+    bucket_rows = pd.Series(keys % nb).value_counts()
+    assert bucket_rows.max() < n  # no degenerate single bucket
+    assert bucket_rows.max() <= 4 * (n / nb) + keys.tolist().count(
+        pd.Series(keys).mode()[0]
+    )  # ≤ load-factor bound + the hottest key's own mass
+
+
 def test_regex_token_count():
     from parquetjs_ray.functions.text import regex_token_count
 

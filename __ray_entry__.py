@@ -287,6 +287,23 @@ def q_shared_ngram_docs(sf_dir: str):
     return shared_ngram_stats(ds, n=8)
 
 
+def q_remove_spans_docs(sf_dir: str):
+    """BOILERPLATE SPAN REMOVAL: cut every word position covered by a
+    word 6-gram that occurs in ≥2 distinct documents (the action
+    counterpart of shared_ngram_docs — substring dedup à la Lee et al.
+    2022, applied as boilerplate excision). Gram discovery is the same
+    pair-shuffle; the clean pass broadcasts the sorted shared-gram
+    hashes once and drops covered words per batch with a difference-
+    array coverage sum. Must reproduce DuckDB's string-gram replica's
+    cleaned text exactly."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.spans import remove_shared_spans
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return remove_shared_spans(ds, n=6, min_docs=2)
+
+
 def q_epoch_shuffle_docs(sf_dir: str):
     """DETERMINISTIC EPOCH SHUFFLE: order the corpus by mix64(doc_id) —
     a range-partitioned distributed sort that reproduces the SAME
@@ -1204,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "point_lookup_docs": q_point_lookup_docs,
         "shared_ngram_docs": q_shared_ngram_docs,
+        "remove_spans_docs": q_remove_spans_docs,
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "phrase_lookup_docs": q_phrase_lookup_docs,
         "kmeans_assign_embeddings": q_kmeans_assign_embeddings,
@@ -1328,6 +1346,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT dg.doc_id, count(*) AS n_grams, "
             " sum(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared "
             "FROM dg JOIN gc USING (g) GROUP BY dg.doc_id"
+        ),
+        "remove_spans_docs": (
+            # string-gram replica of the hashed-gram span excision:
+            # grams shared by >=2 DISTINCT docs cover positions [i, i+5];
+            # uncovered words re-join with single spaces per doc
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "p AS (SELECT doc_id, w, "
+            "      unnest(generate_series(1, greatest(len(w)-5, 0))) AS i FROM w), "
+            "gg AS (SELECT doc_id, i, array_to_string(w[i:i+5], ' ') AS g FROM p), "
+            "gc AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gg GROUP BY g) WHERE nd >= 2), "
+            "hits AS (SELECT gg.doc_id, gg.i FROM gg JOIN gc USING (g)), "
+            "cov AS (SELECT DISTINCT doc_id, i + t.d AS pos FROM hits, range(6) t(d)), "
+            "words AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM w), "
+            "kept AS (SELECT words.doc_id, words.pos, words.w[words.pos] AS word FROM words "
+            "         LEFT JOIN cov ON cov.doc_id = words.doc_id AND cov.pos = words.pos "
+            "         WHERE cov.pos IS NULL), "
+            "agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text, "
+            "        count(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, len(w) AS nw FROM w) "
+            "SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text, "
+            "(tot.nw - coalesce(agg.n_kept, 0))::BIGINT AS n_removed "
+            "FROM tot LEFT JOIN agg USING (doc_id)"
         ),
         "decode_source_prune": (
             "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "

@@ -40,7 +40,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..arrow_util import string_buffers
 
-__all__ = ["shared_ngram_stats"]
+__all__ = ["shared_ngram_stats", "remove_shared_spans"]
 
 _U = np.uint64
 _GOLDEN = _U(0x9E3779B97F4A7C15)
@@ -53,9 +53,12 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U(31))
 
 
-def _gram_doc_pairs(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Table:
-    """(gram hash, doc id) pairs, distinct per doc — fully vectorized."""
-    texts = batch[text_col]
+def _window_hashes(texts: pa.ChunkedArray | pa.Array, n: int):
+    """Vectorized word n-gram hashes for EVERY window position.
+
+    → (flat word values, per-doc word offsets, window gram hashes,
+    window doc index, window start in FLAT word index space). Windows
+    never cross a document (starts derive from each doc's own offsets)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     words = pc.split_pattern(texts, " ")
@@ -81,7 +84,15 @@ def _gram_doc_pairs(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.T
             acc += _mix64(wh[starts + k] ^ salt)
         gh = _mix64(acc)
     else:
+        starts = np.empty(0, np.int64)
         gh = np.empty(0, np.uint64)
+    return flat, woff, gh, doc_idx, starts
+
+
+def _gram_doc_pairs(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Table:
+    """(gram hash, doc id) pairs, distinct per doc — fully vectorized."""
+    _, _, gh, doc_idx, _ = _window_hashes(batch[text_col], n)
+    total = len(gh)
     # distinct within doc: one lexsort over (doc, gram)
     order = np.lexsort((gh, doc_idx))
     gh, doc_idx = gh[order], doc_idx[order]
@@ -173,3 +184,122 @@ def shared_ngram_stats(
         .aggregate(Sum("one", alias_name="n_grams"), Sum("hit", alias_name="n_shared"))
         .select_columns(["doc_id", "n_grams", "n_shared"])
     )
+
+
+def _sorted_membership(gh: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Boolean mask: which of ``gh`` appear in ``sorted_set`` (int64-viewed
+    uint64 hashes on both sides, one searchsorted pass)."""
+    if not len(sorted_set) or not len(gh):
+        return np.zeros(len(gh), bool)
+    pos = np.searchsorted(sorted_set, gh)
+    return (pos < len(sorted_set)) & (sorted_set[np.minimum(pos, len(sorted_set) - 1)] == gh)
+
+
+def _clean_batch(
+    batch: pa.Table, text_col: str, id_col: str, n: int, shared_sorted: np.ndarray
+) -> pa.Table:
+    """Drop every word position covered by a shared n-gram window —
+    one pass, no per-row Python: hit windows mark a flat-word-index
+    difference array, coverage is its running sum, and the surviving
+    words re-join per doc via ``pc.binary_join``."""
+    flat, woff, gh, _, flat_starts = _window_hashes(batch[text_col], n)
+    # the shared set is stored (and sorted) as int64 — match its view so
+    # searchsorted never upcasts to float64 and loses 64-bit exactness
+    hit = _sorted_membership(gh.view(np.int64), shared_sorted)
+    tw = len(flat)
+    if hit.any():
+        hs = flat_starts[hit]
+        diff = np.bincount(hs, minlength=tw + n).astype(np.int64)
+        diff -= np.bincount(hs + n, minlength=tw + n).astype(np.int64)
+        covered = np.cumsum(diff)[:tw] > 0
+    else:
+        covered = np.zeros(tw, bool)
+    keep = ~covered
+    # per-doc surviving word counts → new list offsets (reduceat needs a
+    # guard for zero-word layouts, which split_pattern never produces for
+    # non-null input, but empty batches do)
+    if len(woff) > 1 and tw:
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), woff[:-1])
+        # reduceat repeats the value when consecutive offsets are equal
+        kept_per_doc[np.diff(woff) == 0] = 0
+    else:
+        kept_per_doc = np.zeros(max(len(woff) - 1, 0), np.int64)
+    new_off = np.concatenate(([0], np.cumsum(kept_per_doc)))
+    kept_words = flat.filter(pa.array(keep)) if tw else flat
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), kept_words),
+        pa.scalar(" "),
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "clean_text": clean.cast(pa.string()),
+            "n_removed": pa.array(
+                (np.diff(woff) - kept_per_doc).astype(np.int64)
+                if len(woff) > 1
+                else np.zeros(0, np.int64)
+            ),
+        }
+    )
+
+
+def remove_shared_spans(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """Cut cross-document boilerplate OUT of the corpus — the action
+    counterpart of :func:`shared_ngram_stats` (Lee et al. 2022 remove
+    duplicated substrings rather than whole near-dup docs).
+
+    A word position is covered when any word ``n``-gram window over it
+    occurs in ≥ ``min_docs`` DISTINCT documents; covered positions are
+    dropped and the survivors re-join with single spaces →
+    ``(id_col, clean_text, n_removed)`` for every input doc.
+
+    Scale shape: the shared-gram set is found exactly like
+    :func:`shared_ngram_stats` (distinct (gram, doc) pairs → Count per
+    gram over the sort shuffle); the clean pass then needs gram
+    membership per window. The shared set broadcasts as ONE sorted
+    int64 array while it fits the object-store comfort bound
+    (``ray.put`` once, ``searchsorted`` per batch, text never
+    shuffles). Beyond that bound this operator raises rather than
+    silently building a corpus-sized broadcast: a corpus whose
+    boilerplate-gram set alone exceeds 64 MB (≈8M distinct shared
+    grams) should dedup documents first (``minhash_dedup``) — removing
+    spans is only meaningful once the gram set is boilerplate-sized.
+    """
+    pairs = ds.map_batches(
+        lambda b: _gram_doc_pairs(b, text_col, id_col, n), batch_format="pyarrow"
+    )
+    shared = (
+        pairs.groupby("gram")
+        .aggregate(Count(alias_name="nd"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["nd"], min_docs)).select(["gram"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_shared = shared.count()
+    if n_shared * 8 > _BROADCAST_SHARED_BYTES:
+        raise ValueError(
+            f"shared-gram set ({n_shared} grams) exceeds the broadcast bound "
+            f"({_BROADCAST_SHARED_BYTES >> 20} MB); near-dup the corpus before span removal"
+        )
+    refs = shared.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def _assemble(block_refs: list) -> np.ndarray:
+        full = pa.concat_tables([ray.get(r) for r in block_refs])
+        return np.sort(np.asarray(full["gram"]))
+
+    bundle = _assemble.remote(list(refs))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return _clean_batch(batch, text_col, id_col, n, ray.get(bundle))
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -67,3 +67,114 @@ def test_shared_ngram_stats_matches_sql(ray_session):
         assert _result_map(shared_ngram_stats(rd.read_parquet(sf), n=8)) == want
     finally:
         spans._BROADCAST_SHARED_BYTES = old
+
+
+def test_remove_shared_spans_planted(ray_session):
+    """Planted boilerplate: the shared 4-gram footer disappears from both
+    carriers, unique text survives, short docs pass through untouched."""
+    from parquetjs_ray.functions.spans import remove_shared_spans
+
+    footer = "subscribe to our newsletter"  # 4 words
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha beta gamma {footer}",
+                    f"one two {footer} three four",
+                    "w1 w2 w3 w4 w5",  # unique, no removal
+                    "tiny doc",  # shorter than n, no grams
+                    f"{footer}",  # the footer IS the whole doc
+                ]
+            ),
+        }
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_shared_spans(rd.from_arrow(docs), n=4, min_docs=2).take_all()
+    }
+    assert got == {
+        1: ("alpha beta gamma", 4),
+        2: ("one two three four", 4),
+        3: ("w1 w2 w3 w4 w5", 0),
+        4: ("tiny doc", 0),
+        5: ("", 4),
+    }, got
+
+
+def test_remove_shared_spans_overlapping_windows(ray_session):
+    """Two docs share a 6-word run with n=4: the three overlapping shared
+    windows cover the whole run once (no double-removal, union coverage)."""
+    from parquetjs_ray.functions.spans import remove_shared_spans
+
+    run = "a b c d e f"  # 6 words -> 4-grams at offsets 0,1,2
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([f"x {run} y", f"p q {run}"]),
+        }
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_shared_spans(rd.from_arrow(docs), n=4, min_docs=2).take_all()
+    }
+    assert got == {1: ("x y", 6), 2: ("p q", 6)}, got
+
+
+def test_remove_shared_spans_matches_sql(ray_session):
+    """Cleaned text equals DuckDB's string-gram replica on the real
+    sf0.001 documents table (the driver-oracle shape, n=6)."""
+    import duckdb
+
+    from parquetjs_ray.functions.spans import remove_shared_spans
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}')")
+    want = {
+        r[0]: (r[1], int(r[2]))
+        for r in con.execute(
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "p AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-5, 0))) AS i FROM w), "
+            "gg AS (SELECT doc_id, i, array_to_string(w[i:i+5], ' ') AS g FROM p), "
+            "gc AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gg GROUP BY g) WHERE nd >= 2), "
+            "hits AS (SELECT gg.doc_id, gg.i FROM gg JOIN gc USING (g)), "
+            "cov AS (SELECT DISTINCT doc_id, i + t.d AS pos FROM hits, range(6) t(d)), "
+            "words AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM w), "
+            "kept AS (SELECT words.doc_id, words.pos, words.w[words.pos] AS word FROM words "
+            "         LEFT JOIN cov ON cov.doc_id = words.doc_id AND cov.pos = words.pos "
+            "         WHERE cov.pos IS NULL), "
+            "agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text, "
+            "        count(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, len(w) AS nw FROM w) "
+            "SELECT tot.doc_id, coalesce(agg.clean_text, '') , "
+            "(tot.nw - coalesce(agg.n_kept, 0))::BIGINT "
+            "FROM tot LEFT JOIN agg USING (doc_id)"
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_shared_spans(rd.read_parquet(sf), n=6, min_docs=2).take_all()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) > 0  # spans actually removed
+
+
+def test_remove_shared_spans_broadcast_bound(ray_session):
+    """A shared set beyond the broadcast bound raises (documented scale
+    guard) instead of building a corpus-sized broadcast."""
+    from parquetjs_ray.functions.spans import remove_shared_spans
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f", "a b c d e f"]),
+        }
+    )
+    old = spans._BROADCAST_SHARED_BYTES
+    spans._BROADCAST_SHARED_BYTES = 0
+    try:
+        with pytest.raises(ValueError, match="broadcast bound"):
+            remove_shared_spans(rd.from_arrow(docs), n=4, min_docs=2).take_all()
+    finally:
+        spans._BROADCAST_SHARED_BYTES = old

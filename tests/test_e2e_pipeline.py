@@ -978,6 +978,48 @@ def test_encode_stream_from_csv_source(ray_session, tmp_path):
     assert v["equal"], v
 
 
+def test_encode_stream_from_jsonl_source(ray_session, tmp_path):
+    """Newline-delimited JSON — the LLM-corpus interchange format — with
+    the north-rule nested tokens column feeds encode_stream directly:
+    read_json → sampled plan → encode → exact decode round-trip, no
+    parquet anywhere on the input side and a list<int> column surviving
+    the non-parquet ingest."""
+    import json as _json
+
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_stream
+    from parquetjs_ray.pipelines.verify import verify_roundtrip
+    from parquetjs_ray.stages.stats import build_plan_from_dataset
+
+    jsonl_path = str(tmp_path / "rows.jsonl")
+    rng = np.random.default_rng(13)
+    with open(jsonl_path, "w") as f:
+        for i in range(1_200):
+            toks = rng.zipf(1.4, int(rng.integers(3, 40))).astype(int) % 50_000
+            f.write(
+                _json.dumps(
+                    {
+                        "doc_id": f"doc{i:05d}",
+                        "tokens": toks.tolist(),
+                        "n_tok": len(toks),
+                        "source": f"s{i % 3}",
+                    }
+                )
+                + "\n"
+            )
+
+    src = rd.read_json(jsonl_path)
+    plan = build_plan_from_dataset(
+        src, sample_rows=1_200, fsst_columns=("doc_id",), dict_columns=("source",)
+    )
+    outdir = str(tmp_path / "out_jsonl")
+    rep = encode_stream(src, outdir, plan=plan, target_rows_per_partition=400, row_fingerprint=True)
+    assert rep["rows"] == 1_200 and rep["ratio"] < 1.0
+    v = verify_roundtrip(rd.read_json(jsonl_path), decode_dataset(outdir))
+    assert v["equal"], v
+
+
 def test_where_predicate_randomized_soak(ray_session, tmp_path):
     """Randomized conjunctive predicates over the events fixture must
     always equal the pyarrow filter of the raw input — zone AND bloom

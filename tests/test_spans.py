@@ -160,6 +160,61 @@ def test_remove_shared_spans_matches_sql(ray_session):
     assert sum(v[1] for v in got.values()) > 0  # spans actually removed
 
 
+def _ref_clean(texts: list[str], n: int, min_docs: int) -> list[tuple[str, int]]:
+    """Pure-Python span-removal reference (per-doc loops, gram tuples)."""
+    docs_words = [t.split(" ") for t in texts]
+    grams: dict[tuple, set] = {}
+    for d, ws in enumerate(docs_words):
+        for i in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[i : i + n]), set()).add(d)
+    out = []
+    for d, ws in enumerate(docs_words):
+        covered = [False] * len(ws)
+        for i in range(len(ws) - n + 1):
+            if len(grams[tuple(ws[i : i + n])]) >= min_docs:
+                for j in range(i, i + n):
+                    covered[j] = True
+        out.append((" ".join(w for w, c in zip(ws, covered) if not c), sum(covered)))
+    return out
+
+
+def test_remove_shared_spans_property():
+    """The vectorized batch kernel equals the per-doc-loop reference on
+    randomized tiny-vocab corpora (incl. empty words from double spaces,
+    self-repeats inside one doc, and full-coverage docs). No Ray needed —
+    this pins the difference-array coverage + ListArray rebuild math."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["a", "b", "c", "ab", ""]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.lists(st.sampled_from(vocab), min_size=1, max_size=12), min_size=1, max_size=8),
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=2, max_value=3),
+    )
+    def check(word_lists, n, min_docs):
+        texts = [" ".join(ws) for ws in word_lists]
+        batch = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+        )
+        pairs = spans._gram_doc_pairs(batch, "text", "doc_id", n)
+        import collections
+
+        cnt = collections.Counter(pairs["gram"].to_pylist())
+        shared_sorted = np.sort(
+            np.array([g for g, c in cnt.items() if c >= min_docs], np.int64)
+        )
+        got = spans._clean_batch(batch, "text", "doc_id", n, shared_sorted)
+        want = _ref_clean(texts, n, min_docs)
+        assert list(
+            zip(got["clean_text"].to_pylist(), got["n_removed"].to_pylist())
+        ) == want
+
+    check()
+
+
 def test_remove_shared_spans_broadcast_bound(ray_session):
     """A shared set beyond the broadcast bound raises (documented scale
     guard) instead of building a corpus-sized broadcast."""

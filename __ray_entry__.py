@@ -1174,6 +1174,41 @@ def q_mix_sources_equal(sf_dir: str):
     return mix_sources(ds, weights)
 
 
+def q_mix_sources_temperature(sf_dir: str):
+    """α=½ TEMPERATURE mixing: per-source weights = isqrt(count) flatten
+    source skew the way multilingual/pre-training mixes do — exact
+    integer arithmetic end to end (isqrt, no libm pow in the contract),
+    one count pass reused for weights and feasibility. The test tables
+    are source-balanced, so a deterministic hash pre-filter (a DISJOINT
+    band of the same mix64) first skews sources to 25/50/75/100% — the
+    oracle replicates the skew, so the temperature rates it checks are
+    genuinely non-uniform."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from parquetjs_ray.functions.sampling import _mix64, temperature_mix
+
+    den = 1_000_000
+
+    def skew(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        h = _mix64(ids.astype(np.uint64))
+        k = (
+            pc.cast(pc.utf8_slice_codeunits(batch["source"].combine_chunks(), 3, 32), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        num = ((1 + (k % 4)) * 250_000).astype(np.uint64)
+        keep = (h // np.uint64(den)) % np.uint64(den) < num
+        return batch.filter(pa.array(keep))
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source"]).map_batches(
+        skew, batch_format="pyarrow"
+    )
+    return temperature_mix(ds)
+
+
 def q_split_assign_docs(sf_dir: str):
     """Deterministic 90/5/5 train/val/test assignment — total and
     disjoint by construction (one hash band per split), byte-stable
@@ -1263,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean_encode": q_corpus_clean_encode,
         "sample_docs_uniform": q_sample_docs_uniform,
         "mix_sources_equal": q_mix_sources_equal,
+        "mix_sources_temperature": q_mix_sources_temperature,
         "pack_windows_docs": q_pack_windows_docs,
         "split_assign_docs": q_split_assign_docs,
     }
@@ -1616,6 +1652,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM w CROSS JOIN tot CROSS JOIN feas) "
             "SELECT h5.doc_id, h5.source FROM h5 JOIN r ON h5.source = r.source "
             "WHERE h5.x % 1000000 < r.num"
+        ),
+        "mix_sources_temperature": (
+            # skew pre-filter on a DISJOINT hash band ((x//1e6) % 1e6),
+            # then α=1/2 temperature weights wt = floor(sqrt(cnt)) (exact
+            # at oracle scales; Python side uses isqrt) with the same
+            # integer feasibility/rate arithmetic as mix_sources
+            f"WITH {_sample_hash_ctes()}, "
+            "sk AS (SELECT doc_id, source, x FROM h5 "
+            " WHERE (x // 1000000) % 1000000 < (1 + CAST(substr(source, 4) AS HUGEINT) % 4) * 250000), "
+            "c AS (SELECT source, count(*)::HUGEINT AS cnt FROM sk GROUP BY source), "
+            "w AS (SELECT source, cnt, greatest(CAST(floor(sqrt(cnt)) AS HUGEINT), 1) AS wt FROM c), "
+            "tot AS (SELECT sum(wt) AS tw FROM w), "
+            "feas AS (SELECT min(cnt * tw // wt) AS nn FROM w CROSS JOIN tot), "
+            "r AS (SELECT source, ((nn * wt // tw) * 1000000) // cnt AS num "
+            " FROM w CROSS JOIN tot CROSS JOIN feas) "
+            "SELECT sk.doc_id, sk.source FROM sk JOIN r ON sk.source = r.source "
+            "WHERE sk.x % 1000000 < r.num"
         ),
         "split_assign_docs": (
             # cuts = den*cumw//W for 90/5/5 → 900000, 950000 (den last)

@@ -22,7 +22,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_keep_mask", "stratified_sample", "mix_sources", "epoch_shuffle", "assign_splits"]
+__all__ = [
+    "hash_keep_mask",
+    "stratified_sample",
+    "mix_sources",
+    "temperature_mix",
+    "epoch_shuffle",
+    "assign_splits",
+]
 
 _U = np.uint64
 _GOLDEN = 0x9E3779B97F4A7C15
@@ -86,19 +93,22 @@ def mix_sources(
     source_col: str = "source",
     den: int = 1_000_000,
     seed: int = 0,
+    counts: dict[str, int] | None = None,
 ):
     """Downsample sources to match target mixture ``weights`` (integers;
     ``None`` = equal weights over observed sources).
 
-    Pass 1 counts rows per source (tiny combiner shuffle). The largest
-    feasible output size ``N`` satisfies ``N*w_s/W <= count_s`` for all
-    weighted sources; per-source keep rates are then
+    Pass 1 counts rows per source (tiny combiner shuffle; skipped when
+    the caller already holds ``counts``). The largest feasible output
+    size ``N`` satisfies ``N*w_s/W <= count_s`` for all weighted
+    sources; per-source keep rates are then
     ``((N*w_s//W) * den) // count_s`` — all integer, so the SQL oracle
     reproduces them exactly. Pass 2 is :func:`stratified_sample`.
     """
-    counts = {
-        r[source_col]: r["count()"] for r in ds.groupby(source_col).count().take_all()
-    }
+    if counts is None:
+        counts = {
+            r[source_col]: r["count()"] for r in ds.groupby(source_col).count().take_all()
+        }
     if weights is None:
         weights = {s: 1 for s in counts}
     W = sum(weights.values())
@@ -111,6 +121,32 @@ def mix_sources(
         target = N * w // W
         rates[s] = min(den, target * den // counts[s])
     return stratified_sample(ds, rates, key_col, source_col, den, seed)
+
+
+def temperature_mix(
+    ds,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    den: int = 1_000_000,
+    seed: int = 0,
+):
+    """α=½ temperature-weighted source mixture: ``w_s = isqrt(count_s)``
+    — the standard flattening a multi-source pre-training mix applies so
+    head sources stop dominating without dropping tail sources to the
+    equal-weight floor (temperature sampling à la multilingual LM data
+    balancing; α=½ keeps every weight an EXACT integer via ``isqrt``, so
+    the SQL oracle reproduces the rates bit-for-bit — fractional α would
+    put a libm ``pow`` in the contract).
+
+    One count pass feeds both the weights and :func:`mix_sources`'
+    feasibility arithmetic (``counts=`` reuse, no second shuffle)."""
+    import math
+
+    counts = {
+        r[source_col]: r["count()"] for r in ds.groupby(source_col).count().take_all()
+    }
+    weights = {s: max(1, math.isqrt(int(c))) for s, c in counts.items()}
+    return mix_sources(ds, weights, key_col, source_col, den, seed, counts=counts)
 
 
 def assign_splits(

@@ -86,6 +86,32 @@ def test_mix_sources_rates(ray_session):
     assert abs(by["s0"] - 500) < 75
 
 
+def test_temperature_mix_flattens_skew(ray_session):
+    """α=½ temperature mixing: a 16:1 skew flattens toward 4:1 (sqrt of
+    the count ratio), deterministically — and never upsamples."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import temperature_mix
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(3400, dtype=np.int64)),
+            "source": pa.array(["big"] * 3200 + ["small"] * 200),
+        }
+    )
+    out = temperature_mix(rd.from_arrow(t)).take_all()
+    by = {}
+    for r in out:
+        by[r["source"]] = by.get(r["source"], 0) + 1
+    # weights isqrt: big=56, small=14 -> W=70; N = min(3200*70//56,
+    # 200*70//14) = 1000; targets: big 800, small 200 (kept whole)
+    assert by["small"] == 200
+    assert abs(by["big"] - 800) < 90  # hash sampling approximates the rate
+    # deterministic: identical output on a rerun
+    again = temperature_mix(rd.from_arrow(t)).take_all()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
 def test_pack_sequences_matches_reference_scan(ray_session):
     import ray.data as rd
 

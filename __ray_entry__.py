@@ -1052,6 +1052,22 @@ def q_top_words(sf_dir: str):
     return counts.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
+def q_heavy_words(sf_dir: str):
+    """Exact heavy hitters (words with >=1% corpus frequency) via the
+    Misra-Gries sketch + broadcast recount — the zero-tail-shuffle
+    counterpart of ``top_words`` (the tail never enters an exchange)."""
+    from parquetjs_ray.functions.heavy import heavy_hitters
+
+    t = heavy_hitters(
+        _docs(sf_dir).select_columns(["text"]),
+        "text",
+        phi_num=1,
+        phi_den=100,
+        split_words=True,
+    )
+    return t.rename_columns(["word", "n"])
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -1293,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_type": q_parts_by_type,
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
+        "heavy_words": q_heavy_words,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "corpus_clean_encode": q_corpus_clean_encode,
@@ -1634,6 +1651,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "heavy_words": (
+            # integer threshold arithmetic mirrors functions.heavy:
+            # n >= ceil(phi*N)  <=>  n * phi_den >= N * phi_num
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), "
+            "t AS (SELECT count(*) AS total FROM w) "
+            "SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word "
+            "HAVING count(*) * 100 >= (SELECT total FROM t) * 1 "
+            "ORDER BY n DESC, word"
         ),
         "sample_docs_uniform": (
             f"WITH {_sample_hash_ctes()} "

@@ -1052,6 +1052,30 @@ def q_top_words(sf_dir: str):
     return counts.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
+def q_events_agg_pushdown(sf_dir: str):
+    """MANIFEST-ONLY aggregate pushdown over the encoded events artifact:
+    COUNT/SUM/MIN/MAX answered from fragment zones+aggs without reading
+    one chunk byte (the parquet row-group-Statistics analogue) — must
+    equal SQL aggregates over the raw table."""
+    from parquetjs_ray.pipelines.encode import table_aggregates
+
+    a = table_aggregates(_events_artifact(sf_dir))
+    return pa.table(
+        {
+            "n_rows": pa.array([a["event_id"]["n"]], pa.int64()),
+            "sum_user": pa.array([a["user_id"]["sum"]], pa.int64()),
+            "min_user": pa.array([a["user_id"]["min"]], pa.int64()),
+            "max_user": pa.array([a["user_id"]["max"]], pa.int64()),
+            "min_event": pa.array([a["event_id"]["min"]], pa.int64()),
+            "max_event": pa.array([a["event_id"]["max"]], pa.int64()),
+            "min_ts_us": pa.array([a["ts"]["min"]], pa.int64()),
+            "max_ts_us": pa.array([a["ts"]["max"]], pa.int64()),
+            "min_value": pa.array([a["value"]["min"]], pa.float64()),
+            "max_value": pa.array([a["value"]["max"]], pa.float64()),
+        }
+    )
+
+
 def q_heavy_words(sf_dir: str):
     """Exact heavy hitters (words with >=1% corpus frequency) via the
     Misra-Gries sketch + broadcast recount — the zero-tail-shuffle
@@ -1310,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
         "heavy_words": q_heavy_words,
+        "events_agg_pushdown": q_events_agg_pushdown,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "corpus_clean_encode": q_corpus_clean_encode,
@@ -1651,6 +1676,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "events_agg_pushdown": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(user_id) AS BIGINT) AS sum_user, "
+            "min(user_id) AS min_user, max(user_id) AS max_user, "
+            "min(event_id) AS min_event, max(event_id) AS max_event, "
+            "CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us, "
+            "CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us, "
+            "min(value) AS min_value, max(value) AS max_value FROM events"
         ),
         "heavy_words": (
             # integer threshold arithmetic mirrors functions.heavy:

@@ -28,6 +28,7 @@ Nothing in this module calls ``ray.init`` — the caller owns the session.
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 
@@ -1585,6 +1586,113 @@ def column_stats(out_dir: str) -> dict[str, dict]:
         c["codecs"][r["codec"]] = int(r["n_chunks"])
     for c in out.values():
         c["ratio"] = round(c["enc_bytes"] / max(1, c["raw_bytes"]), 4)
+    return out
+
+
+def table_aggregates(out_dir: str, columns: list[str] | None = None) -> dict[str, dict]:
+    """MANIFEST-ONLY aggregate pushdown: per-column ``n`` / ``nulls`` /
+    ``min`` / ``max`` / exact integer ``sum`` for the whole artifact,
+    computed purely from the fragment manifests' zones + aggs — not one
+    chunk byte is read.  The parquet-statistics aggregate-pushdown
+    analogue (``SELECT count(*), min(x), max(x), sum(x)`` without a
+    scan); at 100 TB this answers in manifest time regardless of data
+    size.
+
+    ``min``/``max`` come from the zone maps in each zone's recorded raw
+    domain (temporal columns: their epoch integer, tagged ``t``).  A
+    column's ``sum`` is present only if EVERY fragment recorded one
+    (each is exact by construction — see ``stages.encoder._column_aggs``);
+    list<int> columns expose ``flat_n``/``flat_sum`` over the flattened
+    values.  Raises if the artifact predates aggregate recording."""
+    gm = read_global_manifest(out_dir)
+    parts = [p["partition"] for p in gm["partitions"]]
+
+    def collect(batch: pa.Table) -> pa.Table:
+        rows = []
+        for pid in batch.column("p").to_pylist():
+            pdir = st.join(out_dir, f"part-{pid}")
+            pm = st.read_json(st.join(pdir, "manifest.json"))
+            frag_manifests = (
+                [st.read_json(st.join(pdir, f"frag-{fr}.json")) for fr in pm["fragments"]]
+                if "fragments" in pm
+                else [pm]
+            )
+            for fm in frag_manifests:
+                if fm.get("tombstone"):
+                    continue
+                if "aggs" not in fm:
+                    raise ValueError(
+                        "artifact fragments predate aggregate recording; "
+                        "re-encode (or use decode_dataset) for aggregates"
+                    )
+                zones = fm.get("zones", {})
+                for col, a in fm["aggs"].items():
+                    if columns and col not in columns:
+                        continue
+                    z = zones.get(col, {})
+                    rows.append(
+                        {
+                            "column": col,
+                            "payload": json.dumps(
+                                {
+                                    "n": a["n"],
+                                    "nulls": a["nulls"],
+                                    "sum": a.get("sum"),
+                                    "has_sum": "sum" in a,
+                                    "flat_n": a.get("flat_n"),
+                                    "flat_sum": a.get("flat_sum"),
+                                    "has_flat_sum": "flat_sum" in a,
+                                    "min": z.get("min"),
+                                    "max": z.get("max"),
+                                    "t": z.get("t"),
+                                }
+                            ),
+                        }
+                    )
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("column", pa.string()), ("payload", pa.string())])
+        )
+
+    if not parts:
+        return {}
+    rows = (
+        rd.from_items([{"p": p} for p in parts])
+        .map_batches(collect, batch_format="pyarrow", batch_size=16)
+        .take_all()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        a = json.loads(r["payload"])
+        col = r["column"]
+        c = out.setdefault(
+            col,
+            {"n": 0, "nulls": 0, "sum": 0, "_sum_ok": True, "min": None, "max": None,
+             "t": a["t"], "flat_n": 0, "flat_sum": 0, "_fsum_ok": True, "_has_flat": False},
+        )
+        c["n"] += a["n"]
+        c["nulls"] += a["nulls"]
+        if a["has_sum"] and c["_sum_ok"]:
+            c["sum"] += a["sum"]
+        else:
+            c["_sum_ok"] = False
+        if a["flat_n"] is not None:
+            c["_has_flat"] = True
+            c["flat_n"] += a["flat_n"]
+            if a["has_flat_sum"] and c["_fsum_ok"]:
+                c["flat_sum"] += a["flat_sum"]
+            else:
+                c["_fsum_ok"] = False
+        if a["min"] is not None and (c["min"] is None or a["min"] < c["min"]):
+            c["min"] = a["min"]
+        if a["max"] is not None and (c["max"] is None or a["max"] > c["max"]):
+            c["max"] = a["max"]
+    for c in out.values():
+        if not c.pop("_sum_ok"):
+            c["sum"] = None
+        if not c.pop("_has_flat"):
+            c.pop("flat_n"), c.pop("flat_sum"), c.pop("_fsum_ok")
+        elif not c.pop("_fsum_ok"):
+            c["flat_sum"] = None
     return out
 
 

@@ -435,10 +435,57 @@ def encode_table(table: pa.Table, state: EncoderState) -> tuple[bytes, dict]:
     zones = _column_zones(table)
     if zones:
         manifest["zones"] = zones
+    aggs = _column_aggs(table)
+    if aggs:
+        manifest["aggs"] = aggs
     blooms = _column_blooms(table, state)
     if blooms:
         manifest["blooms"] = blooms
     return cb.chunk(), manifest
+
+
+def _column_aggs(table: pa.Table) -> dict[str, dict]:
+    """Per-chunk column aggregates (count / null count / exact integer
+    sums) stored next to the zones — together they make COUNT/SUM/MIN/
+    MAX/AVG over the artifact a MANIFEST-ONLY query (no chunk byte is
+    read; see ``pipelines.encode.table_aggregates``).  The parquet
+    analogue is row-group Statistics feeding aggregate pushdown.
+
+    Integer sums are recorded only when the zone-bounded worst case
+    ``max(|min|,|max|) * n`` provably fits int64, so a recorded sum is
+    always exact; float sums are NOT recorded (their value would depend
+    on chunk boundaries / addition order, breaking run-to-run
+    determinism). List<int> columns record the flattened value count and
+    sum (total tokens, for the north-rule table)."""
+    aggs: dict[str, dict] = {}
+    i64_cap = (1 << 62)  # headroom under int64 for the cross-chunk merge
+    for name in table.column_names:
+        arr = table.column(name)
+        t = arr.type
+        ent: dict = {"n": len(arr), "nulls": arr.null_count}
+        def int_sum(a) -> int | None:
+            if a.null_count == len(a):
+                return 0
+            mm = pc.min_max(a)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            bound = max(abs(lo), abs(hi)) * (len(a) - a.null_count)
+            if bound >= i64_cap:
+                return None
+            return int(pc.sum(a.cast(pa.int64())).as_py() or 0)
+        if pa.types.is_boolean(t):
+            ent["sum"] = int(pc.sum(arr.cast(pa.int64())).as_py() or 0)
+        elif pa.types.is_integer(t):
+            s = int_sum(arr)
+            if s is not None:
+                ent["sum"] = s
+        elif pa.types.is_list(t) and pa.types.is_integer(t.value_type):
+            flat = pc.list_flatten(arr)
+            ent["flat_n"] = len(flat)
+            s = int_sum(flat)
+            if s is not None:
+                ent["flat_sum"] = s
+        aggs[name] = ent
+    return aggs
 
 
 def _column_blooms(table: pa.Table, state: EncoderState) -> dict[str, dict]:

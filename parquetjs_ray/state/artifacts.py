@@ -23,7 +23,7 @@ from ..codecs.fsst import FsstTable
 
 __all__ = ["ColumnStats", "EncodePlan", "save_plan", "load_plan"]
 
-FORMAT_VERSION = 4  # v4: vpack int codec + optional token rank dict (v2/v3 artifacts remain readable)
+FORMAT_VERSION = 5  # v5: per-chunk column aggregates for manifest-only pushdown (v2-v4 artifacts remain readable)
 
 
 @dataclass

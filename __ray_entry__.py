@@ -657,6 +657,32 @@ def q_lineitem_order_join(sf_dir: str):
     )
 
 
+def q_customers_no_big_orders(sf_dir: str):
+    """Distributed anti-join (the NOT IN subquery shape): customers with
+    no order above 300k via ``semi_join`` — the right side's distinct
+    keys broadcast once (``ray.put``) and the left side anti-filters per
+    batch with ``pc.is_in``; the (at scale, 100 TB) left side never
+    enters a shuffle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import semi_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+
+    def big_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["o_totalprice"], 300000.0))
+
+    big = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(big_only, batch_format="pyarrow")
+    out = semi_join(cust, big, left_on="c_custkey", right_on="o_custkey", anti=True)
+    return out.sort("c_custkey")
+
+
 def q_fingerprint_distinct_docs(sf_dir: str):
     """Distinct 64-bit content fingerprints == distinct texts (collision-free
     at these scales) — validates the fingerprint operator against SQL."""
@@ -1308,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_longest": q_docs_top_longest,
         "top_docs_per_source": q_top_docs_per_source,
         "lineitem_order_join": q_lineitem_order_join,
+        "customers_no_big_orders": q_customers_no_big_orders,
         "collapse_repeats_docs": q_collapse_repeats_docs,
         "chunk_docs": q_chunk_docs,
         "tokenize_docs": q_tokenize_docs,
@@ -1477,6 +1504,12 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "customers_no_big_orders": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000) "
+            "ORDER BY c_custkey"
         ),
         "top_docs_per_source": (
             "SELECT source, doc_id, n_chars FROM ("

@@ -22,9 +22,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
-__all__ = ["asof_join", "range_join_count", "equi_join", "auto_num_buckets"]
+__all__ = ["asof_join", "range_join_count", "equi_join", "auto_num_buckets", "semi_join"]
 
 
 def _as_epoch_i64(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -136,6 +137,18 @@ def asof_join(
     return unioned.groupby("__by").map_groups(merge, batch_format="pyarrow")
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() entry to an Arrow type: parquet-backed
+    Datasets report pa.DataType already, pandas-backed blocks report numpy
+    dtypes (with ``object`` for strings)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
 def _est_row_bytes(types: dict[str, pa.DataType]) -> int:
     """Conservative projected-row width for bucket sizing: fixed-width
     types by their byte width, variable-width (strings/binary/lists) at a
@@ -143,7 +156,7 @@ def _est_row_bytes(types: dict[str, pa.DataType]) -> int:
     total = 8  # the int64 join key
     for t in types.values():
         try:
-            total += max(t.bit_width // 8, 1)
+            total += max(_arrow_type(t).bit_width // 8, 1)
         except ValueError:  # variable-width type
             total += 32
     return total
@@ -264,6 +277,93 @@ def equi_join(
         right.map_batches(r_project, batch_format="pyarrow")
     )
     return unioned.groupby("__b").map_groups(merge, batch_format="pyarrow")
+
+
+def semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+    broadcast_limit: int = 64 << 20,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Semi-join (``anti=False``: keep left rows whose key appears on the
+    right) or anti-join (``anti=True``: keep rows whose key does NOT) —
+    the ``IN`` / ``NOT IN`` subquery shape. Left rows pass through with
+    ALL their columns; nothing from the right is attached.
+
+    Path selection mirrors the dedup verify stage: when the right side's
+    distinct keys fit ``broadcast_limit`` (estimated from ``count()``
+    metadata at 8 B/key before any execution), they are collected as one
+    deduplicated int64 array, ``ray.put`` once, and the left side
+    filters per batch with ``pc.is_in`` — ZERO shuffle, the 100 TB left
+    side never moves.  Above the limit both sides hash-bucket like
+    :func:`equi_join` (projected key + row-id only on the left bucket
+    leg... here the whole row must survive, so the bucketed leg shuffles
+    the left rows once) and membership is a per-bucket ``np.isin``.
+    Keys must be integers (cast to int64), as in :func:`equi_join`."""
+    if right.count() * 8 <= broadcast_limit:
+        def distinct(b: pa.Table) -> pa.Table:
+            k = b[right_on].cast(pa.int64()).combine_chunks()
+            return pa.table({"k": pc.unique(k.drop_null())})
+
+        partials = right.select_columns([right_on]).map_batches(
+            distinct, batch_format="pyarrow"
+        ).take_all()
+        keys = np.unique(np.array([r["k"] for r in partials], np.int64))
+        keys_ref = ray.put(keys)
+
+        def filt(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            member = pc.is_in(b[left_on].cast(pa.int64()), value_set=pa.array(ks, pa.int64()))
+            member = pc.fill_null(member, False)
+            return b.filter(pc.invert(member) if anti else member)
+
+        return left.map_batches(filt, batch_format="pyarrow")
+
+    # bucketed path: cogroup by hash(key) % nb, per-bucket np.isin
+    lschema = left.schema()
+    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(left, right, ltypes, {right_on: pa.int64()})
+    nb = np.int64(num_buckets)
+    lnames = list(lschema.names)
+
+    def l_rows(b: pa.Table) -> pa.Table:
+        k = b[left_on].cast(pa.int64()).combine_chunks()
+        kv = k.to_numpy(zero_copy_only=False)
+        return b.append_column("__b", pa.array(kv % nb)).append_column(
+            "__side", pa.array(np.zeros(b.num_rows, np.int8))
+        ).append_column("__k", k)
+
+    def r_rows(b: pa.Table) -> pa.Table:
+        k = b[right_on].cast(pa.int64()).combine_chunks()
+        kv = k.to_numpy(zero_copy_only=False)
+        cols = {n: pa.nulls(b.num_rows, ltypes[n]) for n in lnames}
+        t = pa.table(cols)
+        return t.append_column("__b", pa.array(kv % nb)).append_column(
+            "__side", pa.array(np.ones(b.num_rows, np.int8))
+        ).append_column("__k", k)
+
+    empty = pa.table({n: pa.array([], ltypes[n]) for n in lnames})
+
+    def member(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        lsel = np.flatnonzero(side == 0)
+        if not len(lsel):
+            return empty
+        keys = group["__k"].to_numpy(zero_copy_only=False)
+        rkeys = np.unique(keys[side == 1])
+        hit = np.isin(keys[lsel], rkeys)
+        take = pa.array(lsel[~hit if anti else hit])
+        return pa.table({n: pc.take(group[n], take) for n in lnames})
+
+    unioned = left.map_batches(l_rows, batch_format="pyarrow").union(
+        right.select_columns([right_on]).map_batches(r_rows, batch_format="pyarrow")
+    )
+    return unioned.groupby("__b").map_groups(member, batch_format="pyarrow")
 
 
 def range_join_count(

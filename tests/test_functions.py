@@ -963,3 +963,63 @@ def test_grouped_quantiles_hot_key_histogram(ray_session):
     for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
         assert out.loc["hot", col] == disc(vals, q)
         assert out.loc["tiny", col] == disc(small, q)
+
+
+def test_semi_join_broadcast_and_bucketed(ray_session):
+    """semi_join keeps/drops whole left rows by right-key membership.
+    Both paths (broadcast value-set and hash-bucketed cogroup) must agree
+    with the pandas isin ground truth, for semi and anti."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import semi_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 80, 500),
+            "v": np.arange(500, dtype=np.int64),
+            "s": [f"row{i}" for i in range(500)],
+        }
+    )
+    # right: duplicated keys (membership must dedup), partial overlap
+    right = pd.DataFrame({"rk": rng.integers(40, 120, 300)})
+    member = left["k"].isin(set(right["rk"]))
+
+    for anti in (False, True):
+        want = (
+            left[~member if anti else member]
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        for blimit in (64 << 20, 0):  # broadcast path, then forced bucketed path
+            got = (
+                semi_join(
+                    rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right).repartition(3),
+                    left_on="k",
+                    right_on="rk",
+                    anti=anti,
+                    broadcast_limit=blimit,
+                )
+                .to_pandas()
+                .sort_values(["k", "v"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got[["k", "v", "s"]], want[["k", "v", "s"]])
+    # sanity: both partitions of the split are non-trivial
+    assert 0 < int(member.sum()) < len(left)
+
+
+def test_semi_join_empty_right(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import semi_join
+
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64), "v": np.arange(10, dtype=np.int64)})
+    right = pd.DataFrame({"rk": pa.array([], pa.int64()).to_pandas()})
+    lds = rd.from_pandas(left)
+    rds = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert semi_join(lds, rds, left_on="k", right_on="rk").count() == 0
+    assert semi_join(lds, rds, left_on="k", right_on="rk", anti=True).count() == 10

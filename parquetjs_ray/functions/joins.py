@@ -181,6 +181,42 @@ def auto_num_buckets(
     return int(min(4096, max(16, -(-est // target_bucket_bytes))))
 
 
+def _plan_hot_keys(
+    left: rd.Dataset,
+    left_on: str,
+    ltypes: dict[str, pa.DataType],
+    *,
+    target_bucket_bytes: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Find left keys whose row count alone exceeds one bucket's capacity
+    (via the exact Misra-Gries :func:`heavy_hitters` pass — the tail never
+    shuffles) and assign each a dedicated range of salt buckets sized
+    ``ceil(count / rows_per_bucket)``. Returns ``(keys_sorted, base,
+    salts)`` aligned int64 arrays, or ``None`` when no key is hot."""
+    from parquetjs_ray.functions.heavy import heavy_hitters
+
+    n_left = left.count()
+    target_rows = max(1, target_bucket_bytes // _est_row_bytes(ltypes))
+    if n_left <= target_rows:
+        return None
+    t = heavy_hitters(
+        left.select_columns([left_on]), left_on, phi_num=target_rows, phi_den=n_left
+    )
+    if t.num_rows == 0:
+        return None
+    keys = t["key"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    counts = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    salts = -(-counts // target_rows)
+    need = salts > 1
+    if not need.any():
+        return None
+    keys, salts = keys[need], salts[need].astype(np.int64)
+    order = np.argsort(keys)
+    keys, salts = keys[order], salts[order]
+    base = (np.cumsum(salts) - salts).astype(np.int64)
+    return keys, base, salts
+
+
 def equi_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -191,6 +227,7 @@ def equi_join(
     right_cols: list[str],
     num_buckets: int | None = None,
     target_bucket_bytes: int = 64 << 20,
+    salt_hot_keys: bool = False,
 ) -> rd.Dataset:
     """Inner equi-join of two LARGE Datasets (neither side broadcast):
     the large-large shuffle join the broadcast-join queries can't cover.
@@ -208,20 +245,46 @@ def equi_join(
     TPC-H fact/dim shape); Ray's native ``Dataset.join`` is avoided
     deliberately (crashes on empty-schema blocks in 2.49).
 
+    ``salt_hot_keys=True`` additionally bounds SINGLE-KEY skew, which
+    hashing alone cannot: a Misra-Gries pass over the left keys finds
+    every key whose own row count exceeds a bucket's capacity; each hot
+    key gets ``ceil(count/rows_per_bucket)`` dedicated salt buckets —
+    left hot rows spread round-robin across them, right hot rows are
+    REPLICATED into each (cheap for the fact/dim shape where the right
+    side holds few rows per key; a key hot on BOTH sides is the
+    inherently quadratic case and stays out of scope). Exactness is
+    unaffected: every left row still meets all its right matches exactly
+    once. Costs two extra passes over the projected left key column.
+
     Output columns: ``left_on`` (int64 key) + left_cols + right_cols."""
     lschema, rschema = left.schema(), right.schema()
-    ltypes = {n: t for n, t in zip(lschema.names, lschema.types) if n in left_cols}
-    rtypes = {n: t for n, t in zip(rschema.names, rschema.types) if n in right_cols}
+    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types) if n in left_cols}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types) if n in right_cols}
     if num_buckets is None:
         num_buckets = auto_num_buckets(
             left, right, ltypes, rtypes, target_bucket_bytes=target_bucket_bytes
         )
     nb = np.int64(num_buckets)
+    hot_plan = (
+        _plan_hot_keys(left, left_on, ltypes, target_bucket_bytes=target_bucket_bytes)
+        if salt_hot_keys
+        else None
+    )
 
     def l_project(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        k = b[left_on].cast(pa.int64())
-        cols = {"__key": k, "__b": pa.array(k.combine_chunks().to_numpy(zero_copy_only=False) % nb),
+        k = b[left_on].cast(pa.int64()).combine_chunks()
+        kv = k.to_numpy(zero_copy_only=False)
+        bucket = kv % nb
+        if hot_plan is not None and n:
+            hk, hbase, hsalts = hot_plan
+            pos = np.minimum(np.searchsorted(hk, kv), len(hk) - 1)
+            m = hk[pos] == kv
+            if m.any():
+                sel = np.flatnonzero(m)
+                hi = pos[sel]
+                bucket[sel] = nb + hbase[hi] + (np.arange(len(sel)) % hsalts[hi])
+        cols = {"__key": k, "__b": pa.array(bucket),
                 "__side": pa.array(np.zeros(n, np.int8))}
         for c in left_cols:
             cols[f"l_{c}"] = b[c]
@@ -230,9 +293,29 @@ def equi_join(
         return pa.table(cols)
 
     def r_project(b: pa.Table) -> pa.Table:
+        k = b[right_on].cast(pa.int64()).combine_chunks()
+        kv = k.to_numpy(zero_copy_only=False)
+        bucket = kv % nb
+        if hot_plan is not None and b.num_rows:
+            hk, hbase, hsalts = hot_plan
+            pos = np.minimum(np.searchsorted(hk, kv), len(hk) - 1)
+            m = hk[pos] == kv
+            if m.any():
+                # hot right rows are replicated into every salt bucket of
+                # their key (and leave their hash bucket)
+                sel = np.flatnonzero(m)
+                hi = pos[sel]
+                reps = hsalts[hi]
+                offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+                take_idx = np.concatenate([np.flatnonzero(~m), np.repeat(sel, reps)])
+                bucket = np.concatenate(
+                    [bucket[~m], nb + np.repeat(hbase[hi], reps) + offs]
+                )
+                ti = pa.array(take_idx)
+                b = b.take(ti)
+                k = pc.take(k, ti)
         n = b.num_rows
-        k = b[right_on].cast(pa.int64())
-        cols = {"__key": k, "__b": pa.array(k.combine_chunks().to_numpy(zero_copy_only=False) % nb),
+        cols = {"__key": k, "__b": pa.array(bucket),
                 "__side": pa.array(np.ones(n, np.int8))}
         for c in left_cols:
             cols[f"l_{c}"] = pa.nulls(n, ltypes[c])

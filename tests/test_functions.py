@@ -1023,3 +1023,59 @@ def test_semi_join_empty_right(ray_session):
     rds = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
     assert semi_join(lds, rds, left_on="k", right_on="rk").count() == 0
     assert semi_join(lds, rds, left_on="k", right_on="rk", anti=True).count() == 10
+
+
+def test_equi_join_salted_hot_key(ray_session):
+    """A single dominant key breaks the hash-bucket bound (every row of
+    that key lands in one bucket); salt_hot_keys=True detects it via the
+    Misra-Gries pass and spreads it over dedicated salt buckets while the
+    join stays exact (right hot rows replicate into each salt)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import _plan_hot_keys, equi_join
+
+    rng = np.random.default_rng(23)
+    n = 30_000
+    keys = rng.integers(0, 500, n)
+    keys[: n // 2] = 7  # one key owns half the corpus
+    left = pd.DataFrame({"k": keys.astype(np.int64), "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.arange(500, dtype=np.int64), "rv": rng.integers(0, 9, 500).astype(np.int64)}
+    )
+    lds, rds = rd.from_pandas(left).repartition(8), rd.from_pandas(right)
+
+    # tiny bucket target so the test-scale input actually goes hot
+    tbb = 64 << 10  # ~4096 rows/bucket at 16 B/row
+    plan = _plan_hot_keys(lds, "k", {"lv": pa.int64()}, target_bucket_bytes=tbb)
+    assert plan is not None
+    hk, hbase, hsalts = plan
+    assert 7 in hk.tolist()
+    i7 = int(np.flatnonzero(hk == 7)[0])
+    rows_per_bucket = tbb // 16
+    assert hsalts[i7] == -(-(n // 2) // rows_per_bucket)  # ceil(count/capacity)
+    # every salted key's per-bucket share is bounded by capacity
+    assert (n // 2) / hsalts[i7] <= rows_per_bucket
+
+    got = (
+        equi_join(
+            lds, rds, left_on="k", right_on="rk", left_cols=["lv"], right_cols=["rv"],
+            target_bucket_bytes=tbb, salt_hot_keys=True,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want)
+
+    # uniform input: no hot plan, and salting is a no-op on the result
+    uni = pd.DataFrame(
+        {"k": rng.integers(0, 5000, 10_000).astype(np.int64), "lv": np.arange(10_000, dtype=np.int64)}
+    )
+    uds = rd.from_pandas(uni).repartition(4)
+    assert _plan_hot_keys(uds, "k", {"lv": pa.int64()}, target_bucket_bytes=tbb) is None

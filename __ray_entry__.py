@@ -776,6 +776,20 @@ def q_sliding_counts_events(sf_dir: str):
     return sliding_counts(ds)
 
 
+def q_running_totals_events(sf_dir: str):
+    """Per-user running COUNT and SUM(event_id) in event-time order (the
+    cumulative-window shape) via the hot-key-proof two-phase
+    ``running_totals`` — no group ever holds one user's full history."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import running_totals
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+    return running_totals(ds, value="event_id")
+
+
 def q_langid_docs(sf_dir: str):
     from parquetjs_ray.functions.text import langid_batch
 
@@ -1341,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "events_by_segment": q_events_by_segment,
         "session_windows_events": q_session_windows_events,
+        "running_totals_events": q_running_totals_events,
         "sliding_counts_events": q_sliding_counts_events,
         "langid_docs": q_langid_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1576,6 +1591,13 @@ def oracle_sql() -> dict[str, str]:
             "      ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
             "SELECT user_id, min(t) AS session_start_us, count(*) AS n_events "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "running_totals_events": (
+            "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(count(*) OVER w AS BIGINT) AS cum_n, "
+            "CAST(sum(event_id) OVER w AS BIGINT) AS cum_v FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
         "sliding_counts_events": (
             "SELECT user_id, CAST((floor(epoch_us(ts)/900000000) - i.i) * 900000000 AS BIGINT) AS win_start_us, "

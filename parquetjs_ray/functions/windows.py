@@ -20,7 +20,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-__all__ = ["tumbling_counts", "session_windows", "sliding_counts"]
+__all__ = ["tumbling_counts", "session_windows", "sliding_counts", "running_totals"]
 
 
 def tumbling_counts(ds: rd.Dataset, *, key: str = "user_id", ts: str = "ts", size_us: int = 3_600_000_000) -> rd.Dataset:
@@ -131,6 +131,101 @@ def session_windows(
         .map_groups(merge_chains, batch_format="pandas")
     )
     return interior.union(merged)
+
+
+def running_totals(
+    ds: rd.Dataset, *, key: str = "user_id", ts: str = "ts",
+    value: str = "event_id", bucket_us: int = 86_400_000_000,
+) -> rd.Dataset:
+    """Per-key running COUNT and SUM in event-time order — the
+    ``SUM() OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING)``
+    window shape — emitted for EVERY event: ``(key, ts_us, cum_n, cum_v)``.
+    ``value`` must be an integer column (exact 64-bit arithmetic, so the
+    SQL oracle matches bit-for-bit); ``(key, ts)`` must be unique (true
+    for event logs keyed by unique event ids).
+
+    Hot-key-proof two-phase (like :func:`session_windows`): a naive
+    ``groupby(key)`` materializes one key's entire history — billions of
+    events for a hot key at 100 TB. Instead:
+
+    1. bucket totals: ``groupby (key, ts // bucket_us)`` COUNT/SUM — a
+       combiner-sized shuffle (one row per key-bucket);
+    2. per-key EXCLUSIVE prefix over the bucket totals — a group here is
+       one key's bucket summaries, bounded by the TIME SPAN, not volume;
+    3. the offset rows union back into the event stream and cogroup by
+       ``(key, bucket)``: each group sorts only that bucket's events and
+       adds its local cumulative sums to the carried offset. No
+       broadcast, no driver state; group size is one key's events within
+       ``bucket_us``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        return pa.table(
+            {
+                key: batch[key],
+                "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
+                "__ts": epoch,  # ≥ 0; -1 marks offset carrier rows below
+                "__v": batch[value].cast(pa.int64()),
+            }
+        )
+
+    events = ds.map_batches(bucketize, batch_format="pyarrow")
+    totals = events.groupby([key, "__b"]).aggregate(
+        Count(alias_name="__n"), Sum("__v", alias_name="__s")
+    )
+
+    def prefix(g: pa.Table) -> pa.Table:
+        b = g["__b"].to_numpy(zero_copy_only=False)
+        n = g["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["__s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(b, kind="stable")
+        n, s = n[o], s[o]
+        oa = pa.array(o)
+        return pa.table(
+            {
+                key: pc.take(g[key], oa),
+                "__b": pc.take(g["__b"], oa),
+                "__ts": pa.array(np.full(len(b), -1, np.int64)),
+                "__v": pa.array(np.zeros(len(b), np.int64)),
+                "__off_n": pa.array(np.cumsum(n) - n),
+                "__off_v": pa.array(np.cumsum(s) - s),
+            }
+        )
+
+    offsets = totals.groupby(key).map_groups(prefix, batch_format="pyarrow")
+
+    def ev_align(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column("__off_n", pa.nulls(n, pa.int64())).append_column(
+            "__off_v", pa.nulls(n, pa.int64())
+        )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        tcol = g["__ts"].to_numpy()
+        is_off = tcol < 0
+        off_n = int(g.loc[is_off, "__off_n"].iloc[0])
+        off_v = int(g.loc[is_off, "__off_v"].iloc[0])
+        ev = g[~is_off]
+        t = ev["__ts"].to_numpy().astype(np.int64)
+        v = ev["__v"].to_numpy().astype(np.int64)
+        order = np.argsort(t, kind="stable")
+        return pd.DataFrame(
+            {
+                key: ev[key].to_numpy()[order],
+                "ts_us": t[order],
+                "cum_n": off_n + np.arange(1, len(t) + 1, dtype=np.int64),
+                "cum_v": off_v + np.cumsum(v[order]),
+            }
+        )
+
+    return (
+        events.map_batches(ev_align, batch_format="pyarrow")
+        .union(offsets)
+        .groupby([key, "__b"])
+        .map_groups(local, batch_format="pandas")
+    )
 
 
 def sliding_counts(

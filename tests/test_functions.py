@@ -1079,3 +1079,75 @@ def test_equi_join_salted_hot_key(ray_session):
     )
     uds = rd.from_pandas(uni).repartition(4)
     assert _plan_hot_keys(uds, "k", {"lv": pa.int64()}, target_bucket_bytes=tbb) is None
+
+
+def test_running_totals_hot_key_bounded_groups(ray_session):
+    """running_totals: per-key cumulative count/sum computed exactly with
+    groups bounded by (key, time bucket) — one key owning 200k events
+    never materializes as a single group. Verified against a single-pass
+    numpy reference."""
+    import numpy as np
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import running_totals
+
+    rng = np.random.default_rng(5)
+    n = 200_000
+    ts = np.cumsum(rng.integers(1, 50, n)).astype(np.int64)  # unique, increasing
+    vals = rng.integers(-100, 100, n).astype(np.int64)
+    # shuffle arrival order: the operator must sort, not trust input order
+    perm = rng.permutation(n)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(np.ones(n, np.int64)),
+            "ts": pa.array(ts[perm]),
+            "event_id": pa.array(vals[perm]),
+        }
+    )
+    bucket_us = 10_000  # span / bucket ≈ thousands of buckets for one key
+    n_buckets = len(np.unique(ts // bucket_us))
+    assert n_buckets > 400
+
+    got = (
+        running_totals(
+            rd.from_arrow(tbl).repartition(8), value="event_id", bucket_us=bucket_us
+        )
+        .to_pandas()
+        .sort_values("ts_us")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert got["ts_us"].tolist() == ts.tolist()
+    assert got["cum_n"].tolist() == list(range(1, n + 1))
+    assert got["cum_v"].tolist() == np.cumsum(vals).tolist()
+
+
+def test_running_totals_multi_key(ray_session):
+    """Several keys, interleaved arrival: per-key prefixes independent."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import running_totals
+
+    rng = np.random.default_rng(9)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 7, n).astype(np.int64),
+            "ts": rng.permutation(np.arange(1, n + 1)).astype(np.int64),
+            "event_id": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    got = (
+        running_totals(rd.from_pandas(df).repartition(4), value="event_id", bucket_us=333)
+        .to_pandas()
+        .sort_values(["user_id", "ts_us"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    ref["cum_n"] = ref.groupby("user_id").cumcount() + 1
+    ref["cum_v"] = ref.groupby("user_id")["event_id"].cumsum()
+    assert got["cum_n"].tolist() == ref["cum_n"].tolist()
+    assert got["cum_v"].tolist() == ref["cum_v"].tolist()
+    assert got["ts_us"].tolist() == ref["ts"].tolist()

@@ -776,6 +776,19 @@ def q_sliding_counts_events(sf_dir: str):
     return sliding_counts(ds)
 
 
+def q_rollup_docs(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) in ONE corpus pass: per-batch
+    partials for every level, a single levels-x-combos shuffle, NULs
+    back to NULLs, lvl = the SQL GROUPING() bitmask."""
+    from parquetjs_ray.functions.groupops import rollup_aggregate
+
+    return rollup_aggregate(
+        _docs(sf_dir).select_columns(["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        value="n_chars",
+    )
+
+
 def q_running_totals_events(sf_dir: str):
     """Per-user running COUNT and SUM(event_id) in event-time order (the
     cumulative-window shape) via the hot-key-proof two-phase
@@ -1356,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_segment": q_events_by_segment,
         "session_windows_events": q_session_windows_events,
         "running_totals_events": q_running_totals_events,
+        "rollup_docs": q_rollup_docs,
         "sliding_counts_events": q_sliding_counts_events,
         "langid_docs": q_langid_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1591,6 +1605,13 @@ def oracle_sql() -> dict[str, str]:
             "      ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
             "SELECT user_id, min(t) AS session_start_us, count(*) AS n_events "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "rollup_docs": (
+            "SELECT source, lang, "
+            "CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS lvl, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_v "
+            "FROM documents GROUP BY ROLLUP(source, lang)"
         ),
         "running_totals_events": (
             "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "

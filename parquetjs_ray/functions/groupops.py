@@ -18,8 +18,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["group_top_k"]
+__all__ = ["group_top_k", "rollup_aggregate"]
 
 
 def _topk_per_key(
@@ -70,3 +71,64 @@ def group_top_k(
         .groupby(key_col)
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+_ROLLUP_SENTINEL = "\x00ALL"  # never a real key value (NUL byte)
+
+
+def rollup_aggregate(ds, keys: list[str], *, value: str):
+    """Multi-level ``GROUP BY ROLLUP(keys...)`` — COUNT and SUM(value)
+    at every rollup level — in ONE pass over the data.
+
+    Running N+1 separate groupbys scans the corpus N+1 times; here each
+    batch emits in-batch partials for EVERY level (full detail, then
+    each trailing-key rollup, then the grand total), so the data is read
+    once and the single shuffle carries only ``levels x distinct
+    combos`` partial rows. Rolled-up key slots carry a NUL-byte sentinel
+    through the (sentinel-free) shuffle and come back as real NULLs, and
+    ``lvl`` reproduces the SQL ``GROUPING()`` bitmask — so a DuckDB
+    ``GROUP BY ROLLUP`` reproduces the output bit-for-bit.
+
+    ``keys`` must be string columns (dimension columns); ``value`` must
+    be an integer column (exact 64-bit sums). Output: ``keys... , lvl,
+    n, sum_v``."""
+    from ray.data.aggregate import Sum
+
+    nk = len(keys)
+
+    def partials(b: pa.Table) -> pa.Table:
+        outs = []
+        for lvl in range(nk + 1):  # lvl trailing keys rolled up
+            cols = {}
+            for i, k in enumerate(keys):
+                if i < nk - lvl:
+                    cols[k] = b[k]
+                else:
+                    cols[k] = pa.array(
+                        np.full(b.num_rows, _ROLLUP_SENTINEL, object), pa.string()
+                    )
+            t = pa.table({**cols, "__v": b[value].cast(pa.int64())})
+            g = t.group_by(keys).aggregate([("__v", "sum"), ([], "count_all")])
+            g = g.append_column(
+                "__lvl", pa.array(np.full(g.num_rows, (1 << lvl) - 1, np.int64))
+            )
+            outs.append(g.select(keys + ["__lvl", "__v_sum", "count_all"]))
+        return pa.concat_tables(outs)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(keys + ["__lvl"])
+        .aggregate(Sum("count_all", alias_name="n"), Sum("__v_sum", alias_name="sum_v"))
+    )
+
+    def unsentinel(b: pa.Table) -> pa.Table:
+        for k in keys:
+            col = pc.if_else(
+                pc.equal(b[k], _ROLLUP_SENTINEL), pa.scalar(None, pa.string()), b[k]
+            )
+            b = b.set_column(b.schema.get_field_index(k), k, col)
+        return b.select(keys + ["__lvl", "n", "sum_v"]).rename_columns(
+            keys + ["lvl", "n", "sum_v"]
+        )
+
+    return agg.map_batches(unsentinel, batch_format="pyarrow")

@@ -1151,3 +1151,43 @@ def test_running_totals_multi_key(ray_session):
     assert got["cum_n"].tolist() == ref["cum_n"].tolist()
     assert got["cum_v"].tolist() == ref["cum_v"].tolist()
     assert got["ts_us"].tolist() == ref["ts"].tolist()
+
+
+def test_rollup_aggregate(ray_session):
+    """rollup_aggregate == GROUP BY ROLLUP: every level exact, lvl is
+    the GROUPING bitmask, rolled-up slots are real NULLs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import rollup_aggregate
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 4000),
+            "b": rng.choice(["p", "q"], 4000),
+            "v": rng.integers(-50, 50, 4000).astype(np.int64),
+        }
+    )
+    got = (
+        rollup_aggregate(rd.from_pandas(df).repartition(5), ["a", "b"], value="v")
+        .to_pandas()
+        .sort_values(["lvl", "a", "b"])
+        .reset_index(drop=True)
+    )
+    # reference: three pandas groupbys
+    full = df.groupby(["a", "b"])["v"].agg(["count", "sum"]).reset_index()
+    bya = df.groupby("a")["v"].agg(["count", "sum"]).reset_index()
+    total = pd.DataFrame({"count": [len(df)], "sum": [df["v"].sum()]})
+    assert len(got) == len(full) + len(bya) + 1
+    g0 = got[got["lvl"] == 0].reset_index(drop=True)
+    assert g0["n"].tolist() == full["count"].tolist()
+    assert g0["sum_v"].tolist() == full["sum"].tolist()
+    g1 = got[got["lvl"] == 1].reset_index(drop=True)
+    assert g1["b"].isna().all() and g1["a"].notna().all()
+    assert g1["n"].tolist() == bya["count"].tolist()
+    assert g1["sum_v"].tolist() == bya["sum"].tolist()
+    g3 = got[got["lvl"] == 3]
+    assert len(g3) == 1 and g3["a"].isna().all() and g3["b"].isna().all()
+    assert g3["n"].iloc[0] == total["count"].iloc[0]
+    assert g3["sum_v"].iloc[0] == total["sum"].iloc[0]

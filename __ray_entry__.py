@@ -776,6 +776,19 @@ def q_sliding_counts_events(sf_dir: str):
     return sliding_counts(ds)
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): per-batch pair dedup combiner, one
+    distinct-pair shuffle, pair-sized recount."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_count_distinct
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return group_count_distinct(ds, "event_type", "user_id")
+
+
 def q_rollup_docs(sf_dir: str):
     """GROUP BY ROLLUP(source, lang) in ONE corpus pass: per-batch
     partials for every level, a single levels-x-combos shuffle, NULs
@@ -1370,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows_events": q_session_windows_events,
         "running_totals_events": q_running_totals_events,
         "rollup_docs": q_rollup_docs,
+        "distinct_users_by_type": q_distinct_users_by_type,
         "sliding_counts_events": q_sliding_counts_events,
         "langid_docs": q_langid_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1605,6 +1619,10 @@ def oracle_sql() -> dict[str, str]:
             "      ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
             "SELECT user_id, min(t) AS session_start_us, count(*) AS n_events "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY event_type"
         ),
         "rollup_docs": (
             "SELECT source, lang, "

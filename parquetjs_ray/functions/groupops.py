@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["group_top_k", "rollup_aggregate"]
+__all__ = ["group_top_k", "rollup_aggregate", "group_count_distinct"]
 
 
 def _topk_per_key(
@@ -70,6 +70,34 @@ def group_top_k(
         ds.map_batches(combine, batch_format="pyarrow")
         .groupby(key_col)
         .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def group_count_distinct(ds, key: str, value: str):
+    """Exact ``COUNT(DISTINCT value) GROUP BY key``.
+
+    Per-batch pair dedup first (``group_by([key, value])`` inside the
+    batch — the combiner), so the shuffle carries distinct (key, value)
+    pairs per batch, never raw rows; the global pair dedup is one
+    groupby, and the final per-key count reduces the pair-sized residue
+    with another in-batch combiner. Output: ``(key, n_distinct)``."""
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], value: b[value]})
+        return t.group_by([key, value]).aggregate([])
+
+    def per_key(b: pa.Table) -> pa.Table:
+        t = b.group_by([key]).aggregate([([], "count_all")])
+        return t.select([key, "count_all"])
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby([key, value])
+        .aggregate(Count(alias_name="__c"))  # one row per distinct pair
+        .map_batches(per_key, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("count_all", alias_name="n_distinct"))
     )
 
 

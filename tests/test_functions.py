@@ -1191,3 +1191,26 @@ def test_rollup_aggregate(ray_session):
     assert len(g3) == 1 and g3["a"].isna().all() and g3["b"].isna().all()
     assert g3["n"].iloc[0] == total["count"].iloc[0]
     assert g3["sum_v"].iloc[0] == total["sum"].iloc[0]
+
+
+def test_group_count_distinct(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_count_distinct
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], 8000),
+            "u": rng.integers(0, 300, 8000).astype(np.int64),
+        }
+    )
+    got = (
+        group_count_distinct(rd.from_pandas(df).repartition(6), "g", "u")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("g")["u"].nunique()
+    assert got["n_distinct"].tolist() == want.tolist()

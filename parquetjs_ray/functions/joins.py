@@ -371,6 +371,8 @@ def semi_join(
     anti: bool = False,
     broadcast_limit: int = 64 << 20,
     num_buckets: int | None = None,
+    bloom_prefilter: bool = True,
+    bloom_cap_bits: int = 1 << 27,
 ) -> rd.Dataset:
     """Semi-join (``anti=False``: keep left rows whose key appears on the
     right) or anti-join (``anti=True``: keep rows whose key does NOT) —
@@ -383,10 +385,20 @@ def semi_join(
     deduplicated int64 array, ``ray.put`` once, and the left side
     filters per batch with ``pc.is_in`` — ZERO shuffle, the 100 TB left
     side never moves.  Above the limit both sides hash-bucket like
-    :func:`equi_join` (projected key + row-id only on the left bucket
-    leg... here the whole row must survive, so the bucketed leg shuffles
-    the left rows once) and membership is a per-bucket ``np.isin``.
-    Keys must be integers (cast to int64), as in :func:`equi_join`."""
+    :func:`equi_join` (membership is a per-bucket ``np.isin``; here the
+    whole left row must survive, so the bucketed leg shuffles the left
+    rows once).
+
+    ``bloom_prefilter`` (bucketed path only) cuts that left shuffle: a
+    fixed-size Bloom filter of the right keys (10 bits/key up to
+    ``bloom_cap_bits``, built as mergeable per-batch partials and OR'd)
+    is broadcast once; bloom-NEGATIVE left rows are definitively
+    non-members — dropped before the shuffle in semi mode, emitted
+    DIRECTLY (no shuffle at all) in anti mode — so only true members
+    plus the ~1% false-positive band ever enter the exchange. False
+    positives are removed by the exact in-bucket verify; exactness is
+    unaffected. Keys must be non-null integers (cast to int64), as in
+    :func:`equi_join`."""
     if right.count() * 8 <= broadcast_limit:
         def distinct(b: pa.Table) -> pa.Table:
             k = b[right_on].cast(pa.int64()).combine_chunks()
@@ -413,6 +425,44 @@ def semi_join(
         num_buckets = auto_num_buckets(left, right, ltypes, {right_on: pa.int64()})
     nb = np.int64(num_buckets)
     lnames = list(lschema.names)
+
+    direct: rd.Dataset | None = None
+    if bloom_prefilter:
+        from parquetjs_ray.stages.bloom import _mix64, bloom_mask, build_bloom_fixed
+
+        m = 256
+        while m < right.count() * 10 and m < bloom_cap_bits:
+            m <<= 1
+
+        def partial_bloom(b: pa.Table) -> pa.Table:
+            k = b[right_on].cast(pa.int64()).combine_chunks()
+            h = _mix64(k.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+            return pa.table(
+                {"bloom": pa.array([build_bloom_fixed(h, m).tobytes()], pa.large_binary())}
+            )
+
+        buf = np.zeros(m >> 3, np.uint8)
+        for r in (
+            right.select_columns([right_on])
+            .map_batches(partial_bloom, batch_format="pyarrow")
+            .take_all()
+        ):
+            buf |= np.frombuffer(r["bloom"], np.uint8)
+        bloom_ref = ray.put(buf)
+
+        def _lkey_hashes(b: pa.Table) -> np.ndarray:
+            k = b[left_on].cast(pa.int64()).combine_chunks()
+            return _mix64(k.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+
+        def keep_maybe(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(bloom_mask(ray.get(bloom_ref), m, _lkey_hashes(b))))
+
+        def keep_definite_miss(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(~bloom_mask(ray.get(bloom_ref), m, _lkey_hashes(b))))
+
+        if anti:
+            direct = left.map_batches(keep_definite_miss, batch_format="pyarrow")
+        left = left.map_batches(keep_maybe, batch_format="pyarrow")
 
     def l_rows(b: pa.Table) -> pa.Table:
         k = b[left_on].cast(pa.int64()).combine_chunks()
@@ -446,7 +496,8 @@ def semi_join(
     unioned = left.map_batches(l_rows, batch_format="pyarrow").union(
         right.select_columns([right_on]).map_batches(r_rows, batch_format="pyarrow")
     )
-    return unioned.groupby("__b").map_groups(member, batch_format="pyarrow")
+    bucketed = unioned.groupby("__b").map_groups(member, batch_format="pyarrow")
+    return bucketed.union(direct) if direct is not None else bucketed
 
 
 def range_join_count(

@@ -37,7 +37,15 @@ import base64
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["column_hash", "scalar_hash", "build_bloom", "bloom_admits", "BLOOM_K"]
+__all__ = [
+    "column_hash",
+    "scalar_hash",
+    "build_bloom",
+    "bloom_admits",
+    "build_bloom_fixed",
+    "bloom_mask",
+    "BLOOM_K",
+]
 
 _U = np.uint64
 BLOOM_K = 4
@@ -131,6 +139,40 @@ def build_bloom(hashes: np.ndarray, tag: str, bits_per_key: int = 10) -> dict:
                 np.left_shift(np.uint8(1), (idx & _U(7)).astype(np.uint8)),
             )
     return {"m": m, "k": BLOOM_K, "t": tag, "b64": base64.b64encode(buf.tobytes()).decode()}
+
+
+def build_bloom_fixed(hashes: np.ndarray, m: int) -> np.ndarray:
+    """Bit array of EXACTLY ``m`` bits (power of two) as a uint8 buffer —
+    the mergeable form: partial filters built per batch with the same
+    ``m`` OR together into the filter of the union. Used by the
+    semi-join bloom pre-filter, where the size must be fixed up front
+    (from ``count()`` metadata) so distributed partials stay mergeable."""
+    assert m >= 8 and not (m & (m - 1))
+    buf = np.zeros(m >> 3, dtype=np.uint8)
+    if len(hashes):
+        mask = _U(m - 1)
+        h2 = _mix64(hashes ^ _H2_SALT) | _U(1)
+        for i in range(BLOOM_K):
+            idx = (hashes + _U(i) * h2) & mask
+            np.bitwise_or.at(
+                buf,
+                (idx >> _U(3)).astype(np.int64),
+                np.left_shift(np.uint8(1), (idx & _U(7)).astype(np.uint8)),
+            )
+    return buf
+
+
+def bloom_mask(buf: np.ndarray, m: int, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: boolean mask, True = might be in the
+    set (no false negatives)."""
+    mask = _U(m - 1)
+    h2 = _mix64(hashes ^ _H2_SALT) | _U(1)
+    ok = np.ones(len(hashes), dtype=bool)
+    for i in range(BLOOM_K):
+        idx = (hashes + _U(i) * h2) & mask
+        bits = buf[(idx >> _U(3)).astype(np.int64)] >> (idx & _U(7)).astype(np.uint8)
+        ok &= (bits & 1).astype(bool)
+    return ok
 
 
 def bloom_admits(bloom: dict, value) -> bool:

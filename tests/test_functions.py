@@ -992,7 +992,8 @@ def test_semi_join_broadcast_and_bucketed(ray_session):
             .sort_values(["k", "v"])
             .reset_index(drop=True)
         )
-        for blimit in (64 << 20, 0):  # broadcast path, then forced bucketed path
+        # broadcast path; bucketed+bloom (default); bucketed without bloom
+        for blimit, bloom in ((64 << 20, True), (0, True), (0, False)):
             got = (
                 semi_join(
                     rd.from_pandas(left).repartition(4),
@@ -1001,6 +1002,7 @@ def test_semi_join_broadcast_and_bucketed(ray_session):
                     right_on="rk",
                     anti=anti,
                     broadcast_limit=blimit,
+                    bloom_prefilter=bloom,
                 )
                 .to_pandas()
                 .sort_values(["k", "v"])
@@ -1214,3 +1216,24 @@ def test_group_count_distinct(ray_session):
     )
     want = df.groupby("g")["u"].nunique()
     assert got["n_distinct"].tolist() == want.tolist()
+
+
+def test_bloom_fixed_kernels():
+    """Mergeable fixed-size bloom: no false negatives, partial OR ==
+    whole-set filter, false-positive rate near the 10-bits/key design."""
+    from parquetjs_ray.stages.bloom import _mix64, bloom_mask, build_bloom_fixed
+
+    rng = np.random.default_rng(17)
+    keys = rng.choice(1 << 40, 20_000, replace=False).astype(np.int64)
+    h = _mix64(keys.view(np.uint64))
+    m = 256
+    while m < len(keys) * 10:
+        m <<= 1
+    whole = build_bloom_fixed(h, m)
+    merged = build_bloom_fixed(h[:7000], m) | build_bloom_fixed(h[7000:], m)
+    assert np.array_equal(whole, merged)
+    assert bloom_mask(whole, m, h).all()  # no false negatives
+    other = rng.choice(1 << 40, 50_000, replace=False).astype(np.int64)
+    other = other[~np.isin(other, keys)]
+    fp = bloom_mask(whole, m, _mix64(other.view(np.uint64))).mean()
+    assert fp < 0.05  # k=4 @ >=10 bits/key designs to ~1.2%

@@ -130,6 +130,51 @@ def q_dedup_exact_docs(sf_dir: str):
     return exact_dedup(_docs(sf_dir), text_col="text", id_col="doc_id")
 
 
+def q_dedup_incremental_docs(sf_dir: str):
+    """Incremental-ingestion dedup: a re-crawl of the FULL corpus
+    arrives as the 'new batch' and is checked against the
+    already-curated 'history' (the 80% with doc_id % 5 != 0); only
+    content history has never seen survives — here the 20% whose text
+    history lacks, dropped by content fingerprint, not by id. Both
+    sides reduce to 64-bit fingerprints in map_batches; membership is
+    the Bloom-prefiltered anti semi-join — the text never shuffles
+    (``functions/dedup.py:dedup_against_corpus``)."""
+    import numpy as np
+
+    from parquetjs_ray.functions.dedup import dedup_against_corpus
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 5 != 0))
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+    history = docs.map_batches(hist_part, batch_format="pyarrow")
+    return dedup_against_corpus(docs, history).select_columns(["doc_id", "source"])
+
+
+def q_reservoir_sample_sources(sf_dir: str):
+    """EXACT k-per-source deterministic sample (hash-rank reservoir):
+    the 12 docs with the smallest mix64(doc_id) in every source — the
+    'exactly-N eval docs per stratum' carve-out, reproducible across
+    runs/resumes/cluster sizes, shuffling candidate winners only
+    (``functions/sampling.py:reservoir_per_group``)."""
+    from parquetjs_ray.functions.sampling import reservoir_per_group
+
+    return reservoir_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source"]), 12
+    )
+
+
+def q_bigram_lm_docs(sf_dir: str):
+    """Count-based bigram LM scoring (the CCNet/KenLM perplexity-filter
+    shape in exact integer form): per doc, the sum over its word-bigram
+    occurrences of that bigram's corpus-wide count. Two pair-sized
+    shuffles; the text never moves (``functions/lm.py``)."""
+    from parquetjs_ray.functions.lm import bigram_lm_score
+
+    return bigram_lm_score(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def q_token_count_docs(sf_dir: str):
     """Whitespace token count per doc (text-analysis op), integer-exact."""
     import pyarrow.compute as pc
@@ -1354,6 +1399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selector_stats_events": q_selector_stats_events,
         "distinct_cardinalities": q_distinct_cardinalities,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_incremental_docs": q_dedup_incremental_docs,
+        "reservoir_sample_sources": q_reservoir_sample_sources,
+        "bigram_lm_docs": q_bigram_lm_docs,
         "token_count_docs": q_token_count_docs,
         "bpe_token_count_docs": q_bpe_token_count_docs,
         "df_score_docs": q_df_score_docs,
@@ -1434,6 +1482,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "dedup_incremental_docs": (
+            "SELECT n.doc_id, n.source FROM documents n "
+            "WHERE NOT EXISTS (SELECT 1 FROM documents h "
+            "WHERE h.doc_id % 5 <> 0 AND h.text = n.text)"
+        ),
+        "reservoir_sample_sources": (
+            f"WITH {_sample_hash_ctes()} "
+            "SELECT doc_id, source FROM h5 "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY x) <= 12"
+        ),
+        "bigram_lm_docs": (
+            # bigram occurrences per doc joined with corpus-wide counts;
+            # integer-exact (see functions/lm.py module docstring)
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "b AS (SELECT doc_id, unnest(list_transform(range(1, length(w)), "
+            "i -> w[i] || ' ' || w[i+1])) AS bg FROM t), "
+            "c AS (SELECT bg, count(*) AS total FROM b GROUP BY bg) "
+            "SELECT b.doc_id, count(*)::BIGINT AS n_bigrams, "
+            "sum(c.total)::BIGINT AS lm_score "
+            "FROM b JOIN c USING (bg) GROUP BY b.doc_id"
         ),
         "corpus_clean_encode": (
             # the Ray side groups by 64-bit content fingerprint (collision-

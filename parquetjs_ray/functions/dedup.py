@@ -31,6 +31,7 @@ from .text import fingerprint64
 
 __all__ = [
     "exact_dedup",
+    "dedup_against_corpus",
     "ngram_jaccard",
     "minhash_signatures",
     "minhash_dedup",
@@ -78,6 +79,60 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
         .select_columns([id_col, "n_copies"])
     )
+
+
+def dedup_against_corpus(
+    new: rd.Dataset,
+    history: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 64 << 20,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Incremental-ingestion dedup: keep the rows of ``new`` whose
+    content does NOT already exist in ``history`` (the already-curated
+    corpus). The continuous-crawl shape: every ingestion batch is
+    checked against the historical fingerprint set, so re-crawled /
+    mirrored pages never re-enter the training corpus.
+
+    Ray-Data-first composition, no new shuffle machinery:
+
+    * both sides reduce to 64-bit content fingerprints inside
+      ``map_batches`` (the text itself never enters any exchange);
+    * the history side additionally pre-dedups fingerprints per batch
+      (a combiner — history dup clusters collapse before the join);
+    * membership is :func:`~parquetjs_ray.functions.joins.semi_join`
+      with ``anti=True``: history fingerprint sets that fit
+      ``broadcast_limit`` are broadcast once (``ray.put``) and ``new``
+      filters per batch with ZERO shuffle; above the limit both sides
+      hash-bucket, with a Bloom prefilter so definitively-novel rows
+      (the common case in a healthy crawl) skip the exchange entirely.
+
+    Fingerprint collisions (~n²/2⁶⁵) would drop a novel doc; at corpus
+    scales where that matters, raise to a 128-bit pair the same way the
+    MinHash verify stage does. Rows of ``new`` keep ALL their columns.
+    """
+    from .joins import semi_join
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fp = fingerprint64(batch[text_col])
+        return batch.append_column("__fp", pa.array(fp.view(np.int64)))
+
+    def hist_fps(batch: pa.Table) -> pa.Table:
+        fp = np.unique(fingerprint64(batch[text_col]))
+        return pa.table({"__fp": pa.array(fp.view(np.int64))})
+
+    survivors = semi_join(
+        new.map_batches(add_fp, batch_format="pyarrow"),
+        history.map_batches(hist_fps, batch_format="pyarrow"),
+        left_on="__fp",
+        right_on="__fp",
+        anti=True,
+        broadcast_limit=broadcast_limit,
+        num_buckets=num_buckets,
+    )
+    return survivors.drop_columns(["__fp"])
 
 
 def ngram_jaccard(

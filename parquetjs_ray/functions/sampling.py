@@ -29,6 +29,7 @@ __all__ = [
     "temperature_mix",
     "epoch_shuffle",
     "assign_splits",
+    "reservoir_per_group",
 ]
 
 _U = np.uint64
@@ -206,3 +207,64 @@ def epoch_shuffle(ds, *, key_col: str = "doc_id", seed: int = 0, key_out: str = 
         return b.append_column(key_out, pa.array(h))
 
     return ds.map_batches(keyed, batch_format="pyarrow").sort(key_out)
+
+
+def reservoir_per_group(
+    ds,
+    k: int,
+    *,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    seed: int = 0,
+):
+    """EXACT-size deterministic sample: the ``k`` rows with the smallest
+    ``mix64(key + seed·GOLDEN)`` per group — the distributed equivalent
+    of per-stratum reservoir sampling, but reproducible (same seed →
+    byte-identical sample across runs, resumes and cluster sizes,
+    unlike a stateful reservoir). Rate-based :func:`stratified_sample`
+    only hits its target IN EXPECTATION; this hits it exactly — the
+    shape needed for "exactly 10k eval docs per language" carve-outs.
+
+    Two-phase, bounded shuffle:
+
+    1. per-batch combiner: hash-rank rows within each group present in
+       the batch and keep that batch's local top-``k`` (vectorized
+       lexsort + run-rank, no Python per group) — at most ``k`` rows
+       per (group × batch) survive;
+    2. ``groupby(group).map_groups`` merges local winners: each final
+       group holds ≤ k × n_batches_with_that_group rows (kilobytes for
+       any realistic ``k``), so the shuffle moves candidate winners
+       only, never the corpus.
+
+    Keys must be unique across the dataset (mix64 is bijective, so
+    ranks never tie and the sample is a deterministic function of the
+    key set alone — independent of block layout)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    salt = _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        h = _mix64(ids.astype(np.uint64) + salt)
+        g = pc.dictionary_encode(batch[group_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort((h, g))
+        gs = g[order]
+        run_start = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        run_len = np.diff(np.concatenate((run_start, [len(gs)])))
+        rank = np.arange(len(gs)) - np.repeat(run_start, run_len)
+        keep = np.zeros(len(gs), dtype=bool)
+        keep[order[rank < k]] = True
+        return batch.append_column("__h", pa.array(h)).filter(pa.array(keep))
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        h = group["__h"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(h, kind="stable")[:k]
+        return group.take(pa.array(np.sort(idx))).drop_columns(["__h"])
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

@@ -1237,3 +1237,100 @@ def test_bloom_fixed_kernels():
     other = other[~np.isin(other, keys)]
     fp = bloom_mask(whole, m, _mix64(other.view(np.uint64))).mean()
     assert fp < 0.05  # k=4 @ >=10 bits/key designs to ~1.2%
+
+
+def _incr_corpus():
+    rng = np.random.default_rng(11)
+    hist_texts = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "eps"], size=8).tolist())
+        + f" h{i}"
+        for i in range(60)
+    ]
+    # new batch: 20 novel docs + 15 verbatim re-crawls of history docs
+    new_texts = [
+        " ".join(rng.choice(["zeta", "eta", "theta", "iota"], size=8).tolist()) + f" n{i}"
+        for i in range(20)
+    ] + [hist_texts[i * 3] for i in range(15)]
+    hist = pa.table(
+        {
+            "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+            "text": pa.array(hist_texts),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1000, 1000 + len(new_texts), dtype=np.int64)),
+            "text": pa.array(new_texts),
+        }
+    )
+    return new, hist
+
+
+def test_dedup_against_corpus_broadcast_path(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import dedup_against_corpus
+
+    new, hist = _incr_corpus()
+    got = dedup_against_corpus(rd.from_arrow(new), rd.from_arrow(hist)).take_all()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == list(range(1000, 1020))  # novel docs survive, re-crawls drop
+    assert all(set(r) == {"doc_id", "text"} for r in got)  # columns intact
+
+
+def test_dedup_against_corpus_bucketed_path_agrees(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import dedup_against_corpus
+
+    new, hist = _incr_corpus()
+    got = dedup_against_corpus(
+        rd.from_arrow(new).repartition(7),
+        rd.from_arrow(hist).repartition(5),
+        broadcast_limit=0,  # force the Bloom-prefiltered bucketed anti-join
+        num_buckets=4,
+    ).take_all()
+    assert sorted(r["doc_id"] for r in got) == list(range(1000, 1020))
+
+
+def test_bigram_lm_score_matches_python(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.lm import bigram_lm_score
+
+    rng = np.random.default_rng(5)
+    texts = [
+        " ".join(rng.choice(["the", "cat", "sat", "on", "mat", "dog"], size=int(n)).tolist())
+        for n in rng.integers(1, 12, size=120)
+    ]
+    texts.append("solo")          # 1 word -> no bigrams -> no output row
+    texts.append("very very very")  # repeated bigram: occurrences counted
+    tbl = _doc_table(texts)
+
+    from collections import Counter
+
+    corpus = Counter()
+    per_doc = []
+    for t in texts:
+        w = t.split(" ")
+        bgs = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        per_doc.append(bgs)
+        corpus.update(bgs)
+    want = {
+        i: (len(bgs), sum(corpus[b] for b in bgs)) for i, bgs in enumerate(per_doc) if bgs
+    }
+
+    for kwargs in ({}, {"__force_bucketed": True}):
+        if kwargs:
+            import parquetjs_ray.functions.lm as lm_mod
+
+            old = lm_mod._BROADCAST_TOTALS_BYTES
+            lm_mod._BROADCAST_TOTALS_BYTES = 0  # force the equi_join leg
+            try:
+                got = bigram_lm_score(rd.from_arrow(tbl).repartition(9)).take_all()
+            finally:
+                lm_mod._BROADCAST_TOTALS_BYTES = old
+        else:
+            got = bigram_lm_score(rd.from_arrow(tbl)).take_all()
+        res = {r["doc_id"]: (r["n_bigrams"], r["lm_score"]) for r in got}
+        assert res == want

@@ -160,3 +160,49 @@ def test_epoch_shuffle_deterministic_permutation(ray_session):
     assert a != c                     # different seed → different order
     assert sorted(a) == sorted(c) == list(range(500))  # a permutation
     assert a != list(range(500))      # actually shuffled
+
+
+def test_reservoir_per_group_exact_k_and_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import _mix64, reservoir_per_group
+
+    t = _corpus(n=1200, n_sources=5)
+    got = reservoir_per_group(rd.from_arrow(t), 17, group_col="source").take_all()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(int(r["doc_id"]))
+    assert set(by_src) == {f"s{i}" for i in range(5)}
+    # exactly k per group, and exactly the k smallest mix64 ranks
+    ids = np.asarray(t["doc_id"])
+    src = np.asarray(t["source"]).astype(str)
+    h = _mix64(ids.astype(np.uint64))
+    for s, members in by_src.items():
+        assert len(members) == 17
+        want = set(ids[src == s][np.argsort(h[src == s])][:17].tolist())
+        assert set(members) == want
+    # block-layout invariance: different partitioning, same sample
+    again = reservoir_per_group(
+        rd.from_arrow(t).repartition(13), 17, group_col="source"
+    ).take_all()
+    assert sorted((r["source"], r["doc_id"]) for r in again) == sorted(
+        (r["source"], r["doc_id"]) for r in got
+    )
+
+
+def test_reservoir_per_group_small_groups(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import reservoir_per_group
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(7, dtype=np.int64)),
+            "source": pa.array(["a"] * 5 + ["b"] * 2),
+        }
+    )
+    got = reservoir_per_group(rd.from_arrow(t), 3, group_col="source").take_all()
+    counts = {}
+    for r in got:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    assert counts == {"a": 3, "b": 2}  # groups smaller than k keep all rows

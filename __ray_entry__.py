@@ -175,6 +175,33 @@ def q_bigram_lm_docs(sf_dir: str):
     return bigram_lm_score(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_budget_sample_docs(sf_dir: str):
+    """Per-source token-budget carve-out: keep docs in mix64-hash order
+    until 2500 cumulative chars per source — 'exactly ~B training
+    tokens per source'. Distributed ordered prefix scan (two-level:
+    hash-bucket partial sums, driver offsets over bucket summaries,
+    bounded per-bucket cumsum); deterministic across layouts
+    (``functions/sampling.py:budget_sample``)."""
+    from parquetjs_ray.functions.sampling import budget_sample
+
+    return budget_sample(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        2500,
+        len_col="n_chars",
+    ).select_columns(["doc_id", "source"])
+
+
+def q_normalize_docs(sf_dir: str):
+    """Canonical text cleanup (whitespace collapse → trim → case
+    fold), three Arrow kernels, byte-exact vs the SQL replica
+    (``functions/text.py:normalize_batch``)."""
+    from parquetjs_ray.functions.text import normalize_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        lambda b: normalize_batch(b).drop_columns(["text"]), batch_format="pyarrow"
+    )
+
+
 def q_token_count_docs(sf_dir: str):
     """Whitespace token count per doc (text-analysis op), integer-exact."""
     import pyarrow.compute as pc
@@ -1402,6 +1429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_docs": q_dedup_incremental_docs,
         "reservoir_sample_sources": q_reservoir_sample_sources,
         "bigram_lm_docs": q_bigram_lm_docs,
+        "budget_sample_docs": q_budget_sample_docs,
+        "normalize_docs": q_normalize_docs,
         "token_count_docs": q_token_count_docs,
         "bpe_token_count_docs": q_bpe_token_count_docs,
         "df_score_docs": q_df_score_docs,
@@ -1492,6 +1521,19 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_sample_hash_ctes()} "
             "SELECT doc_id, source FROM h5 "
             "QUALIFY row_number() OVER (PARTITION BY source ORDER BY x) <= 12"
+        ),
+        "budget_sample_docs": (
+            f"WITH {_sample_hash_ctes()} "
+            "SELECT doc_id, source FROM ("
+            "SELECT h5.doc_id, h5.source, "
+            "sum(d.n_chars) OVER (PARTITION BY h5.source ORDER BY h5.x) AS cum "
+            "FROM h5 JOIN documents d USING (doc_id)) WHERE cum <= 2500"
+        ),
+        "normalize_docs": (
+            r"SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) "
+            "AS norm_text, "
+            r"length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')))::BIGINT "
+            "AS n_chars_norm FROM documents"
         ),
         "bigram_lm_docs": (
             # bigram occurrences per doc joined with corpus-wide counts;

@@ -30,6 +30,7 @@ __all__ = [
     "epoch_shuffle",
     "assign_splits",
     "reservoir_per_group",
+    "budget_sample",
 ]
 
 _U = np.uint64
@@ -268,3 +269,96 @@ def reservoir_per_group(
         .groupby(group_col)
         .map_groups(merge_topk, batch_format="pyarrow")
     )
+
+
+def budget_sample(
+    ds,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    len_col: str = "n_tok",
+    seed: int = 0,
+    bucket_bits: int = 10,
+):
+    """Token-budget carve-out: per group, keep documents in mix64-hash
+    order until their cumulative ``len_col`` reaches ``budget`` — "give
+    me exactly ~B training tokens per source", the budgeted analogue of
+    :func:`reservoir_per_group` (which counts docs, not tokens).
+    Deterministic: same seed → byte-identical selection across runs,
+    resumes and cluster sizes.
+
+    The cumulative sum needs an ORDERED prefix scan, which Ray Data has
+    no primitive for — same two-level scan as
+    :func:`~parquetjs_ray.functions.packing.pack_sequences`, keyed by
+    hash instead of id:
+
+    1. bucket rows by the TOP ``bucket_bits`` bits of ``mix64(id)``
+       (order-preserving in hash space, uniformly sized by mix64's
+       avalanche); per-(group, bucket) partial sums shuffle as a
+       #buckets-sized aggregate, kilobytes at any corpus size;
+    2. one driver pass over bucket summaries computes each bucket's
+       exclusive starting offset — buckets that BEGIN past the budget
+       are dropped wholesale before any row work;
+    3. ``groupby(group, bucket).map_groups`` sorts each bounded bucket
+       by hash, adds its offset to the local inclusive cumsum, and
+       keeps rows with ``cum <= budget``.
+
+    A doc straddling the boundary is dropped (conservative: the output
+    never exceeds ``budget``). Keys must be unique."""
+    import ray
+
+    salt = _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF)
+    shift = _U(64 - bucket_bits)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        h = _mix64(ids.astype(np.uint64) + salt)
+        return batch.append_column("__h", pa.array(h)).append_column(
+            "__bk", pa.array((h >> shift).astype(np.int64))
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "__bk": batch["__bk"],
+                "__len": batch[len_col].cast(pa.int64()),
+            }
+        )
+        return t.group_by([group_col, "__bk"]).aggregate([("__len", "sum")])
+
+    src = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    sums = (
+        src.map_batches(combine, batch_format="pyarrow")
+        .groupby([group_col, "__bk"])
+        .sum("__len_sum")
+        .take_all()
+    )
+    sums.sort(key=lambda r: (r[group_col], r["__bk"]))
+    offsets: dict[tuple, int] = {}
+    run_grp, run = None, 0
+    for r in sums:
+        if r[group_col] != run_grp:
+            run_grp, run = r[group_col], 0
+        if run <= budget:  # buckets starting past the budget never ship
+            offsets[(r[group_col], r["__bk"])] = run
+        run += int(r["sum(__len_sum)"])
+    off_ref = ray.put(offsets)
+
+    def take_within(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        if not group.num_rows:
+            return group.drop_columns(["__h", "__bk"])
+        key = (group[group_col][0].as_py(), group["__bk"][0].as_py())
+        base = offs.get(key)
+        if base is None:
+            return group.slice(0, 0).drop_columns(["__h", "__bk"])
+        h = group["__h"].to_numpy(zero_copy_only=False)
+        lens = group[len_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        cum = base + np.cumsum(lens[order])
+        keep_sorted = order[cum <= budget]
+        return group.take(pa.array(np.sort(keep_sorted))).drop_columns(["__h", "__bk"])
+
+    return src.groupby([group_col, "__bk"]).map_groups(take_within, batch_format="pyarrow")

@@ -23,6 +23,7 @@ __all__ = [
     "langid_batch",
     "collapse_repeats_batch",
     "chunk_windows_batch",
+    "normalize_batch",
 ]
 
 _U = np.uint64
@@ -200,3 +201,33 @@ def langid_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     hit = scores.max(axis=0) > 0
     pred = np.where(hit, np.array(langs, dtype=object)[best], "und")
     return batch.append_column("lang_pred", pa.array(pred.tolist(), type=pa.string()))
+
+
+def normalize_batch(
+    batch: pa.Table, column: str = "text", out_col: str = "norm_text",
+    unicode_form: str | None = None,
+) -> pa.Table:
+    """Canonical text-cleanup pass (the pre-dedup normalization step of
+    a web-corpus pipeline): whitespace runs collapsed to single spaces
+    → edge-space trim → case fold. Three Arrow kernels over the
+    column's utf8 buffers, zero Python per row; every step has an exact
+    DuckDB replica (regexp_replace — both engines run RE2 — / trim /
+    lower), so the op is oracle-checkable byte-for-byte. Appends
+    ``out_col`` and its codepoint length ``n_chars_norm``.
+
+    ``unicode_form`` optionally prepends ``pc.utf8_normalize``; NOT in
+    the default pipeline (and excluded from the SQL contract) because
+    pyarrow 16's kernel only DECOMPOSES — every form, including "NFC",
+    returns NFD-shaped output (utf8proc's compose pass isn't wired up),
+    so it cannot match DuckDB's composing nfc_normalize."""
+    s = batch[column]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    if unicode_form is not None:
+        s = pc.utf8_normalize(s, form=unicode_form)
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    s = pc.utf8_trim(s, " ")
+    s = pc.utf8_lower(s)
+    return batch.append_column(out_col, s).append_column(
+        "n_chars_norm", pc.utf8_length(s).cast(pa.int64())
+    )

@@ -1334,3 +1334,18 @@ def test_bigram_lm_score_matches_python(ray_session):
             got = bigram_lm_score(rd.from_arrow(tbl)).take_all()
         res = {r["doc_id"]: (r["n_bigrams"], r["lm_score"]) for r in got}
         assert res == want
+
+
+def test_normalize_batch_kernels():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["  Hello\t\tWorld \n", "Café  X", ""]),
+        }
+    )
+    out = text.normalize_batch(t)
+    # the fixture's é is DECOMPOSED (e + U+0301) and passes through
+    # untouched: default normalize_batch does no unicode re-composition
+    # (pyarrow 16's utf8_normalize cannot compose; see the op docstring)
+    assert out["norm_text"].to_pylist() == ["hello world", "café x", ""]
+    assert out["n_chars_norm"].to_pylist() == [11, 7, 0]

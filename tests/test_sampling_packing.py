@@ -206,3 +206,51 @@ def test_reservoir_per_group_small_groups(ray_session):
     for r in got:
         counts[r["source"]] = counts.get(r["source"], 0) + 1
     assert counts == {"a": 3, "b": 2}  # groups smaller than k keep all rows
+
+
+def test_budget_sample_exact_vs_numpy_and_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import _mix64, budget_sample
+
+    t = _corpus(n=900, n_sources=3)
+    budget = 6000
+    got = budget_sample(rd.from_arrow(t), budget, len_col="n_tok").take_all()
+
+    ids = np.asarray(t["doc_id"])
+    src = np.asarray(t["source"]).astype(str)
+    lens = np.asarray(t["n_tok"])
+    h = _mix64(ids.astype(np.uint64))
+    want = set()
+    for s in np.unique(src):
+        m = src == s
+        order = np.argsort(h[m], kind="stable")
+        cum = np.cumsum(lens[m][order])
+        want |= set(ids[m][order[cum <= budget]].tolist())
+    assert {int(r["doc_id"]) for r in got} == want
+    # cumulative length per source never exceeds the budget
+    per_src = {}
+    for r in got:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + int(r["n_tok"])
+    assert all(v <= budget for v in per_src.values())
+    # layout invariance + bucket-width invariance
+    again = budget_sample(
+        rd.from_arrow(t).repartition(13), budget, len_col="n_tok", bucket_bits=4
+    ).take_all()
+    assert {int(r["doc_id"]) for r in again} == want
+
+
+def test_budget_sample_budget_smaller_than_any_doc(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import budget_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+            "source": pa.array(["a"] * 5),
+            "n_tok": pa.array(np.full(5, 100, np.int64)),
+        }
+    )
+    got = budget_sample(rd.from_arrow(t), 99, len_col="n_tok").take_all()
+    assert got == []  # boundary-straddling docs are dropped, never split

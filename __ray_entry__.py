@@ -274,6 +274,57 @@ def q_encode_roundtrip_fruits(sf_dir: str):
     )
 
 
+def q_encode_roundtrip_embeddings(sf_dir: str):
+    """Float-list payload through the engine: the embeddings table
+    (vec_id int64, embedding list<float32>, label int32) encodes →
+    decodes → compares BIT-exact (uint32-viewed), proving the
+    list-shredded float path (r/d levels + byte-stream-split best-of)
+    is lossless end to end. Rows-only check: not SQL-expressible."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    outdir = os.path.join(
+        tempfile.gettempdir(), f"parquetjs_ray_embart_{tag}_v{FORMAT_VERSION}"
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(os.path.join(outdir, "_MANIFEST.json")):
+        encode_dataset(
+            [src], outdir, mode="files", target_rows_per_partition=2_000,
+            sample_rows=50_000, id_col="vec_id", source_col=None,
+        )
+    import ray
+
+    orig = pq.read_table(src).sort_by("vec_id").combine_chunks()
+    # result is query-sized here; at corpus scale the compare itself
+    # would run distributed (join on vec_id inside map_batches)
+    back = (
+        pa.concat_tables([ray.get(r) for r in decode_dataset(outdir).to_arrow_refs()])
+        .select(orig.column_names)
+        .sort_by("vec_id")
+        .combine_chunks()
+    )
+    ids = np.asarray(orig["vec_id"])
+    ok = np.zeros(len(ids), dtype=bool)
+    if back.num_rows == orig.num_rows and np.array_equal(np.asarray(back["vec_id"]), ids):
+        o_emb, b_emb = orig["embedding"].combine_chunks(), back["embedding"].combine_chunks()
+        same_off = np.array_equal(np.asarray(o_emb.offsets), np.asarray(b_emb.offsets))
+        vals_o = np.asarray(o_emb.values).view(np.uint32)
+        vals_b = np.asarray(b_emb.values).view(np.uint32)
+        if same_off and len(vals_o) == len(vals_b):
+            # per-row bit-exactness: reduce flat inequality over each row's span
+            diff = vals_o != vals_b
+            offs = np.asarray(o_emb.offsets).astype(np.int64)
+            row_bad = np.add.reduceat(diff, offs[:-1]) if len(diff) else np.zeros(len(ids))
+            row_bad = np.where(np.diff(offs) == 0, 0, row_bad)  # empty rows are equal
+            lab_ok = np.asarray(orig["label"]) == np.asarray(back["label"])
+            ok = (row_bad == 0) & lab_ok
+    return pd.DataFrame({"vec_id": ids, "equal": ok})
+
+
 def _docs_artifact(sf_dir: str) -> str:
     """Encode the documents table ONCE per sf_dir (cached like the IVF
     index) so the pruned-read queries exercise the real decode path."""
@@ -1437,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
+        "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
         "point_lookup_docs": q_point_lookup_docs,
         "shared_ngram_docs": q_shared_ngram_docs,
         "remove_spans_docs": q_remove_spans_docs,

@@ -2107,3 +2107,49 @@ def test_row_hashes_nested_vectorized_no_python_fallback():
     fb = np.concatenate([V.row_hashes(fr.slice(i, 5)) for i in range(0, fr.num_rows, 5)])
     assert np.array_equal(fa, fb)
     assert V._REPR_FALLBACK_CALLS == before
+
+
+def test_encode_roundtrip_float_list_bitexact(ray_session, tmp_path):
+    """list<float32> payload (the embeddings shape) survives encode →
+    decode BIT-exact — the lossless float-path guarantee the
+    encode_roundtrip_embeddings driver query relies on."""
+    import pyarrow.parquet as pq
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_dataset
+
+    rng = np.random.default_rng(3)
+    n, dim = 800, 24
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # adversarial float payloads: denormals, signed zeros, inf, NaN
+    vecs[0, :4] = [np.float32(1e-42), np.float32(-0.0), np.inf, -np.inf]
+    vecs[1, 0] = np.nan
+    lens = rng.integers(1, dim + 1, size=n)
+    lens[2] = 0  # an empty list row
+    flat = np.concatenate([vecs[i, : lens[i]] for i in range(n)])
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+            "label": pa.array(rng.integers(0, 9, size=n).astype(np.int32)),
+        }
+    )
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, src)
+    outdir = str(tmp_path / "art")
+    encode_dataset(
+        [src], outdir, mode="files", target_rows_per_partition=200,
+        sample_rows=2_000, id_col="vec_id", source_col=None,
+    )
+    import ray
+
+    back = pa.concat_tables(
+        [ray.get(r) for r in decode_dataset(outdir).to_arrow_refs()]
+    ).select(tbl.column_names).sort_by("vec_id").combine_chunks()
+    assert back.num_rows == n
+    o, b = tbl["embedding"].combine_chunks(), back["embedding"].combine_chunks()
+    assert np.array_equal(np.asarray(o.offsets), np.asarray(b.offsets))
+    assert np.array_equal(
+        np.asarray(o.values).view(np.uint32), np.asarray(b.values).view(np.uint32)
+    )  # bitwise: NaN payloads, signed zeros, denormals all preserved
+    assert np.array_equal(np.asarray(tbl["label"]), np.asarray(back["label"]))

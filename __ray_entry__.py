@@ -202,6 +202,18 @@ def q_normalize_docs(sf_dir: str):
     )
 
 
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality signals (top-word / dup-word /
+    top-bigram fractions ×1000, all integer) — the template-spam and
+    degeneration filters; one vectorized pass, zero shuffle
+    (``functions/text.py:repetition_signals_batch``)."""
+    from parquetjs_ray.functions.text import repetition_signals_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        repetition_signals_batch, batch_format="pyarrow"
+    )
+
+
 def q_token_count_docs(sf_dir: str):
     """Whitespace token count per doc (text-analysis op), integer-exact."""
     import pyarrow.compute as pc
@@ -1482,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_docs": q_bigram_lm_docs,
         "budget_sample_docs": q_budget_sample_docs,
         "normalize_docs": q_normalize_docs,
+        "repetition_docs": q_repetition_docs,
         "token_count_docs": q_token_count_docs,
         "bpe_token_count_docs": q_bpe_token_count_docs,
         "df_score_docs": q_df_score_docs,
@@ -1580,6 +1593,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT h5.doc_id, h5.source, "
             "sum(d.n_chars) OVER (PARTITION BY h5.source ORDER BY h5.x) AS cum "
             "FROM h5 JOIN documents d USING (doc_id)) WHERE cum <= 2500"
+        ),
+        "repetition_docs": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "u AS (SELECT doc_id, unnest(w) AS word FROM t), "
+            "pw AS (SELECT doc_id, word, count(*) AS c FROM u GROUP BY doc_id, word), "
+            "wc AS (SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct, "
+            "max(c)::BIGINT AS topw FROM pw GROUP BY doc_id), "
+            "b AS (SELECT doc_id, unnest(list_transform(range(1, length(w)), "
+            "i -> w[i] || ' ' || w[i+1])) AS bg FROM t), "
+            "pb AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg), "
+            "bc AS (SELECT doc_id, sum(c)::BIGINT AS n_bg, max(c)::BIGINT AS topb "
+            "FROM pb GROUP BY doc_id) "
+            "SELECT wc.doc_id, wc.n_words, "
+            "(wc.topw * 1000) // wc.n_words AS top_word_frac_x1000, "
+            "((wc.n_words - wc.n_distinct) * 1000) // wc.n_words AS dup_word_frac_x1000, "
+            "coalesce((bc.topb * 1000) // greatest(bc.n_bg, 1), 0)::BIGINT AS top_bigram_frac_x1000 "
+            "FROM wc LEFT JOIN bc USING (doc_id)"
         ),
         "normalize_docs": (
             r"SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) "

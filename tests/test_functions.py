@@ -1349,3 +1349,38 @@ def test_normalize_batch_kernels():
     # (pyarrow 16's utf8_normalize cannot compose; see the op docstring)
     assert out["norm_text"].to_pylist() == ["hello world", "café x", ""]
     assert out["n_chars_norm"].to_pylist() == [11, 7, 0]
+
+
+def test_repetition_signals_vs_python():
+    from collections import Counter
+
+    texts = [
+        "a a a a",                      # one word repeated: top=dup high, bigram "a a" x3
+        "x y x y x",                    # alternating: top word 3/5, top bigram 2/4
+        "all distinct words here",      # no repetition
+        "solo",                         # single word: no bigrams
+        "",                             # empty -> [''] one word
+    ]
+    out = text.repetition_signals_batch(_doc_table(texts))
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["top_word_frac_x1000"],
+            r["dup_word_frac_x1000"],
+            r["top_bigram_frac_x1000"],
+        )
+        for r in out.to_pylist()
+    }
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        wc = Counter(w)
+        bgs = Counter(zip(w, w[1:]))
+        n = len(w)
+        nb = max(len(w) - 1, 1)
+        want = (
+            n,
+            max(wc.values()) * 1000 // n,
+            (n - len(wc)) * 1000 // n,
+            (max(bgs.values()) * 1000 // nb) if bgs else 0,
+        )
+        assert got[i] == want, (i, t, got[i], want)

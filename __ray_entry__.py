@@ -214,6 +214,44 @@ def q_repetition_docs(sf_dir: str):
     )
 
 
+def q_training_shards_docs(sf_dir: str):
+    """The full corpus→training-shards flow MATERIALIZED: tokenize
+    (rank vocab, top-100) → pack into 256-token windows → stitch each
+    window's actual int32 token array (``materialize_windows``). The
+    oracle pins the packed CONTENT, not just the assignment: per window
+    it checks doc/token counts, the token-id SUM, and the first/last
+    token ids in (doc_id, pos) order."""
+    import numpy as np
+
+    from parquetjs_ray.functions.packing import materialize_windows
+    from parquetjs_ray.functions.tokenize import tokenize
+
+    tok = tokenize(
+        _docs(sf_dir).select_columns(["doc_id", "text", "source"]), top_k=100
+    )
+    win = materialize_windows(tok, capacity=256)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        toks = b["tokens"].combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        vals = np.asarray(toks.values).astype(np.int64)
+        n = np.diff(offs)
+        sums = np.add.reduceat(vals, offs[:-1]) if len(vals) else np.zeros(len(n), np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "window_id": b["window_id"],
+                "n_docs": b["n_docs"],
+                "n_tokens": pa.array(n),
+                "sum_token_ids": pa.array(sums),
+                "first_token_id": pa.array(vals[offs[:-1]]),
+                "last_token_id": pa.array(vals[offs[1:] - 1]),
+            }
+        )
+
+    return win.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_token_count_docs(sf_dir: str):
     """Whitespace token count per doc (text-analysis op), integer-exact."""
     import pyarrow.compute as pc
@@ -1495,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample_docs": q_budget_sample_docs,
         "normalize_docs": q_normalize_docs,
         "repetition_docs": q_repetition_docs,
+        "training_shards_docs": q_training_shards_docs,
         "token_count_docs": q_token_count_docs,
         "bpe_token_count_docs": q_bpe_token_count_docs,
         "df_score_docs": q_df_score_docs,
@@ -1593,6 +1632,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT h5.doc_id, h5.source, "
             "sum(d.n_chars) OVER (PARTITION BY h5.source ORDER BY h5.x) AS cum "
             "FROM h5 JOIN documents d USING (doc_id)) WHERE cum <= 2500"
+        ),
+        "training_shards_docs": (
+            # tokenize (rank vocab top-100) + prefix-sum window assignment
+            # + per-window content pins over the PACKED arrays
+            "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks, "
+            "(length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tok FROM documents), "
+            "p AS (SELECT doc_id, source, COALESCE(sum(n_tok) OVER (PARTITION BY source "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM t), "
+            "u AS (SELECT doc_id, unnest(toks) AS w, "
+            "unnest(generate_series(1, len(toks))) AS pos FROM t), "
+            "r AS (SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS id "
+            "FROM u GROUP BY w QUALIFY id <= 100), "
+            "tok AS (SELECT u.doc_id, u.pos, coalesce(r.id, 0)::BIGINT AS token_id "
+            "FROM u LEFT JOIN r ON u.w = r.w), "
+            "j AS (SELECT p.source, (p.pre // 256)::BIGINT AS window_id, "
+            "tok.doc_id, tok.pos, tok.token_id FROM p JOIN tok USING (doc_id)) "
+            "SELECT source, window_id, count(DISTINCT doc_id)::BIGINT AS n_docs, "
+            "count(*)::BIGINT AS n_tokens, sum(token_id)::BIGINT AS sum_token_ids, "
+            "min_by(token_id, doc_id * 1000000 + pos)::BIGINT AS first_token_id, "
+            "max_by(token_id, doc_id * 1000000 + pos)::BIGINT AS last_token_id "
+            "FROM j GROUP BY source, window_id"
         ),
         "repetition_docs": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "

@@ -254,3 +254,80 @@ def test_budget_sample_budget_smaller_than_any_doc(ray_session):
     )
     got = budget_sample(rd.from_arrow(t), 99, len_col="n_tok").take_all()
     assert got == []  # boundary-straddling docs are dropped, never split
+
+
+def _token_corpus(n=400, n_sources=3, seed=9):
+    rng = np.random.default_rng(seed)
+    words = np.array(["tok%d" % i for i in range(40)])
+    texts = [" ".join(rng.choice(words, size=int(k)).tolist()) for k in rng.integers(2, 30, size=n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([f"s{i % n_sources}" for i in range(n)]),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def test_materialize_windows_stitches_exact_streams(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.packing import materialize_windows
+    from parquetjs_ray.functions.tokenize import tokenize
+
+    tbl = _token_corpus()
+    tok = tokenize(rd.from_arrow(tbl), top_k=25)
+    per_doc = {
+        r["doc_id"]: (r["source"], list(r["tokens"])) for r in tok.take_all()
+    }
+    cap = 64
+    got = materialize_windows(
+        tokenize(rd.from_arrow(tbl).repartition(7), top_k=25), capacity=cap
+    ).take_all()
+
+    # reference: concatenate per source in doc_id order, chop by first-token rule
+    streams = {}
+    for did in sorted(per_doc):
+        src, toks = per_doc[did]
+        s = streams.setdefault(src, {"pos": 0, "wins": {}})
+        w = s["pos"] // cap
+        s["wins"].setdefault(w, []).extend(toks)
+        s["pos"] += len(toks)
+    want = {
+        (src, w): toks for src, s in streams.items() for w, toks in s["wins"].items()
+    }
+    assert {(r["source"], r["window_id"]): list(r["tokens"]) for r in got} == want
+    assert all(r["n_tok"] == len(r["tokens"]) for r in got)
+
+
+def test_training_shards_end_to_end_encode(ray_session, tmp_path):
+    """The full corpus→shards flow: tokenize → materialize windows →
+    encode_stream (the north-rule (id, tokens, n_tok, source) shape) →
+    decode → per-window token-array equality."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.packing import materialize_windows
+    from parquetjs_ray.functions.tokenize import tokenize
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_stream
+    from parquetjs_ray.stages.stats import build_plan_from_dataset
+
+    tbl = _token_corpus(n=600)
+    win = materialize_windows(
+        tokenize(rd.from_arrow(tbl), top_k=25), capacity=128
+    ).materialize()
+
+    def add_shard_id(b: pa.Table) -> pa.Table:
+        # window ids repeat across sources; the artifact id must be unique
+        sid = [f"{s}/{w}" for s, w in zip(b["source"].to_pylist(), b["window_id"].to_pylist())]
+        return b.append_column("shard_id", pa.array(sid, pa.string()))
+
+    shards = win.map_batches(add_shard_id, batch_format="pyarrow")
+    plan = build_plan_from_dataset(shards, fsst_columns=("shard_id",), sample_rows=5_000)
+    outdir = str(tmp_path / "shards")
+    rep = encode_stream(shards, outdir, plan=plan, id_col="shard_id",
+                        target_rows_per_partition=64)
+    assert rep["rows"] == win.count()
+    back = {r["shard_id"]: list(r["tokens"]) for r in decode_dataset(outdir).take_all()}
+    for r in win.take_all():
+        key = f'{r["source"]}/{r["window_id"]}'
+        assert back[key] == list(r["tokens"]), key

@@ -331,3 +331,56 @@ def test_training_shards_end_to_end_encode(ray_session, tmp_path):
     for r in win.take_all():
         key = f'{r["source"]}/{r["window_id"]}'
         assert back[key] == list(r["tokens"]), key
+
+
+def test_iter_token_batches_budget_and_completeness(ray_session, tmp_path):
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import decode_dataset, encode_stream
+    from parquetjs_ray.pipelines.loader import iter_token_batches
+    from parquetjs_ray.stages.stats import build_plan_from_dataset
+
+    rng = np.random.default_rng(21)
+    n = 500
+    lens = rng.integers(1, 60, size=n).astype(np.int64)
+    lens[7] = 500  # one row longer than any budget we use
+    flat = rng.integers(0, 1000, size=int(lens.sum())).astype(np.int32)
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n)], pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+            "n_tok": pa.array(lens.astype(np.int32)),
+            "source": pa.array(["s%d" % (i % 3) for i in range(n)]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    plan = build_plan_from_dataset(ds, sample_rows=1_000)
+    outdir = str(tmp_path / "art")
+    encode_stream(ds, outdir, plan=plan, target_rows_per_partition=100)
+
+    budget = 300
+    batches = list(iter_token_batches(outdir, budget))
+    # every row exactly once, stream order = decode order
+    got_ids = [i for b in batches for i in b["doc_id"].to_pylist()]
+    want_ids = [
+        i for b in decode_dataset(outdir).iter_batches(batch_format="pyarrow", batch_size=None)
+        for i in b["doc_id"].to_pylist()
+    ]
+    assert got_ids == want_ids and sorted(got_ids) == sorted(f"d{i}" for i in range(n))
+    by_id = dict(zip([f"d{i}" for i in range(n)], lens))
+    for b in batches:
+        total = sum(by_id[i] for i in b["doc_id"].to_pylist())
+        assert total <= budget or b.num_rows == 1  # oversized rows ride alone
+    # token payloads intact
+    back = {
+        i: list(t)
+        for b in batches
+        for i, t in zip(b["doc_id"].to_pylist(), b["tokens"].to_pylist())
+    }
+    for i in range(n):
+        s, e = int(offs[i]), int(offs[i + 1])
+        assert back[f"d{i}"] == flat[s:e].tolist()
+    # determinism: same boundaries on a second pass
+    again = [b["doc_id"].to_pylist() for b in iter_token_batches(outdir, budget)]
+    assert again == [b["doc_id"].to_pylist() for b in batches]

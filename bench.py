@@ -255,6 +255,8 @@ def run_headline() -> dict:
                 "point_lookup_docs",  # bloom-pruned == probes on the artifact
                 "phrase_lookup_docs",  # inverted-index phrase search
                 "epoch_shuffle_docs",  # seeded global sort (range shuffle)
+                "training_shards_docs",  # tokenize -> pack -> materialized windows
+                "bigram_lm_docs",  # pair-shuffle LM scoring
             ):
                 t0 = time.perf_counter()
                 res = entrymod.queries()[qname](SF_DIR)

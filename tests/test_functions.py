@@ -1384,3 +1384,27 @@ def test_repetition_signals_vs_python():
             (max(bgs.values()) * 1000 // nb) if bgs else 0,
         )
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_repetition_signals_property():
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.lists(st.sampled_from(["a", "b", "cc", "ddd"]), max_size=12), min_size=1, max_size=8))
+    def run(docs):
+        texts = [" ".join(d) for d in docs]
+        out = text.repetition_signals_batch(_doc_table(texts)).to_pylist()
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            wc = Counter(w)
+            bgs = Counter(zip(w, w[1:]))
+            n, nb = len(w), max(len(w) - 1, 1)
+            r = out[i]
+            assert r["n_words"] == n
+            assert r["top_word_frac_x1000"] == max(wc.values()) * 1000 // n
+            assert r["dup_word_frac_x1000"] == (n - len(wc)) * 1000 // n
+            assert r["top_bigram_frac_x1000"] == ((max(bgs.values()) * 1000 // nb) if bgs else 0)
+
+    run()

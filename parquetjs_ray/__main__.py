@@ -19,6 +19,7 @@ calls ray.init; see __ray_entry__ contract).
     python -m parquetjs_ray optimize OUT_DIR DEST --by ts,value    # Z-ORDER
     python -m parquetjs_ray stats OUT_DIR   # per-column codec/size metrics
     python -m parquetjs_ray check OUT_DIR --rules '{"id_nonneg": [["event_id", ">=", 0]]}'
+    python -m parquetjs_ray shards DOCS_PARQUET OUT_DIR --capacity 4096   # corpus -> packed training shards
 """
 
 from __future__ import annotations
@@ -119,6 +120,15 @@ def main(argv: list[str] | None = None) -> int:
     pvac = sub.add_parser("vacuum")
     pvac.add_argument("out_dir")
 
+    psh = sub.add_parser("shards", help="corpus -> packed training shards")
+    psh.add_argument("input", help="parquet file/dir with (doc_id, text, source)")
+    psh.add_argument("out_dir")
+    psh.add_argument("--capacity", type=int, default=4096, help="tokens per window")
+    psh.add_argument("--vocab-size", type=int, default=65_536)
+    psh.add_argument("--text-col", default="text")
+    psh.add_argument("--compression", default=None)
+    psh.add_argument("--target-rows", type=int, default=16_384)
+
     args = p.parse_args(argv)
     ray = _ray()
     try:
@@ -218,6 +228,36 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.encode import vacuum
 
             print(json.dumps(vacuum(args.out_dir)))
+        elif args.cmd == "shards":
+            import pyarrow as pa
+            import ray.data as rd
+
+            from .functions.packing import materialize_windows
+            from .functions.tokenize import tokenize
+            from .pipelines.encode import encode_stream
+            from .stages.stats import build_plan_from_dataset
+
+            docs = rd.read_parquet(args.input)
+            win = materialize_windows(
+                tokenize(docs, column=args.text_col, top_k=args.vocab_size),
+                capacity=args.capacity,
+            )
+
+            def add_shard_id(b: "pa.Table") -> "pa.Table":
+                sid = [
+                    f"{s}/{w}"
+                    for s, w in zip(b["source"].to_pylist(), b["window_id"].to_pylist())
+                ]
+                return b.append_column("shard_id", pa.array(sid, pa.string()))
+
+            shards = win.map_batches(add_shard_id, batch_format="pyarrow")
+            plan = build_plan_from_dataset(shards, fsst_columns=("shard_id",))
+            report = encode_stream(
+                shards, args.out_dir, plan=plan, id_col="shard_id",
+                compression=args.compression,
+                target_rows_per_partition=args.target_rows,
+            )
+            print(json.dumps(report))
     finally:
         ray.shutdown()
     return 0

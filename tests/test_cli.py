@@ -80,3 +80,45 @@ def test_cli_table_lifecycle(tmp_path):
     assert set(stats) == {"doc_id", "tokens", "n_tok", "source"}
     assert stats["source"]["ratio"] < 0.05  # dict-encoded low-cardinality column
     assert sum(stats["tokens"]["codecs"].values()) > 0
+
+
+def test_cli_shards_roundtrip(tmp_path):
+    """corpus -> packed training shards via the CLI, then decode and
+    check the shard stream covers every window exactly once."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    words = ["w%d" % i for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=int(k)).tolist()) for k in rng.integers(2, 40, size=200)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(texts),
+            "source": pa.array(["s%d" % (i % 2) for i in range(200)]),
+        }
+    )
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    pq.write_table(t, str(indir / "d.parquet"))
+    art = str(tmp_path / "shards")
+    rep = run_cli("shards", str(indir), art, "--capacity", "256", "--vocab-size", "25",
+                  "--target-rows", "32")
+    n_tokens_in = sum(len(x.split(" ")) for x in texts)
+    assert rep["n_tokens"] == n_tokens_in  # packing preserves every token
+    dest = str(tmp_path / "decoded")
+    run_cli("decode", art, dest)
+    back = pq.read_table(dest)
+    assert back.num_rows == rep["rows"]
+    sid = back["shard_id"].to_pylist()
+    assert len(set(sid)) == len(sid)  # one row per (source, window)
+    toks = back["tokens"].combine_chunks()
+    assert int(len(toks.values)) == n_tokens_in
+    lens = np.diff(np.asarray(toks.offsets))
+    win_of = np.array([int(s.split("/")[1]) for s in sid])
+    # every non-final window of a source holds >= capacity tokens minus
+    # the straddling doc rule's remainder; the total per source matches
+    for src in ("s0", "s1"):
+        m = np.array([s.split("/")[0] == src for s in sid])
+        want = sum(len(texts[i].split(" ")) for i in range(200) if i % 2 == int(src[1]))
+        assert int(lens[m].sum()) == want
+        assert sorted(win_of[m].tolist()) == list(range(int(m.sum())))  # contiguous windows

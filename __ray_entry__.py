@@ -830,6 +830,59 @@ def q_lineitem_order_join(sf_dir: str):
     )
 
 
+def q_lineitem_left_join(sf_dir: str):
+    """LEFT OUTER large-large join (the attach-optional-metadata shape):
+    lineitem ⟕ a third of orders — unmatched items keep flowing with
+    null order columns; per-returnflag aggregate pins the outer
+    semantics (row count vs matched count vs matched-side sum)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_returnflag"]
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    def third(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(k % 3 == 0))
+
+    j = equi_join(
+        li, od.map_batches(third, batch_format="pyarrow"),
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_returnflag"], right_cols=["o_custkey"], how="left",
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].combine_chunks()
+        matched = pc.fill_null(pc.is_valid(ck).cast(pa.int64()), 0)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "matched": matched,
+                "ck": pc.fill_null(ck.cast(pa.int64()), 0),
+            }
+        )
+
+    return (
+        j.map_batches(fold, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("one", alias_name="n_rows"),
+            Sum("matched", alias_name="n_matched"),
+            Sum("ck", alias_name="custkey_sum"),
+        )
+        .select_columns(["l_returnflag", "n_rows", "n_matched", "custkey_sum"])
+    )
+
+
 def q_customers_no_big_orders(sf_dir: str):
     """Distributed anti-join (the NOT IN subquery shape): customers with
     no order above 300k via ``semi_join`` — the right side's distinct
@@ -1555,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_longest": q_docs_top_longest,
         "top_docs_per_source": q_top_docs_per_source,
         "lineitem_order_join": q_lineitem_order_join,
+        "lineitem_left_join": q_lineitem_left_join,
         "customers_no_big_orders": q_customers_no_big_orders,
         "collapse_repeats_docs": q_collapse_repeats_docs,
         "chunk_docs": q_chunk_docs,
@@ -1615,6 +1669,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "lineitem_left_join": (
+            "SELECT l.l_returnflag, count(*)::BIGINT AS n_rows, "
+            "count(o.o_orderkey)::BIGINT AS n_matched, "
+            "coalesce(sum(o.o_custkey), 0)::BIGINT AS custkey_sum "
+            "FROM lineitem l LEFT JOIN "
+            "(SELECT * FROM orders WHERE o_orderkey % 3 = 0) o "
+            "ON l.l_orderkey = o.o_orderkey GROUP BY l.l_returnflag"
         ),
         "dedup_incremental_docs": (
             "SELECT n.doc_id, n.source FROM documents n "

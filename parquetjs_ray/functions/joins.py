@@ -228,9 +228,15 @@ def equi_join(
     num_buckets: int | None = None,
     target_bucket_bytes: int = 64 << 20,
     salt_hot_keys: bool = False,
+    how: str = "inner",
 ) -> rd.Dataset:
-    """Inner equi-join of two LARGE Datasets (neither side broadcast):
-    the large-large shuffle join the broadcast-join queries can't cover.
+    """Equi-join of two LARGE Datasets (neither side broadcast): the
+    large-large shuffle join the broadcast-join queries can't cover.
+    ``how="left"`` keeps unmatched left rows with null right columns
+    (the attach-optional-metadata shape) — correct under salting too,
+    since every right row of a key lands in (or replicates into) the
+    same bucket as its left rows, so "no match in the bucket" is "no
+    match globally".
 
     Both sides are shuffled by ``hash(key) % num_buckets`` — a bounded
     number of groups regardless of key cardinality, so there is no
@@ -257,6 +263,8 @@ def equi_join(
     once. Costs two extra passes over the projected left key column.
 
     Output columns: ``left_on`` (int64 key) + left_cols + right_cols."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     lschema, rschema = left.schema(), right.schema()
     ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types) if n in left_cols}
     rtypes = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types) if n in right_cols}
@@ -332,7 +340,7 @@ def equi_join(
         side = group["__side"].to_numpy(zero_copy_only=False)
         lsel = np.flatnonzero(side == 0)
         rsel = np.flatnonzero(side == 1)
-        if not len(lsel) or not len(rsel):
+        if not len(lsel) or (how == "inner" and not len(rsel)):
             return empty
         keys = group["__key"].to_numpy(zero_copy_only=False)
         lk, rk = keys[lsel], keys[rsel]
@@ -341,14 +349,29 @@ def equi_join(
         lo = np.searchsorted(rk_sorted, lk, side="left")
         hi = np.searchsorted(rk_sorted, lk, side="right")
         cnt = hi - lo
-        total = int(cnt.sum())
+        if how == "left":
+            # unmatched left rows emit once with null right columns: a
+            # NULL take index yields nulls, so the expansion is uniform
+            out_per_left = np.maximum(cnt, 1)
+        else:
+            out_per_left = cnt
+        total = int(out_per_left.sum())
         if not total:
             return empty
-        li = lsel[np.repeat(np.arange(len(lk)), cnt)]
+        li = lsel[np.repeat(np.arange(len(lk)), out_per_left)]
         # for left row i, right matches are rk_sorted[lo[i]:hi[i]]
-        pos = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(lo, cnt)
-        ri = rsel[order[pos]]
-        li_a, ri_a = pa.array(li), pa.array(ri)
+        pos = np.arange(total) - np.repeat(
+            np.cumsum(out_per_left) - out_per_left, out_per_left
+        ) + np.repeat(lo, out_per_left)
+        li_a = pa.array(li)
+        if how == "left":
+            matched = np.repeat(cnt > 0, out_per_left)
+            ri_np = np.zeros(total, np.int64)
+            ri_np[matched] = rsel[order[pos[matched]]]
+            ri_a = pa.array(np.where(matched, ri_np, -1), pa.int64())
+            ri_a = pc.if_else(pc.equal(ri_a, -1), pa.scalar(None, pa.int64()), ri_a)
+        else:
+            ri_a = pa.array(rsel[order[pos]])
         cols = {left_on: pc.take(group["__key"], li_a)}
         for c in left_cols:
             cols[c] = pc.take(group[f"l_{c}"], li_a)

@@ -1408,3 +1408,39 @@ def test_repetition_signals_property():
             assert r["top_bigram_frac_x1000"] == ((max(bgs.values()) * 1000 // nb) if bgs else 0)
 
     run()
+
+
+def test_equi_join_left_outer(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    rng = np.random.default_rng(17)
+    lk = rng.integers(0, 50, size=400).astype(np.int64)
+    left = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(400, dtype=np.int64))})
+    rk = np.arange(0, 50, 2, dtype=np.int64)  # only even keys match
+    right = pa.table({"k": pa.array(rk), "rv": pa.array(rk * 10)})
+
+    for extra in ({}, {"salt_hot_keys": True}):
+        j = equi_join(
+            rd.from_arrow(left).repartition(5), rd.from_arrow(right),
+            left_on="k", right_on="k", left_cols=["lv"], right_cols=["rv"],
+            num_buckets=4, how="left", **extra,
+        ).take_all()
+        assert len(j) == 400  # every left row exactly once (right keys unique)
+        for r in j:
+            if r["k"] % 2 == 0:
+                assert r["rv"] == r["k"] * 10
+            else:
+                assert r["rv"] is None
+        assert sorted(r["lv"] for r in j) == list(range(400))
+
+    # duplicate right keys still expand matches; unmatched stay single
+    right2 = pa.table({"k": pa.array([0, 0, 1], pa.int64()), "rv": pa.array([7, 8, 9], pa.int64())})
+    j2 = equi_join(
+        rd.from_arrow(pa.table({"k": pa.array([0, 1, 2], pa.int64()), "lv": pa.array([0, 1, 2], pa.int64())})),
+        rd.from_arrow(right2), left_on="k", right_on="k",
+        left_cols=["lv"], right_cols=["rv"], num_buckets=2, how="left",
+    ).take_all()
+    got = sorted((r["k"], r["rv"] if r["rv"] is not None else -1) for r in j2)
+    assert got == [(0, 7), (0, 8), (1, 9), (2, -1)]

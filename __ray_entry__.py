@@ -883,6 +883,69 @@ def q_lineitem_left_join(sf_dir: str):
     )
 
 
+def q_orders_full_join_diff(sf_dir: str):
+    """FULL OUTER join as the reconciliation/diff shape: two filtered
+    views of orders (keys ≡0 mod 2 vs mod 3) full-joined on orderkey;
+    the aggregate pins all three match categories plus a left-only
+    checksum — exactly the "what's in A, B, both" audit a pipeline
+    migration runs."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    def keep(mod: int):
+        def f(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(k % mod == 0))
+
+        return f
+
+    od = os.path.join(sf_dir, "orders.parquet")
+    a = rd.read_parquet(od, columns=["o_orderkey", "o_custkey"]).map_batches(
+        keep(2), batch_format="pyarrow"
+    )
+    b = rd.read_parquet(od, columns=["o_orderkey", "o_totalprice"]).map_batches(
+        keep(3), batch_format="pyarrow"
+    )
+    j = equi_join(
+        a, b, left_on="o_orderkey", right_on="o_orderkey",
+        left_cols=["o_custkey"], right_cols=["o_totalprice"], how="full",
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        lv = pc.is_valid(t["o_custkey"].combine_chunks())
+        rv = pc.is_valid(t["o_totalprice"].combine_chunks())
+        ln = lv.to_numpy(zero_copy_only=False)
+        rn = rv.to_numpy(zero_copy_only=False)
+        ck = pc.fill_null(t["o_custkey"].combine_chunks().cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "n_both": pa.array([(ln & rn).sum()], pa.int64()),
+                "n_left_only": pa.array([int((ln & ~rn).sum())], pa.int64()),
+                "n_right_only": pa.array([int((~ln & rn).sum())], pa.int64()),
+                "left_only_custkey_sum": pa.array([int(ck[ln & ~rn].sum())], pa.int64()),
+            }
+        )
+
+    agg = j.map_batches(fold, batch_format="pyarrow")
+    partials = agg.take_all()
+    return pd.DataFrame(
+        [
+            {
+                "n_both": sum(r["n_both"] for r in partials),
+                "n_left_only": sum(r["n_left_only"] for r in partials),
+                "n_right_only": sum(r["n_right_only"] for r in partials),
+                "left_only_custkey_sum": sum(r["left_only_custkey_sum"] for r in partials),
+            }
+        ]
+    )
+
+
 def q_customers_no_big_orders(sf_dir: str):
     """Distributed anti-join (the NOT IN subquery shape): customers with
     no order above 300k via ``semi_join`` — the right side's distinct
@@ -1609,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "lineitem_order_join": q_lineitem_order_join,
         "lineitem_left_join": q_lineitem_left_join,
+        "orders_full_join_diff": q_orders_full_join_diff,
         "customers_no_big_orders": q_customers_no_big_orders,
         "collapse_repeats_docs": q_collapse_repeats_docs,
         "chunk_docs": q_chunk_docs,
@@ -1677,6 +1741,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l LEFT JOIN "
             "(SELECT * FROM orders WHERE o_orderkey % 3 = 0) o "
             "ON l.l_orderkey = o.o_orderkey GROUP BY l.l_returnflag"
+        ),
+        "orders_full_join_diff": (
+            "WITH a AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0), "
+            "b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0) "
+            "SELECT count(*) FILTER (WHERE a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL)::BIGINT AS n_both, "
+            "count(*) FILTER (WHERE b.o_orderkey IS NULL)::BIGINT AS n_left_only, "
+            "count(*) FILTER (WHERE a.o_orderkey IS NULL)::BIGINT AS n_right_only, "
+            "coalesce(sum(a.o_custkey) FILTER (WHERE b.o_orderkey IS NULL), 0)::BIGINT AS left_only_custkey_sum "
+            "FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey"
         ),
         "dedup_incremental_docs": (
             "SELECT n.doc_id, n.source FROM documents n "

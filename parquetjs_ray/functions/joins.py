@@ -236,7 +236,10 @@ def equi_join(
     (the attach-optional-metadata shape) — correct under salting too,
     since every right row of a key lands in (or replicates into) the
     same bucket as its left rows, so "no match in the bucket" is "no
-    match globally".
+    match globally". ``how="full"`` additionally emits unmatched RIGHT
+    rows with null left columns (the reconciliation/diff shape);
+    incompatible with ``salt_hot_keys`` (replicated right rows would
+    emit once per salt bucket).
 
     Both sides are shuffled by ``hash(key) % num_buckets`` — a bounded
     number of groups regardless of key cardinality, so there is no
@@ -263,8 +266,12 @@ def equi_join(
     once. Costs two extra passes over the projected left key column.
 
     Output columns: ``left_on`` (int64 key) + left_cols + right_cols."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
+    if how == "full" and salt_hot_keys:
+        # salting REPLICATES right rows across a hot key's salt buckets;
+        # an unmatched right row would then emit once per replica
+        raise ValueError("how='full' is incompatible with salt_hot_keys")
     lschema, rschema = left.schema(), right.schema()
     ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types) if n in left_cols}
     rtypes = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types) if n in right_cols}
@@ -340,7 +347,8 @@ def equi_join(
         side = group["__side"].to_numpy(zero_copy_only=False)
         lsel = np.flatnonzero(side == 0)
         rsel = np.flatnonzero(side == 1)
-        if not len(lsel) or (how == "inner" and not len(rsel)):
+        keep_left = how in ("left", "full")
+        if (not len(lsel) and how != "full") or (how == "inner" and not len(rsel)):
             return empty
         keys = group["__key"].to_numpy(zero_copy_only=False)
         lk, rk = keys[lsel], keys[rsel]
@@ -349,22 +357,20 @@ def equi_join(
         lo = np.searchsorted(rk_sorted, lk, side="left")
         hi = np.searchsorted(rk_sorted, lk, side="right")
         cnt = hi - lo
-        if how == "left":
+        if keep_left:
             # unmatched left rows emit once with null right columns: a
             # NULL take index yields nulls, so the expansion is uniform
             out_per_left = np.maximum(cnt, 1)
         else:
             out_per_left = cnt
         total = int(out_per_left.sum())
-        if not total:
-            return empty
         li = lsel[np.repeat(np.arange(len(lk)), out_per_left)]
         # for left row i, right matches are rk_sorted[lo[i]:hi[i]]
         pos = np.arange(total) - np.repeat(
             np.cumsum(out_per_left) - out_per_left, out_per_left
         ) + np.repeat(lo, out_per_left)
-        li_a = pa.array(li)
-        if how == "left":
+        li_list: list = [pa.array(li)]
+        if keep_left:
             matched = np.repeat(cnt > 0, out_per_left)
             ri_np = np.zeros(total, np.int64)
             ri_np[matched] = rsel[order[pos[matched]]]
@@ -372,7 +378,22 @@ def equi_join(
             ri_a = pc.if_else(pc.equal(ri_a, -1), pa.scalar(None, pa.int64()), ri_a)
         else:
             ri_a = pa.array(rsel[order[pos]])
-        cols = {left_on: pc.take(group["__key"], li_a)}
+        ri_list: list = [ri_a]
+        key_list: list = [pa.array(keys[li]) if total else pa.array([], pa.int64())]
+        if how == "full" and len(rsel):
+            # right rows with no left partner emit once with null left cols
+            r_unmatched = rsel[~np.isin(rk, lk)] if len(lsel) else rsel
+            if len(r_unmatched):
+                n_u = len(r_unmatched)
+                li_list.append(pa.nulls(n_u, pa.int64()))
+                ri_list.append(pa.array(r_unmatched))
+                key_list.append(pa.array(keys[r_unmatched]))
+        li_a = pa.concat_arrays([a.cast(pa.int64()) for a in li_list])
+        ri_a = pa.concat_arrays([a.cast(pa.int64()) for a in ri_list])
+        key_a = pa.concat_arrays([a.cast(pa.int64()) for a in key_list])
+        if not len(key_a):
+            return empty
+        cols = {left_on: key_a}
         for c in left_cols:
             cols[c] = pc.take(group[f"l_{c}"], li_a)
         for c in right_cols:

@@ -1444,3 +1444,36 @@ def test_equi_join_left_outer(ray_session):
     ).take_all()
     got = sorted((r["k"], r["rv"] if r["rv"] is not None else -1) for r in j2)
     assert got == [(0, 7), (0, 8), (1, 9), (2, -1)]
+
+
+def test_equi_join_full_outer(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    left = pa.table(
+        {"k": pa.array([0, 1, 1, 2], pa.int64()), "lv": pa.array([10, 11, 12, 13], pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([1, 3, 3], pa.int64()), "rv": pa.array([100, 300, 301], pa.int64())}
+    )
+    j = equi_join(
+        rd.from_arrow(left).repartition(3), rd.from_arrow(right),
+        left_on="k", right_on="k", left_cols=["lv"], right_cols=["rv"],
+        num_buckets=2, how="full",
+    ).take_all()
+    got = sorted(
+        (r["k"], r["lv"] if r["lv"] is not None else -1, r["rv"] if r["rv"] is not None else -1)
+        for r in j
+    )
+    assert got == [
+        (0, 10, -1),            # left-only
+        (1, 11, 100), (1, 12, 100),  # matched (right key expands to both lefts)
+        (2, 13, -1),            # left-only
+        (3, -1, 300), (3, -1, 301),  # right-only rows each emit once
+    ]
+    with pytest.raises(ValueError):
+        equi_join(
+            rd.from_arrow(left), rd.from_arrow(right), left_on="k", right_on="k",
+            left_cols=["lv"], right_cols=["rv"], how="full", salt_hot_keys=True,
+        )

@@ -838,7 +838,7 @@ def q_lineitem_left_join(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from parquetjs_ray.functions.joins import equi_join
 

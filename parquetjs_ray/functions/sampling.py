@@ -328,7 +328,11 @@ def budget_sample(
         )
         return t.group_by([group_col, "__bk"]).aggregate([("__len", "sum")])
 
-    src = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    # NOT materialized: the keyed pass is one hash per row, so recomputing
+    # it for the final pass is far cheaper at corpus scale than pinning
+    # the whole keyed corpus in the object store (same policy as
+    # pack_sequences)
+    src = ds.map_batches(keyed, batch_format="pyarrow")
     sums = (
         src.map_batches(combine, batch_format="pyarrow")
         .groupby([group_col, "__bk"])

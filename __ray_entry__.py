@@ -202,6 +202,59 @@ def q_normalize_docs(sf_dir: str):
     )
 
 
+def q_docs_above_median_length(sf_dir: str):
+    """Operator COMPOSITION: per-source exact median (hot-key-proof
+    histogram quantiles) broadcast as a tiny per-source threshold dict,
+    then a stateless vectorized filter — the percentile-based length
+    gate a curation pipeline applies per source."""
+    import numpy as np
+
+    from parquetjs_ray.functions.quantiles import grouped_quantiles
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    med = {
+        r["source"]: r["p50"]
+        for r in grouped_quantiles(ds, {"p50": 0.5}).take_all()
+    }  # one int per source — closure-captured, not a data broadcast
+
+    def above(b: pa.Table) -> pa.Table:
+        src = b["source"].combine_chunks().to_pylist()
+        thr = np.fromiter((med[s] for s in src), np.int64, count=len(src))
+        n = b["n_chars"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n > thr)).select(["doc_id", "source", "n_chars"])
+
+    return ds.map_batches(above, batch_format="pyarrow")
+
+
+def q_events_value_histogram(sf_dir: str):
+    """Fixed-width-bin histogram aggregate over a numeric column (the
+    classic profiling pass): per-batch bincount combiner → one
+    bins-sized Sum shuffle; integer bin edges so the SQL width-bucket
+    replica is exact."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    width, n_bins = 100, 20  # values clamp into [0, 2000) + overflow bin
+
+    def bins(b: pa.Table) -> pa.Table:
+        v = b["value"].cast(pa.float64()).combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.clip(np.floor(v / width).astype(np.int64), 0, n_bins)
+        cnt = np.bincount(idx, minlength=n_bins + 1)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "partial": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    return (
+        ev.map_batches(bins, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("partial", alias_name="n"))
+        .select_columns(["bin", "n"])
+    )
+
+
 def q_repetition_docs(sf_dir: str):
     """Gopher-style repetition quality signals (top-word / dup-word /
     top-bigram fractions ×1000, all integer) — the template-spam and
@@ -1649,6 +1702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample_docs": q_budget_sample_docs,
         "normalize_docs": q_normalize_docs,
         "repetition_docs": q_repetition_docs,
+        "docs_above_median_length": q_docs_above_median_length,
+        "events_value_histogram": q_events_value_histogram,
         "training_shards_docs": q_training_shards_docs,
         "token_count_docs": q_token_count_docs,
         "bpe_token_count_docs": q_bpe_token_count_docs,
@@ -1750,6 +1805,16 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE a.o_orderkey IS NULL)::BIGINT AS n_right_only, "
             "coalesce(sum(a.o_custkey) FILTER (WHERE b.o_orderkey IS NULL), 0)::BIGINT AS left_only_custkey_sum "
             "FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey"
+        ),
+        "docs_above_median_length": (
+            "WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) AS p50 "
+            "FROM documents GROUP BY source) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "JOIN m USING (source) WHERE d.n_chars > m.p50"
+        ),
+        "events_value_histogram": (
+            "SELECT least(greatest(floor(value / 100)::BIGINT, 0), 20) AS bin, "
+            "count(*)::BIGINT AS n FROM events GROUP BY bin"
         ),
         "dedup_incremental_docs": (
             "SELECT n.doc_id, n.source FROM documents n "

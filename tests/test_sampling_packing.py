@@ -384,3 +384,41 @@ def test_iter_token_batches_budget_and_completeness(ray_session, tmp_path):
     # determinism: same boundaries on a second pass
     again = [b["doc_id"].to_pylist() for b in iter_token_batches(outdir, budget)]
     assert again == [b["doc_id"].to_pylist() for b in batches]
+
+
+def test_iter_token_batches_pushdown(ray_session, tmp_path):
+    """columns= / where= plumb through to the pruned decode: only the
+    selected rows stream, and the tokens column is auto-added to a
+    projection that omits it."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import encode_stream
+    from parquetjs_ray.pipelines.loader import iter_token_batches
+    from parquetjs_ray.stages.stats import build_plan_from_dataset
+
+    n = 300
+    lens = np.full(n, 10, np.int64)
+    flat = np.arange(10 * n, dtype=np.int32)
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(n)], pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+            "n_tok": pa.array(lens.astype(np.int32)),
+            "source": pa.array(["a" if i < 100 else "b" for i in range(n)]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    plan = build_plan_from_dataset(ds, sample_rows=500)
+    outdir = str(tmp_path / "art")
+    encode_stream(ds, outdir, plan=plan, target_rows_per_partition=50)
+
+    got = list(
+        iter_token_batches(
+            outdir, 100, columns=["doc_id"], where=[("source", "==", "a")]
+        )
+    )
+    ids = [i for b in got for i in b["doc_id"].to_pylist()]
+    assert sorted(ids) == [f"d{i:04d}" for i in range(100)]  # filtered to source a
+    assert all(set(b.column_names) == {"doc_id", "tokens"} for b in got)
+    assert all(len(b["tokens"].combine_chunks().values) <= 100 for b in got)

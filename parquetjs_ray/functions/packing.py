@@ -135,30 +135,143 @@ def materialize_windows(
 
     → Dataset of ``(source_col, window_id, n_docs, n_tok, tokens_col)``
     where ``tokens_col`` is the member docs' arrays concatenated in
-    ``id_col`` order.  Two shuffles: the pack assignment's row-sized
-    groupby, then ONE movement of the token payload into its window
-    group — the minimum possible, since packing by definition co-locates
-    window members.  Window groups are capacity-bounded (a window holds
-    ≤ capacity tokens plus one straddling doc), so per-group memory is
-    O(capacity), independent of corpus size."""
-    packed = pack_sequences(
-        ds, capacity, id_col, source_col, len_col, bucket_width, keep_cols=(tokens_col,)
+    ``id_col`` order.
+
+    Shuffle discipline: the token payload moves through the
+    (source, id-bucket) groupby ONCE; each bucket then finalizes every
+    window that lies strictly inside its contiguous token span LOCALLY
+    (buckets partition the per-source stream in id order, so an
+    interior window's docs can live in no other bucket). Only each
+    bucket's FIRST and LAST window — the ≤2 windows that may straddle a
+    bucket boundary — re-enter a second, window-keyed groupby, whose
+    volume is ~2 windows per bucket regardless of corpus size. Window
+    groups are capacity-bounded, so per-group memory is O(capacity)."""
+    import ray
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                source_col: batch[source_col],
+                len_col: batch[len_col].cast(pa.int64()),
+                tokens_col: batch[tokens_col],
+                "_bucket": pa.array(ids // bucket_width, pa.int64()),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return batch.select([source_col, "_bucket", len_col]).group_by(
+            [source_col, "_bucket"]
+        ).aggregate([(len_col, "sum")])
+
+    keyed = ds.map_batches(with_bucket, batch_format="pyarrow")
+    sums = (
+        keyed.map_batches(combine, batch_format="pyarrow")
+        .groupby([source_col, "_bucket"])
+        .sum(f"{len_col}_sum")
+        .take_all()
+    )
+    sums.sort(key=lambda r: (r[source_col], r["_bucket"]))
+    offsets: dict[tuple, int] = {}
+    run_src, run = None, 0
+    for r in sums:
+        if r[source_col] != run_src:
+            run_src, run = r[source_col], 0
+        offsets[(r[source_col], r["_bucket"])] = run
+        run += int(r[f"sum({len_col}_sum)"])
+    off_ref = ray.put(offsets)
+
+    def fuse(group: pa.Table) -> pa.Table:
+        # schema derived from the group itself: no eager ds.schema() call
+        # (which would execute the upstream once just to infer types)
+        tok_type = group.schema.field(tokens_col).type
+        if not group.num_rows:
+            return pa.table(
+                {
+                    source_col: pa.array([], pa.string()),
+                    "window_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    len_col: pa.array([], pa.int64()),
+                    tokens_col: pa.array([], tok_type),
+                    "__final": pa.array([], pa.bool_()),
+                    "__ord": pa.array([], pa.int64()),
+                }
+            )
+        offs = ray.get(off_ref)
+        ids = group[id_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        lens = group[len_col].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        src = group[source_col][0].as_py()
+        base = offs.get((src, int(ids[order[0]]) // bucket_width), 0)
+        prefix = base + np.cumsum(lens) - lens
+        win = prefix // capacity  # non-decreasing in id order
+        toks = group[tokens_col].combine_chunks().take(pa.array(order))
+        flat = toks.flatten()
+        doc_tok_off = np.asarray(toks.offsets).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], win[1:] != win[:-1])))
+        n_runs = len(starts)
+        run_end = np.concatenate((starts[1:], [len(win)]))
+        run_tok_off = np.concatenate(
+            (doc_tok_off[starts], [doc_tok_off[-1]])
+        ).astype(np.int32)
+        windows = pa.ListArray.from_arrays(pa.array(run_tok_off, pa.int32()), flat)
+        # conservative boundary rule: a bucket's first and last window may
+        # straddle into the neighbor buckets; everything between cannot
+        final = np.ones(n_runs, dtype=bool)
+        final[0] = False
+        final[-1] = False
+        return pa.table(
+            {
+                source_col: pa.array([src] * n_runs, pa.string()),
+                "window_id": pa.array(win[starts]),
+                "n_docs": pa.array((run_end - starts).astype(np.int64)),
+                len_col: pa.array(
+                    (run_tok_off[1:].astype(np.int64) - run_tok_off[:-1])
+                ),
+                tokens_col: windows.cast(tok_type),
+                "__final": pa.array(final),
+                "__ord": pa.array(ids[order][starts]),
+            }
+        )
+
+    rows = keyed.groupby([source_col, "_bucket"]).map_groups(
+        fuse, batch_format="pyarrow"
+    ).materialize()
+
+    def keep(flag: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["__final"].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(m if flag else ~m))
+
+        return f
+
+    finals = rows.map_batches(keep(True), batch_format="pyarrow").map_batches(
+        lambda b: b.drop_columns(["__final", "__ord"]), batch_format="pyarrow"
     )
 
-    def build(group: pa.Table) -> pa.Table:
-        ids = group[id_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-        order = pa.array(np.argsort(ids, kind="stable"))
-        toks = group[tokens_col].combine_chunks().take(order)
+    def merge(group: pa.Table) -> pa.Table:
+        o = np.argsort(group["__ord"].to_numpy(zero_copy_only=False), kind="stable")
+        toks = group[tokens_col].combine_chunks().take(pa.array(o))
         flat = toks.flatten()
         one = pa.array(np.array([0, len(flat)], np.int32), pa.int32())
         return pa.table(
             {
                 source_col: group[source_col].slice(0, 1),
                 "window_id": group["window_id"].slice(0, 1),
-                "n_docs": pa.array([group.num_rows], pa.int64()),
+                "n_docs": pa.array(
+                    [int(group["n_docs"].combine_chunks().to_numpy(zero_copy_only=False).sum())]
+                ),
                 len_col: pa.array([len(flat)], pa.int64()),
-                tokens_col: pa.ListArray.from_arrays(one, flat),
+                tokens_col: pa.ListArray.from_arrays(one, flat).cast(
+                    group.schema.field(tokens_col).type
+                ),
             }
         )
 
-    return packed.groupby([source_col, "window_id"]).map_groups(build, batch_format="pyarrow")
+    boundary = (
+        rows.map_batches(keep(False), batch_format="pyarrow")
+        .groupby([source_col, "window_id"])
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return finals.union(boundary)

@@ -127,11 +127,20 @@ def materialize_windows(
     len_col: str = "n_tok",
     tokens_col: str = "tokens",
     bucket_width: int = 65536,
+    cache_input: bool = True,
 ):
     """Materialized concat-and-chop: one row PER WINDOW with the actual
     packed token array — the training-shard payload itself, not just the
     assignment (:func:`pack_sequences` computes where each doc lands;
     this stitches the streams).
+
+    ``cache_input`` (default on) materializes ``ds`` once before the
+    two passes (bucket sums, then the pack itself): the upstream here
+    is typically a full tokenize — split + vocab lookup over every
+    byte — which is far more expensive to recompute than the
+    object-store residency costs (spill-backed; the shuffle stages the
+    same bytes through the store regardless). Pass ``False`` when the
+    input is already materialized or trivially cheap to recompute.
 
     → Dataset of ``(source_col, window_id, n_docs, n_tok, tokens_col)``
     where ``tokens_col`` is the member docs' arrays concatenated in
@@ -165,6 +174,8 @@ def materialize_windows(
             [source_col, "_bucket"]
         ).aggregate([(len_col, "sum")])
 
+    if cache_input:
+        ds = ds.materialize()
     keyed = ds.map_batches(with_bucket, batch_format="pyarrow")
     sums = (
         keyed.map_batches(combine, batch_format="pyarrow")

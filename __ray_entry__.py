@@ -1118,6 +1118,21 @@ def q_sliding_counts_events(sf_dir: str):
     return sliding_counts(ds)
 
 
+def q_lag_deltas_events(sf_dir: str):
+    """Per-user time-since-previous-event (the LAG window shape) via the
+    hot-key-proof two-phase ``lag_deltas`` — deltas resolve inside
+    (user, day-bucket) groups; only one summary row per non-empty bucket
+    crosses buckets. ``delta_us = -1`` marks a user's first event."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import lag_deltas
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+    return lag_deltas(ds)
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch pair dedup combiner, one
     distinct-pair shuffle, pair-sized recount."""
@@ -1736,6 +1751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_segment": q_events_by_segment,
         "session_windows_events": q_session_windows_events,
         "running_totals_events": q_running_totals_events,
+        "lag_deltas_events": q_lag_deltas_events,
         "rollup_docs": q_rollup_docs,
         "distinct_users_by_type": q_distinct_users_by_type,
         "sliding_counts_events": q_sliding_counts_events,
@@ -2090,6 +2106,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(event_id) OVER w AS BIGINT) AS cum_v FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "lag_deltas_events": (
+            "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id), -1) AS BIGINT) AS delta_us "
+            "FROM events"
         ),
         "sliding_counts_events": (
             "SELECT user_id, CAST((floor(epoch_us(ts)/900000000) - i.i) * 900000000 AS BIGINT) AS win_start_us, "

@@ -20,7 +20,13 @@ import pyarrow as pa
 
 import ray.data as rd
 
-__all__ = ["tumbling_counts", "session_windows", "sliding_counts", "running_totals"]
+__all__ = [
+    "tumbling_counts",
+    "session_windows",
+    "sliding_counts",
+    "running_totals",
+    "lag_deltas",
+]
 
 
 def tumbling_counts(ds: rd.Dataset, *, key: str = "user_id", ts: str = "ts", size_us: int = 3_600_000_000) -> rd.Dataset:
@@ -226,6 +232,110 @@ def running_totals(
         .groupby([key, "__b"])
         .map_groups(local, batch_format="pandas")
     )
+
+
+def lag_deltas(
+    ds: rd.Dataset, *, key: str = "user_id", ts: str = "ts",
+    order_id: str = "event_id", bucket_us: int = 86_400_000_000,
+) -> rd.Dataset:
+    """Per-key LAG: for every event, the time since that key's previous
+    event — ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, order_id)``
+    — emitted as ``(key, event_id, ts_us, delta_us)`` with ``delta_us = -1``
+    for a key's first event (integer sentinel instead of NULL so the SQL
+    oracle compares exactly). ``order_id`` breaks timestamp ties
+    deterministically (must be unique per key).
+
+    Hot-key-proof two-phase like :func:`running_totals` — a delta only
+    couples CONSECUTIVE events, so:
+
+    1. ``groupby (key, ts // bucket_us)`` sorts one key's events WITHIN
+       one time bucket (group size bounded by the bucket span, never the
+       key's total volume) and resolves every delta except the bucket's
+       first event; that first event doubles as the bucket's summary row,
+       carrying the bucket's last ts;
+    2. a per-key pass over the summary rows (one per NON-EMPTY bucket —
+       bounded by the time span) resolves each bucket's first event
+       against the previous non-empty bucket's last ts. Empty buckets
+       are fine — unlike sessionization there is no gap bound.
+
+    Phase-1 output is materialized so the interior/first-event branches
+    don't re-run the event shuffle."""
+    import pyarrow.compute as pc
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        return pa.table(
+            {
+                key: batch[key],
+                "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
+                "__ts": epoch,
+                "__id": batch[order_id].cast(pa.int64()),
+            }
+        )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["__ts"].to_numpy().astype(np.int64)
+        i = g["__id"].to_numpy().astype(np.int64)
+        o = np.lexsort((i, t))
+        t, i = t[o], i[o]
+        n = len(t)
+        delta = np.empty(n, np.int64)
+        delta[1:] = t[1:] - t[:-1]
+        last_ts = np.full(n, -1, np.int64)
+        first = np.zeros(n, bool)
+        last_ts[-1] = t[-1]  # the final row is the bucket-first/summary row
+        first[-1] = True
+        return pd.DataFrame(
+            {
+                key: g[key].iloc[0],
+                "event_id": np.concatenate((i[1:], i[:1])),
+                "ts_us": np.concatenate((t[1:], t[:1])),
+                "delta_us": np.concatenate((delta[1:], [np.int64(-1)])),
+                "__b": int(g["__b"].iloc[0]),
+                "__last_ts": last_ts,
+                "__first": first,
+            }
+        )
+
+    phase1 = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .map_groups(local, batch_format="pandas")
+        .materialize()
+    )
+
+    def take_interior(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.invert(batch["__first"]))
+        return out.select([key, "event_id", "ts_us", "delta_us"])
+
+    interior = phase1.map_batches(take_interior, batch_format="pyarrow")
+
+    def take_first(batch: pa.Table) -> pa.Table:
+        out = batch.filter(batch["__first"])
+        return out.select([key, "event_id", "ts_us", "__b", "__last_ts"])
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__b")
+        tf = g["ts_us"].to_numpy().astype(np.int64)
+        last = g["__last_ts"].to_numpy().astype(np.int64)
+        delta = np.empty(len(g), np.int64)
+        delta[0] = -1
+        delta[1:] = tf[1:] - last[:-1]
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "ts_us": tf,
+                "delta_us": delta,
+            }
+        )
+
+    firsts = (
+        phase1.map_batches(take_first, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(resolve, batch_format="pandas")
+    )
+    return interior.union(firsts)
 
 
 def sliding_counts(

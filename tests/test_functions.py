@@ -1155,6 +1155,78 @@ def test_running_totals_multi_key(ray_session):
     assert got["ts_us"].tolist() == ref["ts"].tolist()
 
 
+def test_lag_deltas_hot_key_bounded_groups(ray_session):
+    """lag_deltas: one key owning 200k events never materializes as a
+    single group (deltas resolve inside (key, bucket); only one summary
+    row per non-empty bucket crosses buckets). Exact vs a single-pass
+    numpy reference, including empty buckets between events."""
+    import numpy as np
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import lag_deltas
+
+    rng = np.random.default_rng(17)
+    n = 200_000
+    # gaps up to 30k >> bucket span 10k: some buckets are empty
+    ts = np.cumsum(rng.integers(1, 30_000, n)).astype(np.int64)
+    perm = rng.permutation(n)  # operator must sort, not trust arrival order
+    tbl = pa.table(
+        {
+            "user_id": pa.array(np.ones(n, np.int64)),
+            "ts": pa.array(ts[perm]),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)[perm]),
+        }
+    )
+    bucket_us = 10_000
+    assert len(np.unique(ts // bucket_us)) > 400
+
+    got = (
+        lag_deltas(rd.from_arrow(tbl).repartition(8), bucket_us=bucket_us)
+        .to_pandas()
+        .sort_values("ts_us")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert got["ts_us"].tolist() == ts.tolist()
+    want = np.empty(n, np.int64)
+    want[0] = -1
+    want[1:] = ts[1:] - ts[:-1]
+    assert got["delta_us"].tolist() == want.tolist()
+
+
+def test_lag_deltas_multi_key_and_ties(ray_session):
+    """Several keys, shuffled arrival, duplicate timestamps: deltas are
+    per-key, ties break on event_id (delta 0 between tied events), and
+    each key's first event carries the -1 sentinel."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import lag_deltas
+
+    rng = np.random.default_rng(23)
+    n = 4_000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, n).astype(np.int64),
+            "ts": rng.integers(0, 900, n).astype(np.int64),  # many ties
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = (
+        lag_deltas(rd.from_pandas(df).repartition(4), bucket_us=100)
+        .to_pandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    prev = ref.groupby("user_id")["ts"].shift(1)
+    want = (ref["ts"] - prev).fillna(-1).astype(np.int64)
+    assert len(got) == n
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    assert got["delta_us"].tolist() == want.tolist()
+
+
 def test_rollup_aggregate(ray_session):
     """rollup_aggregate == GROUP BY ROLLUP: every level exact, lvl is
     the GROUPING bitmask, rolled-up slots are real NULLs."""

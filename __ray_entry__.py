@@ -137,7 +137,9 @@ def q_dedup_incremental_docs(sf_dir: str):
     content history has never seen survives — here the 20% whose text
     history lacks, dropped by content fingerprint, not by id. Both
     sides reduce to 64-bit fingerprints in map_batches; membership is
-    the Bloom-prefiltered anti semi-join — the text never shuffles
+    the Bloom-prefiltered anti semi-join — the text never shuffles.
+    ``dedup_new=True`` additionally collapses intra-batch mirrors to
+    the min-id representative (a (fp,id)-pair shuffle + id semi-join)
     (``functions/dedup.py:dedup_against_corpus``)."""
     import numpy as np
 
@@ -149,7 +151,9 @@ def q_dedup_incremental_docs(sf_dir: str):
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
     history = docs.map_batches(hist_part, batch_format="pyarrow")
-    return dedup_against_corpus(docs, history).select_columns(["doc_id", "source"])
+    return dedup_against_corpus(docs, history, dedup_new=True).select_columns(
+        ["doc_id", "source"]
+    )
 
 
 def q_reservoir_sample_sources(sf_dir: str):
@@ -1833,9 +1837,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n FROM events GROUP BY bin"
         ),
         "dedup_incremental_docs": (
-            "SELECT n.doc_id, n.source FROM documents n "
+            # anti-join vs history + min-id representative per distinct
+            # surviving content (dedup_new=True: intra-batch mirrors collapse)
+            "SELECT doc_id, source FROM ("
+            "SELECT n.doc_id, n.source, n.text FROM documents n "
             "WHERE NOT EXISTS (SELECT 1 FROM documents h "
-            "WHERE h.doc_id % 5 <> 0 AND h.text = n.text)"
+            "WHERE h.doc_id % 5 <> 0 AND h.text = n.text)) "
+            "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
         ),
         "reservoir_sample_sources": (
             f"WITH {_sample_hash_ctes()} "

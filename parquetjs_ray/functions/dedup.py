@@ -89,12 +89,22 @@ def dedup_against_corpus(
     id_col: str = "doc_id",
     broadcast_limit: int = 64 << 20,
     num_buckets: int | None = None,
+    dedup_new: bool = False,
 ) -> rd.Dataset:
     """Incremental-ingestion dedup: keep the rows of ``new`` whose
     content does NOT already exist in ``history`` (the already-curated
     corpus). The continuous-crawl shape: every ingestion batch is
     checked against the historical fingerprint set, so re-crawled /
     mirrored pages never re-enter the training corpus.
+
+    NOTE on intra-batch mirrors: the anti-join alone keeps EVERY copy
+    of content that is novel vs history — duplicates *within* ``new``
+    (e.g. a crawl that hit the same page through two mirrors) all
+    survive and would all enter the corpus. Pass ``dedup_new=True`` to
+    additionally keep only the min-``id_col`` representative per
+    distinct surviving content (an extra (fingerprint, id)-pair shuffle
+    plus an id semi-join — the text still never moves), or chain
+    :func:`exact_dedup` yourself when you need copy counts too.
 
     Ray-Data-first composition, no new shuffle machinery:
 
@@ -132,6 +142,28 @@ def dedup_against_corpus(
         broadcast_limit=broadcast_limit,
         num_buckets=num_buckets,
     )
+    if dedup_new:
+        # min-id representative per distinct surviving content: shuffle
+        # only (fp, id) pairs, then an id semi-join back to full rows
+        from ray.data.aggregate import Min
+
+        winners = (
+            survivors.map_batches(
+                lambda b: pa.table({"__fp": b["__fp"], id_col: b[id_col]}),
+                batch_format="pyarrow",
+            )
+            .groupby("__fp")
+            .aggregate(Min(id_col, alias_name=id_col))
+            .select_columns([id_col])
+        )
+        survivors = semi_join(
+            survivors,
+            winners,
+            left_on=id_col,
+            right_on=id_col,
+            broadcast_limit=broadcast_limit,
+            num_buckets=num_buckets,
+        )
     return survivors.drop_columns(["__fp"])
 
 

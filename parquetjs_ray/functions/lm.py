@@ -79,7 +79,8 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> rd.Dataset:
-    """→ (doc_id, n_bigrams, lm_score) per doc with ≥1 word bigram.
+    """→ (``id_col``, n_bigrams, lm_score) per doc with ≥1 word bigram
+    — the id column is echoed under the caller-supplied name.
 
     ``n_bigrams`` counts occurrences (``n_words - 1`` for space-split
     text); ``lm_score`` = Σ over occurrences of the bigram's corpus
@@ -110,7 +111,7 @@ def bigram_lm_score(
             pos = np.searchsorted(g_sorted, g)  # every gram is in the table
             return pa.table(
                 {
-                    "doc_id": t["doc"],
+                    id_col: t["doc"],
                     "n_bigrams": pa.array(cnt),
                     "lm_score": pa.array(cnt * tot[pos]),
                 }
@@ -133,7 +134,7 @@ def bigram_lm_score(
             tot = np.asarray(t["total"].combine_chunks() if isinstance(t["total"], pa.ChunkedArray) else t["total"])
             return pa.table(
                 {
-                    "doc_id": t["doc"],
+                    id_col: t["doc"],
                     "n_bigrams": pa.array(cnt),
                     "lm_score": pa.array(cnt * tot),
                 }
@@ -142,7 +143,7 @@ def bigram_lm_score(
         partials = joined.map_batches(score, batch_format="pyarrow")
 
     return (
-        partials.groupby("doc_id")
+        partials.groupby(id_col)
         .aggregate(Sum("n_bigrams", alias_name="n_bigrams"), Sum("lm_score", alias_name="lm_score"))
-        .select_columns(["doc_id", "n_bigrams", "lm_score"])
+        .select_columns([id_col, "n_bigrams", "lm_score"])
     )

@@ -223,10 +223,13 @@ def materialize_windows(
         starts = np.flatnonzero(np.concatenate(([True], win[1:] != win[:-1])))
         n_runs = len(starts)
         run_end = np.concatenate((starts[1:], [len(win)]))
+        # int64 offsets end to end: a bucket over 2^31 token elements
+        # must round-trip (large_list) or fail loudly in the final cast,
+        # never silently truncate via an int32 astype
         run_tok_off = np.concatenate(
             (doc_tok_off[starts], [doc_tok_off[-1]])
-        ).astype(np.int32)
-        windows = pa.ListArray.from_arrays(pa.array(run_tok_off, pa.int32()), flat)
+        ).astype(np.int64)
+        windows = pa.LargeListArray.from_arrays(pa.array(run_tok_off, pa.int64()), flat)
         # conservative boundary rule: a bucket's first and last window may
         # straddle into the neighbor buckets; everything between cannot
         final = np.ones(n_runs, dtype=bool)

@@ -41,8 +41,6 @@ def iter_token_batches(
     row appears exactly once). ``columns``/``where``/``version`` pass
     through to :func:`~parquetjs_ray.pipelines.encode.decode_dataset`
     — prune at the read, not after."""
-    from ray.data import DataContext
-
     from .encode import decode_dataset
 
     if batch_tokens <= 0:
@@ -52,39 +50,38 @@ def iter_token_batches(
 
     # Ray's streaming executor reorders completed blocks by default
     # (preserve_order=False); deterministic batch boundaries need the
-    # manifest order, so pin it for the lifetime of this iteration
-    ctx = DataContext.get_current()
-    prev_order = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
-        ds = decode_dataset(out_dir, columns=columns, where=where, version=version)
-        carry: pa.Table | None = None
-        filled = 0  # tokens already in `carry`
+    # manifest order. Pin it on THIS dataset's captured DataContext only
+    # (each Dataset deep-copies the context at creation) — the
+    # process-global context is never touched, so concurrent Ray Data
+    # jobs and abandoned iterators see no side effect.
+    ds = decode_dataset(out_dir, columns=columns, where=where, version=version)
+    ds.context.execution_options.preserve_order = True
 
-        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
-            t = pa.Table.from_batches([batch]) if isinstance(batch, pa.RecordBatch) else batch
-            while t.num_rows:
-                toks = t[tokens_col].combine_chunks()
-                lens = np.diff(np.asarray(toks.offsets).astype(np.int64))
-                cum = filled + np.cumsum(lens)
-                n_fit = int(np.searchsorted(cum, batch_tokens, side="right"))
-                if n_fit == 0:
-                    # nothing fits: flush the carry, then the oversized head
-                    if carry is not None:
-                        yield carry
-                        carry, filled = None, 0
-                        continue  # retry the same rows against an empty budget
-                    yield t.slice(0, 1)  # single row longer than the budget
-                    t = t.slice(1)
-                    continue
-                head = t.slice(0, n_fit)
-                carry = head if carry is None else pa.concat_tables([carry, head])
-                filled = int(cum[n_fit - 1])
-                t = t.slice(n_fit)
-                if t.num_rows:  # budget hit inside this block: emit and reset
+    carry: pa.Table | None = None
+    filled = 0  # tokens already in `carry`
+
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = pa.Table.from_batches([batch]) if isinstance(batch, pa.RecordBatch) else batch
+        while t.num_rows:
+            toks = t[tokens_col].combine_chunks()
+            lens = np.diff(np.asarray(toks.offsets).astype(np.int64))
+            cum = filled + np.cumsum(lens)
+            n_fit = int(np.searchsorted(cum, batch_tokens, side="right"))
+            if n_fit == 0:
+                # nothing fits: flush the carry, then the oversized head
+                if carry is not None:
                     yield carry
                     carry, filled = None, 0
-        if carry is not None and carry.num_rows:
-            yield carry
-    finally:
-        ctx.execution_options.preserve_order = prev_order
+                    continue  # retry the same rows against an empty budget
+                yield t.slice(0, 1)  # single row longer than the budget
+                t = t.slice(1)
+                continue
+            head = t.slice(0, n_fit)
+            carry = head if carry is None else pa.concat_tables([carry, head])
+            filled = int(cum[n_fit - 1])
+            t = t.slice(n_fit)
+            if t.num_rows:  # budget hit inside this block: emit and reset
+                yield carry
+                carry, filled = None, 0
+    if carry is not None and carry.num_rows:
+        yield carry

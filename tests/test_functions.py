@@ -1365,6 +1365,53 @@ def test_dedup_against_corpus_bucketed_path_agrees(ray_session):
     assert sorted(r["doc_id"] for r in got) == list(range(1000, 1020))
 
 
+def test_dedup_against_corpus_dedup_new_collapses_intra_batch(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import dedup_against_corpus
+
+    new, hist = _incr_corpus()
+    # plant intra-new mirrors of one NOVEL text: without dedup_new all
+    # copies survive the anti-join; with it only the min-id one does
+    mirror = pa.table(
+        {
+            "doc_id": pa.array([5000, 5001, 5002], pa.int64()),
+            "text": pa.array([new["text"][0].as_py()] * 3),
+        }
+    )
+    new2 = pa.concat_tables([new, mirror])
+    for kwargs in ({}, {"broadcast_limit": 0, "num_buckets": 4}):
+        got = dedup_against_corpus(
+            rd.from_arrow(new2).repartition(7),
+            rd.from_arrow(hist),
+            dedup_new=True,
+            **kwargs,
+        ).take_all()
+        ids = sorted(r["doc_id"] for r in got)
+        # doc 1000 is the min-id representative of its mirror cluster;
+        # 5000-5002 drop; the other 19 novel docs are unique content
+        assert ids == list(range(1000, 1020))
+        assert all(set(r) == {"doc_id", "text"} for r in got)
+
+
+def test_bigram_lm_score_echoes_caller_id_col(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.lm import bigram_lm_score
+
+    tbl = pa.table(
+        {
+            "page": pa.array([7, 8], pa.int64()),
+            "text": pa.array(["a b a b", "a b"]),
+        }
+    )
+    got = bigram_lm_score(rd.from_arrow(tbl), id_col="page").take_all()
+    assert {tuple(sorted(r)) for r in got} == {("lm_score", "n_bigrams", "page")}
+    res = {r["page"]: (r["n_bigrams"], r["lm_score"]) for r in got}
+    # corpus counts: (a,b)=3, (b,a)=1 -> doc 7: 3 bigrams, 3+1+3; doc 8: 1, 3
+    assert res == {7: (3, 7), 8: (1, 3)}
+
+
 def test_bigram_lm_score_matches_python(ray_session):
     import ray.data as rd
 

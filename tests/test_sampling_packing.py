@@ -385,6 +385,16 @@ def test_iter_token_batches_budget_and_completeness(ray_session, tmp_path):
     again = [b["doc_id"].to_pylist() for b in iter_token_batches(outdir, budget)]
     assert again == [b["doc_id"].to_pylist() for b in batches]
 
+    # the preserve_order pin is scoped to the loader's own dataset:
+    # an abandoned (un-exhausted, un-closed) iterator must leave the
+    # process-global DataContext untouched for concurrent jobs
+    from ray.data import DataContext
+
+    before = DataContext.get_current().execution_options.preserve_order
+    it = iter_token_batches(outdir, budget)
+    next(it)  # start it, then abandon without close()
+    assert DataContext.get_current().execution_options.preserve_order == before
+
 
 def test_iter_token_batches_pushdown(ray_session, tmp_path):
     """columns= / where= plumb through to the pruned decode: only the

@@ -1137,6 +1137,55 @@ def q_lag_deltas_events(sf_dir: str):
     return lag_deltas(ds)
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_event_types(sf_dir: str):
+    """Wide pivot aggregate (one count column per event type + n_other
+    for the open-ended tail): per-batch (key, pivot) combiner scattered
+    into wide partials, one per-key Sum shuffle — the schema can never
+    widen past len(values)+2 columns regardless of the pivot domain
+    (``functions/groupops.py:pivot_counts``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import pivot_counts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return pivot_counts(ds, "user_id", "event_type", _EVENT_TYPES)
+
+
+def q_ntile_docs(sf_dir: str):
+    """Per-row NTILE(10) OVER (PARTITION BY source ORDER BY n_chars,
+    doc_id) — curriculum/difficulty-decile assignment — via the hot-key-
+    proof two-phase shape: value-histogram broadcast for cross-value
+    ranks, tie-class map_groups for intra-value ranks; no per-key
+    history ever materializes (``functions/quantiles.py:ntile_per_group``)."""
+    from parquetjs_ray.functions.quantiles import ntile_per_group
+
+    return ntile_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]), 10
+    )
+
+
+def q_user_overlap_event_types(sf_dir: str):
+    """Group-overlap matrix (the cross-crawl mirror diagnostic, run here
+    over an entity key that is dense at every sf: distinct users shared
+    between each pair of event types): per-(key, group) combiner,
+    distinct-pair groupby, then a bounded key self-join — per-key
+    quadratic term capped by the group count, never the corpus
+    (``functions/dedup.py:content_overlap_matrix``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import content_overlap_matrix
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return content_overlap_matrix(ds, text_col="user_id", group_col="event_type")
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch pair dedup combiner, one
     distinct-pair shuffle, pair-sized recount."""
@@ -1770,10 +1819,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_full_join_diff": q_orders_full_join_diff,
         "customers_no_big_orders": q_customers_no_big_orders,
         "events_tumbling_hourly": q_events_tumbling_hourly,
+        # — new this round (round 5) —
+        "pivot_event_types": q_pivot_event_types,
+        "ntile_docs": q_ntile_docs,
+        "user_overlap_event_types": q_user_overlap_event_types,
+        # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r04 ———
         "session_windows_events": q_session_windows_events,
         "lag_deltas_events": q_lag_deltas_events,
         "sliding_counts_events": q_sliding_counts_events,
-        # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r04 ———
         "per_source_doc_stats": q_per_source_doc_stats,
         "lang_distribution": q_lang_distribution,
         "selector_stats_events": q_selector_stats_events,
@@ -2114,6 +2167,28 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "pivot_event_types": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"count(*) FILTER (WHERE event_type = '{v}')::BIGINT AS n_{v}"
+                for v in _EVENT_TYPES
+            )
+            + ", count(*) FILTER (WHERE event_type NOT IN ("
+            + ", ".join(f"'{v}'" for v in _EVENT_TYPES)
+            + "))::BIGINT AS n_other FROM events GROUP BY user_id"
+        ),
+        "ntile_docs": (
+            "SELECT doc_id, source, ntile(10) OVER "
+            "(PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS tile "
+            "FROM documents"
+        ),
+        "user_overlap_event_types": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS src_a, b.event_type AS src_b, "
+            "count(*)::BIGINT AS n_shared "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2"
         ),
         "rollup_docs": (
             "SELECT source, lang, "

@@ -32,6 +32,7 @@ from .text import fingerprint64
 __all__ = [
     "exact_dedup",
     "dedup_against_corpus",
+    "content_overlap_matrix",
     "ngram_jaccard",
     "minhash_signatures",
     "minhash_dedup",
@@ -194,6 +195,87 @@ def ngram_jaccard(
         rows.append({"a": a, "b": b, "jaccard_x1000": jac})
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard_x1000": pa.array([], pa.int64())}
+    )
+
+
+def content_overlap_matrix(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> rd.Dataset:
+    """Cross-group duplicate-content matrix: for every unordered pair of
+    groups (sources/crawls/snapshots), how many DISTINCT contents appear
+    in both — the "which crawls mirror each other" diagnostic that
+    decides where dedup effort goes.
+
+    Shuffle-bounded end to end: texts reduce to 64-bit fingerprints in
+    ``map_batches`` and are deduped per (fp, group) in-batch (combiner),
+    the global distinct is one Count groupby over pairs, and the pair
+    expansion is :func:`~parquetjs_ray.functions.joins.equi_join` of the
+    distinct table with itself on fp — each fp's bucket holds ≤ one row
+    per group, so the join's quadratic term is bounded by the group
+    count, never the corpus. Same collision caveat as
+    :func:`exact_dedup` (~n²/2⁶⁵).
+
+    ``text_col`` may also be an integer column (an entity id rather than
+    content): it is then used as the join key directly, collision-free —
+    e.g. "distinct users shared between each pair of event types".
+
+    Output: ``(src_a, src_b, n_shared)`` with ``src_a < src_b``.
+    """
+    from ray.data.aggregate import Count
+
+    from .joins import equi_join
+
+    def fp_pairs(batch: pa.Table) -> pa.Table:
+        ctype = batch.schema.field(text_col).type
+        if pa.types.is_string(ctype) or pa.types.is_large_string(ctype):
+            key = pa.array(fingerprint64(batch[text_col]).view(np.int64))
+        else:
+            key = batch[text_col].cast(pa.int64())
+        t = pa.table({"__fp": key, group_col: batch[group_col]})
+        return t.group_by(["__fp", group_col]).aggregate([])
+
+    distinct = (
+        ds.map_batches(fp_pairs, batch_format="pyarrow")
+        .groupby(["__fp", group_col])
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["__fp", group_col])
+    )
+    # distinct output-column names per side (a self-join would collide)
+    left = distinct.map_batches(
+        lambda b: pa.table({"__fp": b["__fp"], "src_a": b[group_col]}),
+        batch_format="pyarrow",
+    )
+    right = distinct.map_batches(
+        lambda b: pa.table({"__fp": b["__fp"], "src_b": b[group_col]}),
+        batch_format="pyarrow",
+    )
+    joined = equi_join(
+        left,
+        right,
+        left_on="__fp",
+        right_on="__fp",
+        left_cols=["src_a"],
+        right_cols=["src_b"],
+    )
+
+    def ordered(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table({"src_a": b["src_a"], "src_b": b["src_b"]}).filter(
+            pc.less(b["src_a"], b["src_b"])
+        )
+        return t.group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(ordered, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("count_all", alias_name="n_shared"))
+        .select_columns(["src_a", "src_b", "n_shared"])
     )
 
 

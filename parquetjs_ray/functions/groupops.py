@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["group_top_k", "rollup_aggregate", "group_count_distinct"]
+__all__ = ["group_top_k", "rollup_aggregate", "group_count_distinct", "pivot_counts"]
 
 
 def _topk_per_key(
@@ -160,3 +160,50 @@ def rollup_aggregate(ds, keys: list[str], *, value: str):
         )
 
     return agg.map_batches(unsentinel, batch_format="pyarrow")
+
+
+def pivot_counts(ds, key: str, pivot_col: str, values: list[str]):
+    """Wide pivot aggregate: one row per ``key``, one ``n_<value>``
+    count column per entry of ``values`` (plus ``n_other`` for pivot
+    values outside the list) — ``SELECT key, count(*) FILTER (WHERE
+    pivot = v) AS n_v, ... GROUP BY key`` in one pass.
+
+    Combiner-before-shuffle: each batch reduces to its own (key, pivot)
+    counts with one in-batch ``group_by``, scattered into wide partial
+    rows — so the single shuffle carries ≤ one (len(values)+2)-column
+    row per (key, batch), never raw events; the final reduction is a
+    plain per-key Sum of each wide column. Unlisted pivot values fold
+    into ``n_other`` at the combiner, so an open-ended pivot domain
+    (the 100 TB failure mode of naive dynamic pivots: one output column
+    per distinct value) cannot widen the schema."""
+    from ray.data.aggregate import Sum
+
+    vlist = list(values)
+    out_cols = [f"n_{v}" for v in vlist] + ["n_other"]
+    lookup = {v: i for i, v in enumerate(vlist)}
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], pivot_col: b[pivot_col]})
+        g = t.group_by([key, pivot_col]).aggregate([([], "count_all")])
+        piv = g[pivot_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g["count_all"].combine_chunks().to_numpy(zero_copy_only=False)
+        col_idx = np.array([lookup.get(v, len(vlist)) for v in piv], np.int64)
+        # scatter (key-row, pivot-col) counts into the wide partial block
+        kcol = g[key].combine_chunks()
+        codes = kcol.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        n_keys = int(codes.max()) + 1 if len(codes) else 0
+        wide = np.zeros((n_keys, len(vlist) + 1), np.int64)
+        np.add.at(wide, (codes, col_idx), cnt)
+        first_pos = np.zeros(n_keys, np.int64)
+        first_pos[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+        cols = {key: kcol.take(pa.array(first_pos))}
+        for j, name in enumerate(out_cols):
+            cols[name] = pa.array(wide[:, j])
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
+        .select_columns([key] + out_cols)
+    )

@@ -1596,3 +1596,104 @@ def test_equi_join_full_outer(ray_session):
             rd.from_arrow(left), rd.from_arrow(right), left_on="k", right_on="k",
             left_cols=["lv"], right_cols=["rv"], how="full", salt_hot_keys=True,
         )
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import pivot_counts
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 80, n).astype("int64")),
+            "e": pa.array(rng.choice(["a", "b", "c", "zz", "qq"], n).tolist()),
+        }
+    )
+    got = pivot_counts(rd.from_arrow(t).repartition(7), "u", "e", ["a", "b", "c"]).take_all()
+    want = duckdb.sql(
+        "SELECT u, count(*) FILTER (e='a') na, count(*) FILTER (e='b') nb, "
+        "count(*) FILTER (e='c') nc, count(*) FILTER (e NOT IN ('a','b','c')) nother "
+        "FROM t GROUP BY u"
+    ).fetchall()
+    w = {r[0]: r[1:] for r in want}
+    g = {r["u"]: (r["n_a"], r["n_b"], r["n_c"], r["n_other"]) for r in got}
+    assert g == {k: tuple(v) for k, v in w.items()}
+
+
+def test_ntile_per_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import ntile_per_group
+
+    rng = np.random.default_rng(13)
+    for n, k in ((2500, 10), (17, 4), (3, 7)):  # incl. n < k (one row per tile)
+        t = pa.table(
+            {
+                "doc_id": pa.array(rng.permutation(10_000)[:n].astype("int64")),
+                "source": pa.array([f"s{i % 5}" for i in range(n)]),
+                "n_chars": pa.array(rng.integers(0, 50, n).astype("int64")),
+            }
+        )
+        got = ntile_per_group(rd.from_arrow(t).repartition(4), k).take_all()
+        want = duckdb.sql(
+            f"SELECT doc_id, ntile({k}) OVER "
+            "(PARTITION BY source ORDER BY n_chars, doc_id) FROM t"
+        ).fetchall()
+        assert {r["doc_id"]: r["tile"] for r in got} == {a: b for a, b in want}
+
+
+def test_ntile_rejects_bad_args(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import ntile_per_group
+
+    t = pa.table({"doc_id": [1], "source": ["s"], "n_chars": [2]})
+    with pytest.raises(ValueError):
+        ntile_per_group(rd.from_arrow(t), 0)
+
+
+def test_content_overlap_matrix_text_and_int_keys(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import content_overlap_matrix
+
+    # text key: planted cross-source mirrors
+    t = pa.table(
+        {
+            "text": ["x", "x", "y", "y", "z", "x", "q", "q", "u1", "u2"],
+            "source": ["a", "b", "a", "c", "a", "a", "b", "c", "a", "b"],
+        }
+    )
+    got = sorted(
+        (r["src_a"], r["src_b"], r["n_shared"])
+        for r in content_overlap_matrix(rd.from_arrow(t).repartition(3)).take_all()
+    )
+    assert got == [("a", "b", 1), ("a", "c", 1), ("b", "c", 1)]
+
+    # integer entity key (no fingerprinting), vs duckdb
+    rng = np.random.default_rng(17)
+    n = 4000
+    ev = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 60, n).astype("int64")),
+            "event_type": pa.array(rng.choice(["c", "v", "p"], n).tolist()),
+        }
+    )
+    got2 = sorted(
+        (r["src_a"], r["src_b"], r["n_shared"])
+        for r in content_overlap_matrix(
+            rd.from_arrow(ev).repartition(5), text_col="user_id", group_col="event_type"
+        ).take_all()
+    )
+    want = duckdb.sql(
+        "WITH d AS (SELECT DISTINCT user_id, event_type FROM ev) "
+        "SELECT a.event_type, b.event_type, count(*) FROM d a "
+        "JOIN d b ON a.user_id=b.user_id AND a.event_type<b.event_type GROUP BY 1,2 ORDER BY 1,2"
+    ).fetchall()
+    assert got2 == [tuple(w) for w in want]

@@ -4,7 +4,8 @@ round-trip verification over the synthetic north-rule table, plus query
 timings over $GRAFT_SF_DIR tables.
 
 Prints ONE JSON line. ``--scaling`` reruns the headline in fresh
-processes at RAY_GRAFT_CPUS=8 and =32 on the same input and reports
+processes at RAY_GRAFT_CPUS=2 and =8 (N vs 4N; this box delivers ~8 real
+hardware threads — see run_scaling) on the same input and reports
 throughput at both plus scaling efficiency (the sandbox evidence for the
 north rule's N-vs-4N cluster criterion; no real multi-node cluster here).
 
@@ -340,7 +341,13 @@ def run_scaling() -> dict:
     # (they eat a larger fraction of the faster leg's wall, biasing the
     # ratio down); same fixed input either way
     scale_rows = os.environ.get("GRAFT_BENCH_ROWS", "1200000")
-    for ncpu in (2, 8):
+    # N vs 4N pair, overridable (GRAFT_SCALE_CPUS="1,4") — on days the
+    # sandbox delivers fewer real threads, a lower pair keeps both legs
+    # inside the hardware's linear range (the criterion is the RATIO)
+    pair = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(",")
+    )
+    for ncpu in pair:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=scale_rows,
                    GRAFT_BENCH_SCALING_RUN="1", **parquetjs_ray.MALLOC_ENV)
         proc = subprocess.run(

@@ -1186,6 +1186,123 @@ def q_user_overlap_event_types(sf_dir: str):
     return content_overlap_matrix(ds, text_col="user_id", group_col="event_type")
 
 
+def q_rank_docs_per_source(sf_dir: str):
+    """The grouped-window rank family (ROW_NUMBER / RANK / DENSE_RANK
+    per source by n_chars) via the hot-key-proof histogram-broadcast +
+    tie-class shape shared with NTILE — no key's full history ever
+    materializes (``functions/quantiles.py:rank_per_group``)."""
+    from parquetjs_ray.functions.quantiles import rank_per_group
+
+    return rank_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    )
+
+
+def q_winsorize_docs(sf_dir: str):
+    """Per-source winsorization at the exact [p05, p95] discrete
+    quantiles: distinct-(source, length) histogram shuffle reduced to
+    ONE (lo, hi) row per source, broadcast once; the corpus itself is
+    clipped in a stateless map — it never shuffles
+    (``functions/quantiles.py:winsorize_per_group``)."""
+    from parquetjs_ray.functions.quantiles import winsorize_per_group
+
+    return winsorize_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        q_lo=0.05,
+        q_hi=0.95,
+    )
+
+
+def q_cube_docs(sf_dir: str):
+    """GROUP BY CUBE(source, lang) — all 4 grouping sets in ONE scan
+    (per-batch partials for every subset mask; the shuffle carries
+    2^k × distinct-combo partial rows, never raw docs); ``lvl``
+    reproduces SQL GROUPING() (``functions/groupops.py:cube_aggregate``)."""
+    from parquetjs_ray.functions.groupops import cube_aggregate
+
+    return cube_aggregate(
+        _docs(sf_dir).select_columns(["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        value="n_chars",
+    )
+
+
+def q_unpivot_event_types(sf_dir: str):
+    """PIVOT → UNPIVOT round trip: the wide per-user event-type counts
+    melt back to sparse long rows, shuffle-free and vectorized —
+    proving the two shapes are inverses
+    (``functions/groupops.py:unpivot_counts``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import pivot_counts, unpivot_counts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    wide = pivot_counts(ds, "user_id", "event_type", _EVENT_TYPES)
+    return unpivot_counts(
+        wide,
+        "user_id",
+        [f"n_{v}" for v in _EVENT_TYPES],
+        var_name="event_col",
+        val_name="n",
+    )
+
+
+def q_source_share_report(sf_dir: str):
+    """Corpus skew report (share + cumulative share per source in
+    descending-count order) — the pick-a-partitioning-key diagnostic;
+    one count-combiner shuffle, key-sized finalize, exact-integer
+    divisions so the doubles hash-match SQL
+    (``functions/groupops.py:group_share_report``)."""
+    from parquetjs_ray.functions.groupops import group_share_report
+
+    return group_share_report(_docs(sf_dir).select_columns(["source"]), "source")
+
+
+def q_cap_docs_per_source(sf_dir: str):
+    """Per-domain cap (≤10 docs per source, splitmix64-hash order):
+    combiner-before-shuffle top-k — every batch reduces to its own ≤k
+    rows per source first, so only that residue moves
+    (``functions/sampling.py:cap_per_group``)."""
+    from parquetjs_ray.functions.sampling import cap_per_group
+
+    return cap_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source"]), 10
+    )
+
+
+def q_stratified_split_docs(sf_dir: str):
+    """EXACT-count stratified train/val/test split (90/7/3 inside every
+    source, splitmix64-rank membership): histogram-broadcast + tie-class
+    ranking, so the split is deterministic across runs/resumes/cluster
+    sizes AND hits the per-stratum counts exactly — the guarantee hash
+    bands only reach in expectation
+    (``functions/sampling.py:stratified_split_exact``)."""
+    from parquetjs_ray.functions.sampling import stratified_split_exact
+
+    return stratified_split_exact(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        {"train": 90, "val": 7, "test": 3},
+    )
+
+
+def q_funnel_events(sf_dir: str):
+    """Ordered conversion funnel view→click→purchase: events project to
+    (key, stage, ts) triples (payload never moves), ONE cogroup walks
+    each key's chain with searchsorted, per-stage counts fold from
+    kilobyte depth rows (``functions/windows.py:funnel_stages``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import funnel_stages
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_stages(ds, ["view", "click", "purchase"])
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch pair dedup combiner, one
     distinct-pair shuffle, pair-sized recount."""
@@ -1764,9 +1881,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round over round. This round's front block = the 7 entries never
     # driver-verified, the 1 whose semantics changed this session
     # (dedup_incremental_docs now collapses intra-batch mirrors), the 20
-    # that r04 missed (each r03-verified), then 22 flagship/family
-    # representatives. The 27 tail entries all carry fresh hash-exact
-    # rows in CORRECTNESS_r04.json and are unchanged since.
+    # that r04 missed (each r03-verified), the 11 operators NEW in round
+    # 5, then 11 flagship representatives. Every entry past position 50
+    # carries a hash-exact row in CORRECTNESS_r03/r04.json and is
+    # unchanged since that row was recorded.
     return {
         # — never driver-verified before this round —
         "heavy_words": q_heavy_words,
@@ -1799,6 +1917,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "corpus_clean_encode": q_corpus_clean_encode,
+        # — new this round (round 5) —
+        "pivot_event_types": q_pivot_event_types,
+        "ntile_docs": q_ntile_docs,
+        "user_overlap_event_types": q_user_overlap_event_types,
+        "rank_docs_per_source": q_rank_docs_per_source,
+        "winsorize_docs": q_winsorize_docs,
+        "cube_docs": q_cube_docs,
+        "unpivot_event_types": q_unpivot_event_types,
+        "source_share_report": q_source_share_report,
+        "cap_docs_per_source": q_cap_docs_per_source,
+        "stratified_split_docs": q_stratified_split_docs,
+        "funnel_events": q_funnel_events,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -1811,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_lookup_docs": q_point_lookup_docs,
         "phrase_lookup_docs": q_phrase_lookup_docs,
         "training_shards_docs": q_training_shards_docs,
+        # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
         "tokenize_docs": q_tokenize_docs,
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "chunk_docs": q_chunk_docs,
@@ -1819,11 +1950,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_full_join_diff": q_orders_full_join_diff,
         "customers_no_big_orders": q_customers_no_big_orders,
         "events_tumbling_hourly": q_events_tumbling_hourly,
-        # — new this round (round 5) —
-        "pivot_event_types": q_pivot_event_types,
-        "ntile_docs": q_ntile_docs,
-        "user_overlap_event_types": q_user_overlap_event_types,
-        # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r04 ———
         "session_windows_events": q_session_windows_events,
         "lag_deltas_events": q_lag_deltas_events,
         "sliding_counts_events": q_sliding_counts_events,
@@ -2182,6 +2308,70 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, ntile(10) OVER "
             "(PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS tile "
             "FROM documents"
+        ),
+        "rank_docs_per_source": (
+            # row_number breaks ties on doc_id; rank/dense_rank are over
+            # the value alone (a doc_id tiebreak would make every row
+            # unique and collapse all three to row_number)
+            "SELECT doc_id, source, n_chars, "
+            "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS row_number, "
+            "rank() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT AS rank, "
+            "dense_rank() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT AS dense_rank "
+            "FROM documents"
+        ),
+        "winsorize_docs": (
+            "WITH b AS (SELECT source, quantile_disc(n_chars, 0.05) AS lo, "
+            "quantile_disc(n_chars, 0.95) AS hi FROM documents GROUP BY source) "
+            "SELECT d.doc_id, d.source, d.n_chars, "
+            "least(greatest(d.n_chars, b.lo), b.hi)::BIGINT AS clipped "
+            "FROM documents d JOIN b USING (source)"
+        ),
+        "cube_docs": (
+            "SELECT source, lang, "
+            "CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS lvl, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_v "
+            "FROM documents GROUP BY CUBE(source, lang)"
+        ),
+        "unpivot_event_types": (
+            "SELECT user_id, 'n_' || event_type AS event_col, "
+            "count(*)::BIGINT AS n FROM events GROUP BY user_id, event_type"
+        ),
+        "source_share_report": (
+            "WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source) "
+            "SELECT source, n, "
+            "row_number() OVER (ORDER BY n DESC, source)::BIGINT AS rank, "
+            "n / (SELECT sum(n) FROM c)::DOUBLE AS share, "
+            "(sum(n) OVER (ORDER BY n DESC, source)) / (SELECT sum(n) FROM c)::DOUBLE AS cum_share "
+            "FROM c"
+        ),
+        "cap_docs_per_source": (
+            f"WITH {_sample_hash_ctes()}, "
+            "r AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY (x // 2), doc_id) AS rn FROM h5) "
+            "SELECT doc_id, source FROM r WHERE rn <= 10"
+        ),
+        "stratified_split_docs": (
+            f"WITH {_sample_hash_ctes()}, "
+            "r AS (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source ORDER BY (x // 8589934592), doc_id) - 1 AS rn0, "
+            "count(*) OVER (PARTITION BY source) AS n FROM h5) "
+            "SELECT doc_id, source, CASE WHEN rn0 < (n*90)//100 THEN 'train' "
+            "WHEN rn0 < (n*97)//100 THEN 'val' ELSE 'test' END AS split FROM r"
+        ),
+        "funnel_events": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            " WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            " JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t "
+            " WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            " JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t "
+            " WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT * FROM ("
+            "SELECT 1::BIGINT AS stage, 'view' AS event_type, count(*)::BIGINT AS n_keys FROM s1 "
+            "UNION ALL SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2 "
+            "UNION ALL SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)"
         ),
         "user_overlap_event_types": (
             "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "

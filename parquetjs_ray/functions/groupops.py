@@ -20,7 +20,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["group_top_k", "rollup_aggregate", "group_count_distinct", "pivot_counts"]
+__all__ = [
+    "group_top_k",
+    "rollup_aggregate",
+    "group_count_distinct",
+    "pivot_counts",
+    "cube_aggregate",
+    "unpivot_counts",
+    "group_share_report",
+]
 
 
 def _topk_per_key(
@@ -160,6 +168,154 @@ def rollup_aggregate(ds, keys: list[str], *, value: str):
         )
 
     return agg.map_batches(unsentinel, batch_format="pyarrow")
+
+
+def cube_aggregate(ds, keys: list[str], *, value: str):
+    """``GROUP BY CUBE(keys...)`` — COUNT and SUM(value) at every one of
+    the 2^len(keys) grouping subsets — in ONE pass over the data.
+
+    Same single-scan shape as :func:`rollup_aggregate` (which emits only
+    the len(keys)+1 trailing-prefix levels): each batch emits in-batch
+    partials for EVERY subset mask, so the corpus is read once and the
+    one shuffle carries ``2^k × distinct combos`` partial rows — fine
+    for the dimension-column cardinalities a cube is for. Rolled-up key
+    slots ride the shuffle as a NUL-byte sentinel and come back as real
+    NULLs; ``lvl`` reproduces the SQL ``GROUPING(keys...)`` bitmask
+    (last key = least-significant bit), so a DuckDB ``GROUP BY CUBE``
+    reproduces the output bit-for-bit.
+
+    ``keys`` must be string columns; ``value`` an integer column.
+    Output: ``keys..., lvl, n, sum_v``."""
+    from ray.data.aggregate import Sum
+
+    nk = len(keys)
+
+    def partials(b: pa.Table) -> pa.Table:
+        outs = []
+        for mask in range(1 << nk):  # bit (nk-1-i) set → keys[i] rolled up
+            cols = {}
+            for i, k in enumerate(keys):
+                if mask & (1 << (nk - 1 - i)):
+                    cols[k] = pa.array(
+                        np.full(b.num_rows, _ROLLUP_SENTINEL, object), pa.string()
+                    )
+                else:
+                    cols[k] = b[k]
+            t = pa.table({**cols, "__v": b[value].cast(pa.int64())})
+            g = t.group_by(keys).aggregate([("__v", "sum"), ([], "count_all")])
+            g = g.append_column(
+                "__lvl", pa.array(np.full(g.num_rows, mask, np.int64))
+            )
+            outs.append(g.select(keys + ["__lvl", "__v_sum", "count_all"]))
+        return pa.concat_tables(outs)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(keys + ["__lvl"])
+        .aggregate(Sum("count_all", alias_name="n"), Sum("__v_sum", alias_name="sum_v"))
+    )
+
+    def unsentinel(b: pa.Table) -> pa.Table:
+        for k in keys:
+            col = pc.if_else(
+                pc.equal(b[k], _ROLLUP_SENTINEL), pa.scalar(None, pa.string()), b[k]
+            )
+            b = b.set_column(b.schema.get_field_index(k), k, col)
+        return b.select(keys + ["__lvl", "n", "sum_v"]).rename_columns(
+            keys + ["lvl", "n", "sum_v"]
+        )
+
+    return agg.map_batches(unsentinel, batch_format="pyarrow")
+
+
+def unpivot_counts(
+    ds,
+    key: str,
+    value_cols: list[str],
+    *,
+    var_name: str = "variable",
+    val_name: str = "value",
+    drop_zero: bool = True,
+):
+    """UNPIVOT / melt: turn a wide table (one column per measure) back
+    into long ``(key, variable, value)`` rows — the inverse of
+    :func:`pivot_counts`.
+
+    Stateless and shuffle-free: each batch of W wide rows becomes
+    ``W × len(value_cols)`` long rows locally (column names are repeated
+    as a dictionary-encoded constant per slice, never per-row Python).
+    ``drop_zero`` omits zero-valued cells, matching the sparse long form
+    a pivot was built from."""
+
+    vlist = list(value_cols)
+
+    def melt(b: pa.Table) -> pa.Table:
+        outs = []
+        for c in vlist:
+            t = pa.table(
+                {
+                    key: b[key],
+                    var_name: pa.array(
+                        np.full(b.num_rows, c, object), pa.string()
+                    ),
+                    val_name: b[c].cast(pa.int64()),
+                }
+            )
+            if drop_zero:
+                t = t.filter(pc.not_equal(t[val_name], 0))
+            outs.append(t)
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def group_share_report(ds, key: str):
+    """Per-key skew report: row count, share of the corpus, and the
+    cumulative share in descending-count order — the first diagnostic
+    run on a crawl to find hot sources/domains before picking a
+    partitioning key.
+
+    One count-combiner shuffle (per-batch ``(key) → count`` partials,
+    per-key Sum); the report itself is one row per key — kilobytes at
+    any corpus size — finalized in a single task. Both share columns
+    are ONE exact-integer count divided by the exact-integer total (the
+    cumulative sum runs over int64 counts, not floats), so there is no
+    float-accumulation-order ambiguity and the output hash-matches the
+    SQL oracle bit-for-bit.
+
+    Output: ``(key, n, rank, share, cum_share)`` ordered by (n desc,
+    key)."""
+    from ray.data.aggregate import Sum
+
+    def combine(b: pa.Table) -> pa.Table:
+        return pa.table({key: b[key]}).group_by([key]).aggregate([([], "count_all")])
+
+    counts = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        t = b.sort_by([("n", "descending"), (key, "ascending")])
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        share = n / np.float64(total)
+        cum = np.cumsum(n) / np.float64(total)
+        return pa.table(
+            {
+                key: t[key],
+                "n": pa.array(n),
+                "rank": pa.array(np.arange(1, len(n) + 1, dtype=np.int64)),
+                "share": pa.array(share),
+                "cum_share": pa.array(cum),
+            }
+        )
+
+    # one row per key: safe to finalize as a single block
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
 
 
 def pivot_counts(ds, key: str, pivot_col: str, values: list[str]):

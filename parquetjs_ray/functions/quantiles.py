@@ -23,7 +23,12 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["grouped_quantiles", "ntile_per_group"]
+__all__ = [
+    "grouped_quantiles",
+    "ntile_per_group",
+    "rank_per_group",
+    "winsorize_per_group",
+]
 
 
 def grouped_quantiles(
@@ -103,50 +108,14 @@ def ntile_per_group(
     index into one composite int64 for the broadcast lookup).
     """
     import ray
-    from ray.data.aggregate import Sum
 
     if n_tiles <= 0:
         raise ValueError("n_tiles must be positive")
 
-    def combine(batch: pa.Table) -> pa.Table:
-        t = pa.table({key: batch[key], value: batch[value]})
-        return t.group_by([key, value]).aggregate([([], "count_all")])
-
-    hist = (
-        ds.map_batches(combine, batch_format="pyarrow")
-        .groupby([key, value])
-        .aggregate(Sum("count_all", alias_name="count"))
-    )
-
-    @ray.remote(num_cpus=1)
-    def _assemble(block_refs: list):
-        # Ray's aggregate can emit 0-row blocks with a bare schema;
-        # drop them before concat (schemas would mismatch)
-        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
-        if not tabs:
-            return np.array([], object), np.array([], np.int64), np.array([], np.int64), np.array([], np.int64)
-        full = pa.concat_tables(tabs).combine_chunks()
-        ks = np.asarray(full[key])
-        vs = full[value].to_numpy(zero_copy_only=False).astype(np.int64)
-        cs = full["count"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(vs) and (vs.min() < 0 or vs.max() >= 1 << 31):
-            raise ValueError("ntile_per_group: value must be in [0, 2^31)")
-        uk, kidx = np.unique(ks, return_inverse=True)
-        comp = (kidx.astype(np.int64) << 32) | vs
-        order = np.argsort(comp, kind="stable")
-        comp, cs_o, kidx_o = comp[order], cs[order], kidx[order]
-        # cumulative count BEFORE each (key, value), resetting per key
-        cum = np.cumsum(cs_o) - cs_o
-        key_first = np.concatenate(([True], kidx_o[1:] != kidx_o[:-1]))
-        key_base = np.maximum.accumulate(np.where(key_first, cum, 0))
-        cum_before = cum - key_base
-        totals = np.bincount(kidx_o, weights=cs_o).astype(np.int64)
-        return uk, comp, cum_before, totals
-
-    bundle = _assemble.remote(list(hist.to_arrow_refs()))
+    bundle = _value_hist_bundle(ds, key, value)
 
     def tiles(g: pa.Table) -> pa.Table:
-        uk, comp, cum_before, totals = ray.get(bundle)  # zero-copy plasma read
+        uk, comp, cum_before, totals, _ = ray.get(bundle)  # zero-copy plasma read
         k_val = g[key][0].as_py()
         v_val = int(g[value][0].as_py())
         kidx = int(np.searchsorted(uk, k_val))
@@ -175,4 +144,188 @@ def ntile_per_group(
         ds.select_columns([id_col, key, value])
         .groupby([key, value])
         .map_groups(tiles, batch_format="pyarrow")
+    )
+
+
+def _value_hist_bundle(ds: rd.Dataset, key: str, value: str):
+    """Shared first phase of the grouped-window operators: the per-batch
+    ``(key, value) → count`` combiner + global pair Sum, assembled in a
+    Ray task (off-driver) into sorted composite keys with per-pair
+    cumulative offsets, per-key totals and per-key run starts, published
+    once to the object store. Returns the ObjectRef of the bundle
+    ``(uk, comp, cum_before, totals, key_start)`` where ``comp`` packs
+    ``key_index << 32 | value`` (hence ``value`` must be in [0, 2^31)).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], value: batch[value]})
+        return t.group_by([key, value]).aggregate([([], "count_all")])
+
+    hist = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby([key, value])
+        .aggregate(Sum("count_all", alias_name="count"))
+    )
+
+    @ray.remote(num_cpus=1)
+    def _assemble(block_refs: list):
+        # Ray's aggregate can emit 0-row blocks with a bare schema;
+        # drop them before concat (schemas would mismatch)
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            empty = np.array([], np.int64)
+            return np.array([], object), empty, empty, empty, empty
+        full = pa.concat_tables(tabs).combine_chunks()
+        ks = np.asarray(full[key])
+        vs = full[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = full["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vs) and (vs.min() < 0 or vs.max() >= 1 << 31):
+            raise ValueError("grouped window value must be in [0, 2^31)")
+        uk, kidx = np.unique(ks, return_inverse=True)
+        comp = (kidx.astype(np.int64) << 32) | vs
+        order = np.argsort(comp, kind="stable")
+        comp, cs_o, kidx_o = comp[order], cs[order], kidx[order]
+        # cumulative count BEFORE each (key, value), resetting per key
+        cum = np.cumsum(cs_o) - cs_o
+        key_first = np.concatenate(([True], kidx_o[1:] != kidx_o[:-1]))
+        key_base = np.maximum.accumulate(np.where(key_first, cum, 0))
+        cum_before = cum - key_base
+        totals = np.bincount(kidx_o, weights=cs_o).astype(np.int64)
+        key_start = np.searchsorted(kidx_o, np.arange(len(uk)))
+        return uk, comp, cum_before, totals, key_start
+
+    return _assemble.remote(list(hist.to_arrow_refs()))
+
+
+def rank_per_group(
+    ds: rd.Dataset,
+    *,
+    key: str = "source",
+    value: str = "n_chars",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-row ``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY
+    key ORDER BY value, id_col)`` — the general grouped-window rank
+    family — with the same hot-key-proof two-phase shape as
+    :func:`ntile_per_group`: a (key, value) histogram broadcast supplies
+    every cross-value offset, and per-row work happens inside TIE
+    CLASSES (one ``(key, value)`` pair per group), so no key's full
+    history ever materializes in one worker.
+
+    Per tie class with histogram offset ``base`` (rows of this key with
+    a smaller value) and in-class id order ``i``:
+
+    - ``row_number`` = base + i + 1  (ties broken by ``id_col``, so it
+      is deterministic and reproduces the SQL window exactly);
+    - ``rank``       = base + 1      (shared by the whole tie class);
+    - ``dense_rank`` = ordinal of this value among the key's distinct
+      values — read straight off the class's position in the broadcast
+      histogram run.
+
+    Output: ``(id_col, key, value, row_number, rank, dense_rank)``,
+    int64, bit-identical to the SQL windows. ``value`` must be int64 in
+    [0, 2^31) (packed beside the key index for the broadcast lookup).
+    """
+    import ray
+
+    bundle = _value_hist_bundle(ds, key, value)
+
+    def ranks(g: pa.Table) -> pa.Table:
+        uk, comp, cum_before, totals, key_start = ray.get(bundle)
+        k_val = g[key][0].as_py()
+        v_val = int(g[value][0].as_py())
+        kidx = int(np.searchsorted(uk, k_val))
+        pos = int(np.searchsorted(comp, (kidx << 32) | v_val))
+        base = int(cum_before[pos])
+        dense = pos - int(key_start[kidx]) + 1
+        ids = g[id_col].combine_chunks()
+        order = pc.array_sort_indices(ids).to_numpy(zero_copy_only=False)
+        rn = np.empty(len(ids), np.int64)
+        rn[order] = base + np.arange(1, len(ids) + 1)
+        n = len(ids)
+        return pa.table(
+            {
+                id_col: g[id_col],
+                key: g[key],
+                value: g[value],
+                "row_number": pa.array(rn),
+                "rank": pa.array(np.full(n, base + 1, np.int64)),
+                "dense_rank": pa.array(np.full(n, dense, np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, key, value])
+        .groupby([key, value])
+        .map_groups(ranks, batch_format="pyarrow")
+    )
+
+
+def winsorize_per_group(
+    ds: rd.Dataset,
+    *,
+    key: str = "source",
+    value: str = "n_chars",
+    id_col: str = "doc_id",
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out_col: str = "clipped",
+) -> rd.Dataset:
+    """Per-group winsorization: clip ``value`` to the group's exact
+    [q_lo, q_hi] discrete quantiles (``quantile_disc`` semantics, the
+    element at 1-based position ``ceil(q*n)`` of the sorted multiset).
+
+    Two bounded exchanges: the :func:`grouped_quantiles` histogram
+    shuffle (distinct (key, value) pairs only) reduced to ONE (lo, hi)
+    row per key, broadcast via ``ray.put``; then a stateless
+    ``map_batches`` clip over the corpus — the data itself never
+    shuffles. Integer in, integer out: results hash-match a SQL oracle
+    with no float interpolation.
+
+    Output: ``(id_col, key, value, out_col)``.
+    """
+    import ray
+
+    bounds_ds = grouped_quantiles(
+        ds, {"__lo": q_lo, "__hi": q_hi}, key=key, value=value
+    )
+
+    @ray.remote(num_cpus=1)
+    def _collect(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            return {}
+        full = pa.concat_tables(tabs)
+        return {
+            k: (lo, hi)
+            for k, lo, hi in zip(
+                np.asarray(full[key]),
+                full["__lo"].to_numpy(zero_copy_only=False),
+                full["__hi"].to_numpy(zero_copy_only=False),
+            )
+        }
+
+    bounds_ref = _collect.remote(list(bounds_ds.to_arrow_refs()))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        bounds = ray.get(bounds_ref)
+        ks = np.asarray(batch[key].combine_chunks())
+        v = batch[value].combine_chunks().to_numpy(zero_copy_only=False)
+        uk, kidx = np.unique(ks, return_inverse=True)
+        lo = np.array([bounds[k][0] for k in uk], np.int64)[kidx]
+        hi = np.array([bounds[k][1] for k in uk], np.int64)[kidx]
+        out = np.clip(v, lo, hi)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key: batch[key],
+                value: batch[value],
+                out_col: pa.array(out.astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, key, value]).map_batches(
+        clip, batch_format="pyarrow"
     )

@@ -31,6 +31,8 @@ __all__ = [
     "assign_splits",
     "reservoir_per_group",
     "budget_sample",
+    "cap_per_group",
+    "stratified_split_exact",
 ]
 
 _U = np.uint64
@@ -366,3 +368,119 @@ def budget_sample(
         return group.take(pa.array(np.sort(keep_sorted))).drop_columns(["__h", "__bk"])
 
     return src.groupby([group_col, "__bk"]).map_groups(take_within, batch_format="pyarrow")
+
+
+def cap_per_group(
+    ds,
+    k: int,
+    *,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    seed: int = 0,
+):
+    """Per-group cap: keep at most ``k`` rows per ``group_col``, chosen
+    deterministically by splitmix64 hash order of ``key_col`` — the
+    standard per-domain cap a crawl pipeline applies so one hot mirror
+    cannot dominate the corpus.
+
+    Built on :func:`~parquetjs_ray.functions.groupops.group_top_k`, so
+    it inherits the combiner-before-shuffle shape: every batch first
+    reduces to its own k best rows per group, and only that residue
+    (≤ k rows per (group, batch)) ever shuffles — the corpus itself
+    never moves. The ordering hash is kept as 63 bits (``mix64 >> 1``,
+    non-negative int64) so a SQL HUGEINT replica orders identically;
+    ties (rare 63-bit collisions) break on ``key_col`` in both.
+    """
+    from .groupops import group_top_k
+
+    salt = _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        h = _mix64(ids.astype(np.uint64) + salt) >> _U(1)
+        return batch.append_column("__h63", pa.array(h.astype(np.int64)))
+
+    capped = group_top_k(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        group_col,
+        "__h63",
+        k,
+        tiebreak_col=key_col,
+        descending=False,
+    )
+    return capped.drop_columns(["__h63"])
+
+
+def stratified_split_exact(
+    ds,
+    splits: dict[str, int],
+    *,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    seed: int = 0,
+):
+    """EXACT-count stratified split: within every group, split ``i``
+    receives exactly ``floor(n·cumw_i/W) - floor(n·cumw_{i-1}/W)`` rows
+    (n = the group's row count) — the per-stratum guarantee
+    :func:`assign_splits`'s global hash bands only hit in expectation.
+    Rows are ranked inside each group by splitmix64 hash of ``key_col``
+    (ties → ``key_col``), so membership is deterministic across runs,
+    resumes and cluster sizes.
+
+    Hot-key-proof two-phase shape (shared with
+    :func:`~parquetjs_ray.functions.quantiles.ntile_per_group` via its
+    (group, value) histogram bundle): the 31-bit hash histogram rides a
+    distinct-pair combiner shuffle and is broadcast once; per-row ranks
+    are then resolved inside (group, hash) TIE CLASSES — bounded by
+    31-bit collisions, never by a group's row count. Output:
+    ``(key_col, group_col, split)``.
+    """
+    import ray
+
+    from .quantiles import _value_hist_bundle
+
+    names = list(splits)
+    w = np.fromiter(splits.values(), dtype=np.int64, count=len(splits))
+    if len(names) < 2 or (w <= 0).any():
+        raise ValueError("splits needs >=2 names with positive integer weights")
+    cumw = np.cumsum(w)
+    W = int(w.sum())
+    lookup = np.array(names, dtype=object)
+    salt = _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        h = _mix64(ids.astype(np.uint64) + salt) >> _U(33)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                group_col: batch[group_col],
+                "__h31": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    src = ds.map_batches(keyed, batch_format="pyarrow")
+    bundle = _value_hist_bundle(src, group_col, "__h31")
+
+    def assign(g: pa.Table) -> pa.Table:
+        uk, comp, cum_before, totals, _ = ray.get(bundle)
+        k_val = g[group_col][0].as_py()
+        v_val = int(g["__h31"][0].as_py())
+        kidx = int(np.searchsorted(uk, k_val))
+        pos = int(np.searchsorted(comp, (kidx << 32) | v_val))
+        base, n = int(cum_before[pos]), int(totals[kidx])
+        ids = g[key_col].combine_chunks()
+        order = pc.array_sort_indices(ids).to_numpy(zero_copy_only=False)
+        rank0 = np.empty(len(ids), np.int64)
+        rank0[order] = base + np.arange(len(ids))
+        cuts = cumw * n // W  # split i owns rank0 in [cut_{i-1}, cut_i)
+        idx = np.searchsorted(cuts, rank0, side="right")
+        return pa.table(
+            {
+                key_col: g[key_col],
+                group_col: g[group_col],
+                "split": pa.array(lookup[idx].tolist(), type=pa.string()),
+            }
+        )
+
+    return src.groupby([group_col, "__h31"]).map_groups(assign, batch_format="pyarrow")

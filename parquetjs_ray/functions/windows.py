@@ -26,6 +26,7 @@ __all__ = [
     "sliding_counts",
     "running_totals",
     "lag_deltas",
+    "funnel_stages",
 ]
 
 
@@ -366,3 +367,103 @@ def sliding_counts(
         .groupby([key, "win_start_us"])
         .aggregate(Count(alias_name="n_events"))
     )
+
+
+def funnel_stages(
+    ds: rd.Dataset,
+    stages: list[str],
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts: str = "ts",
+) -> rd.Dataset:
+    """Ordered conversion funnel: for each prefix of ``stages``, how
+    many distinct keys completed it IN TEMPORAL ORDER — stage i counts a
+    key iff it has a stage-i event STRICTLY AFTER the earliest valid
+    completion time of stage i-1 (the standard product-analytics funnel,
+    greedy-earliest matching).
+
+    One shuffle total: events are pre-filtered to the stage types and
+    projected to ``(key, stage_index, ts)`` triples — the text/props
+    payload never moves — then a single ``groupby(key).map_groups``
+    walks the whole chain per key with ``searchsorted`` over per-stage
+    sorted timestamps (no per-event Python). Per-key depth rows are
+    kilobytes; the final per-stage count is an in-batch fold. Per-key
+    group size is that key's stage-event count (same bounded-history
+    assumption as :func:`session_windows`, documented at module top).
+
+    Output: ``(stage, event_type, n_keys)`` — stage is 1-based; every
+    stage emits a row even at zero survivors.
+    """
+    import pyarrow.compute as pc
+
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    stage_arr = pa.array(stages)
+    n_stages = len(stages)
+
+    def project(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[type_col], value_set=stage_arr)
+        keep = pc.is_valid(idx)
+        t = pa.table(
+            {
+                key: batch[key],
+                "__stage": idx.cast(pa.int64()),
+                "__ts": batch[ts].cast(pa.int64()),
+            }
+        ).filter(keep)
+        return t
+
+    def depth_of_key(g: pd.DataFrame) -> pd.DataFrame:
+        st = g["__stage"].to_numpy()
+        tv = g["__ts"].to_numpy()
+        depth = 0
+        prev = None
+        for i in range(n_stages):
+            arr = np.sort(tv[st == i])
+            if prev is None:
+                if len(arr) == 0:
+                    break
+                prev = arr[0]
+            else:
+                pos = int(np.searchsorted(arr, prev, side="right"))
+                if pos >= len(arr):
+                    break
+                prev = arr[pos]
+            depth = i + 1
+        return pd.DataFrame({"depth": [depth]})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        d = batch["depth"].to_numpy(zero_copy_only=False)
+        # keys at depth d survive stages 1..d → suffix-sum the histogram
+        hist = np.bincount(d, minlength=n_stages + 1)
+        surv = np.cumsum(hist[::-1])[::-1]  # surv[i] = count(depth >= i)
+        return pa.table({"__partial": pa.array(surv[1:].astype(np.int64))}).append_column(
+            "stage", pa.array(np.arange(1, n_stages + 1, dtype=np.int64))
+        )
+
+    from ray.data.aggregate import Sum
+
+    depths = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(depth_of_key, batch_format="pandas")
+    )
+    counts = (
+        depths.map_batches(fold, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Sum("__partial", alias_name="n_keys"))
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        s = batch["stage"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.array(stages, dtype=object)[s - 1]
+        return pa.table(
+            {
+                "stage": batch["stage"],
+                "event_type": pa.array(names.tolist(), type=pa.string()),
+                "n_keys": batch["n_keys"],
+            }
+        )
+
+    return counts.map_batches(label, batch_format="pyarrow")

@@ -1,0 +1,330 @@
+"""Round-5 operator batch: grouped window ranks, winsorize, CUBE,
+UNPIVOT, skew report, per-group cap, exact stratified split — each
+pinned against a DuckDB oracle on randomized inputs (the same
+SQL-parity strategy as test_functions.py; SURVEY.md §5)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(n=2500, n_src=5, vmax=60, seed=23):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(10_000)[:n].astype("int64")),
+            "source": pa.array([f"s{i % n_src}" for i in range(n)]),
+            "n_chars": pa.array(rng.integers(0, vmax, n).astype("int64")),
+        }
+    )
+
+
+def test_rank_per_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import rank_per_group
+
+    for n, n_src, vmax in ((2500, 5, 40), (17, 3, 4), (1, 1, 2)):
+        t = _docs_table(n, n_src, vmax)
+        got = rank_per_group(rd.from_arrow(t).repartition(4)).take_all()
+        want = duckdb.sql(
+            "SELECT doc_id, "
+            "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id), "
+            "rank() OVER (PARTITION BY source ORDER BY n_chars), "
+            "dense_rank() OVER (PARTITION BY source ORDER BY n_chars) FROM t"
+        ).fetchall()
+        w = {r[0]: r[1:] for r in want}
+        g = {r["doc_id"]: (r["row_number"], r["rank"], r["dense_rank"]) for r in got}
+        assert g == {k: tuple(v) for k, v in w.items()}
+
+
+def test_rank_per_group_hot_key_bounded_groups(ray_session):
+    """One key owning 10^5 rows over a narrow value range: every
+    map_groups tie class is bounded by the value's duplicate count (the
+    histogram carries the cross-value offsets), and ranks stay exact."""
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import rank_per_group
+
+    n = 100_000
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype="int64")),
+            "source": pa.array(["hot"] * n),
+            "n_chars": pa.array(rng.integers(0, 50, n).astype("int64")),
+        }
+    )
+    got = rank_per_group(rd.from_arrow(t).repartition(8)).take_all()
+    want = duckdb.sql(
+        "SELECT doc_id, "
+        "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id), "
+        "dense_rank() OVER (PARTITION BY source ORDER BY n_chars) FROM t"
+    ).fetchall()
+    w = {r[0]: r[1:] for r in want}
+    assert all((w[r["doc_id"]] == (r["row_number"], r["dense_rank"])) for r in got)
+    assert len(got) == n
+
+
+def test_winsorize_per_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import winsorize_per_group
+
+    t = _docs_table(3000, 4, 500)
+    got = winsorize_per_group(
+        rd.from_arrow(t).repartition(5), q_lo=0.05, q_hi=0.95
+    ).take_all()
+    # quantile_disc semantics: element at 1-based position ceil(q*n)
+    want = duckdb.sql(
+        "WITH b AS (SELECT source, "
+        " quantile_disc(n_chars, 0.05) AS lo, quantile_disc(n_chars, 0.95) AS hi "
+        " FROM t GROUP BY source) "
+        "SELECT t.doc_id, least(greatest(t.n_chars, b.lo), b.hi) "
+        "FROM t JOIN b USING (source)"
+    ).fetchall()
+    w = dict(want)
+    assert {r["doc_id"]: r["clipped"] for r in got} == w
+
+
+def test_cube_aggregate_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import cube_aggregate
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    t = pa.table(
+        {
+            "source": pa.array([f"s{i % 4}" for i in range(n)]),
+            "lang": pa.array(rng.choice(["en", "de", "fr"], n).tolist()),
+            "n_chars": pa.array(rng.integers(0, 100, n).astype("int64")),
+        }
+    )
+    got = cube_aggregate(
+        rd.from_arrow(t).repartition(6), ["source", "lang"], value="n_chars"
+    ).take_all()
+    want = duckdb.sql(
+        "SELECT source, lang, grouping(source, lang) AS lvl, count(*) AS n, "
+        "sum(n_chars) AS sum_v FROM t GROUP BY CUBE(source, lang)"
+    ).fetchall()
+    w = {(r[0], r[1], r[2]): (r[3], r[4]) for r in want}
+    g = {(r["source"], r["lang"], r["lvl"]): (r["n"], r["sum_v"]) for r in got}
+    assert g == w
+    assert len(g) == len(want)  # all 4 grouping sets present
+
+
+def test_unpivot_counts_inverts_pivot(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import pivot_counts, unpivot_counts
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 60, n).astype("int64")),
+            "e": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+        }
+    )
+    wide = pivot_counts(rd.from_arrow(t).repartition(7), "u", "e", ["a", "b", "c"])
+    long = unpivot_counts(
+        wide, "u", ["n_a", "n_b", "n_c"], var_name="e", val_name="n"
+    ).take_all()
+    want = duckdb.sql(
+        "SELECT u, 'n_' || e AS e, count(*) AS n FROM t GROUP BY u, e"
+    ).fetchall()
+    assert {(r["u"], r["e"]): r["n"] for r in long} == {
+        (a, b): c for a, b, c in want
+    }
+
+
+def test_unpivot_keep_zero_rows(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import unpivot_counts
+
+    t = pa.table({"u": [1, 2], "n_a": [0, 3], "n_b": [5, 0]})
+    long = unpivot_counts(
+        rd.from_arrow(t), "u", ["n_a", "n_b"], drop_zero=False
+    ).take_all()
+    assert len(long) == 4
+    assert {(r["u"], r["variable"], r["value"]) for r in long} == {
+        (1, "n_a", 0),
+        (1, "n_b", 5),
+        (2, "n_a", 3),
+        (2, "n_b", 0),
+    }
+
+
+def test_group_share_report_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_share_report
+
+    t = _docs_table(3000, 7)
+    got = group_share_report(rd.from_arrow(t).repartition(5), "source").take_all()
+    want = duckdb.sql(
+        "WITH c AS (SELECT source, count(*) AS n FROM t GROUP BY source), "
+        "tot AS (SELECT sum(n) AS t FROM c) "
+        "SELECT source, n, "
+        " row_number() OVER (ORDER BY n DESC, source) AS rank, "
+        " n / (SELECT t FROM tot)::DOUBLE AS share, "
+        " sum(n) OVER (ORDER BY n DESC, source) / (SELECT t FROM tot)::DOUBLE AS cum_share "
+        "FROM c ORDER BY rank"
+    ).fetchall()
+    g = [(r["source"], r["n"], r["rank"], r["share"], r["cum_share"]) for r in got]
+    assert g == [tuple(r) for r in want]  # bit-exact incl. the doubles
+
+
+def test_cap_per_group_matches_duckdb_hash_order(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import cap_per_group
+
+    t = _docs_table(2000, 4)
+    k = 37
+    got = cap_per_group(rd.from_arrow(t).repartition(6), k).take_all()
+    mix = _mix64_sql("doc_id", "t")
+    want = duckdb.sql(
+        f"WITH h AS ({mix}), "
+        "r AS (SELECT doc_id, source, row_number() OVER "
+        " (PARTITION BY source ORDER BY (x // 2), doc_id) AS rn FROM h) "
+        f"SELECT doc_id FROM r WHERE rn <= {k}"
+    ).fetchall()
+    assert sorted(r["doc_id"] for r in got) == sorted(r[0] for r in want)
+    # every group exactly at the cap (groups here are larger than k)
+    from collections import Counter
+
+    by_src = Counter(r["source"] for r in got)
+    assert all(v == k for v in by_src.values())
+
+
+def test_stratified_split_exact_counts_and_membership(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import stratified_split_exact
+
+    t = _docs_table(2203, 5)  # deliberately not divisible
+    got = stratified_split_exact(
+        rd.from_arrow(t).repartition(6), {"train": 90, "val": 7, "test": 3}
+    ).take_all()
+    mix = _mix64_sql("doc_id", "t")
+    want = duckdb.sql(
+        f"WITH h AS ({mix}), "
+        "r AS (SELECT doc_id, source, "
+        " row_number() OVER (PARTITION BY source ORDER BY (x // 8589934592), doc_id) - 1 AS rn0, "
+        " count(*) OVER (PARTITION BY source) AS n FROM h) "
+        "SELECT doc_id, CASE WHEN rn0 < (n*90)//100 THEN 'train' "
+        " WHEN rn0 < (n*97)//100 THEN 'val' ELSE 'test' END FROM r"
+    ).fetchall()
+    assert {r["doc_id"]: r["split"] for r in got} == dict(want)
+    # exact per-group counts: floor-difference law
+    from collections import Counter
+
+    per = Counter((r["source"], r["split"]) for r in got)
+    tot = Counter(r["source"] for r in got)
+    for s, n in tot.items():
+        assert per[(s, "train")] == n * 90 // 100
+        assert per[(s, "val")] == n * 97 // 100 - n * 90 // 100
+        assert per[(s, "test")] == n - n * 97 // 100
+
+
+def test_stratified_split_exact_rejects_bad_args(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import stratified_split_exact
+
+    t = pa.table({"doc_id": [1], "source": ["s"]})
+    with pytest.raises(ValueError):
+        stratified_split_exact(rd.from_arrow(t), {"train": 1})
+
+
+def _mix64_sql(id_col: str, table: str) -> str:
+    """DuckDB splitmix64 replica (seed 0): the same xor/modmul chain as
+    __ray_entry__._sample_hash_ctes, inlined for test independence and
+    parametrized on the source table."""
+    mod64 = "18446744073709551616::HUGEINT"
+
+    def modmul(x: str, c: str) -> str:
+        return (
+            f"((({x}) % 4294967296) * {c}::HUGEINT + "
+            f"((({x}) // 4294967296) * {c}::HUGEINT % 4294967296) * 4294967296) % {mod64}"
+        )
+
+    return (
+        "SELECT doc_id, source, xor(x4, x4 >> 31) AS x FROM ("
+        f"SELECT doc_id, source, {modmul('x3', '10723151780598845931')} AS x4 FROM ("
+        "SELECT doc_id, source, xor(x2, x2 >> 27) AS x3 FROM ("
+        f"SELECT doc_id, source, {modmul('x1', '13787848793156543929')} AS x2 FROM ("
+        f"SELECT doc_id, source, xor(x0, x0 >> 30) AS x1 FROM ("
+        f"SELECT doc_id, source, {id_col}::HUGEINT AS x0 FROM {table})))))"
+    )
+
+
+def test_funnel_stages_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import funnel_stages
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 300, n).astype("int64")),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", "other"], n).tolist()
+            ),
+            "ts": pa.array(rng.integers(0, 10_000, n).astype("int64")),
+        }
+    )
+    got = funnel_stages(
+        rd.from_arrow(t).repartition(6), ["view", "click", "purchase"]
+    ).take_all()
+    want = duckdb.sql(
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM t "
+        " WHERE event_type='view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM t e "
+        " JOIN s1 ON e.user_id=s1.user_id AND e.ts > s1.t "
+        " WHERE e.event_type='click' GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM t e "
+        " JOIN s2 ON e.user_id=s2.user_id AND e.ts > s2.t "
+        " WHERE e.event_type='purchase' GROUP BY e.user_id) "
+        "SELECT 1 AS stage, count(*) FROM s1 "
+        "UNION ALL SELECT 2, count(*) FROM s2 "
+        "UNION ALL SELECT 3, count(*) FROM s3"
+    ).fetchall()
+    w = dict(want)
+    g = {r["stage"]: r["n_keys"] for r in got}
+    assert g == w
+    names = {r["stage"]: r["event_type"] for r in got}
+    assert names == {1: "view", 2: "click", 3: "purchase"}
+    # monotone survivorship
+    assert g[1] >= g[2] >= g[3]
+
+
+def test_funnel_stages_zero_survivors_and_empty_stage_rows(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import funnel_stages
+
+    # nobody purchases after clicking: stage 3 must still emit a 0 row
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], type=pa.int64()),
+            "event_type": pa.array(["view", "click", "view"]),
+            "ts": pa.array([10, 20, 5], type=pa.int64()),
+        }
+    )
+    got = funnel_stages(rd.from_arrow(t), ["view", "click", "purchase"]).take_all()
+    g = {r["stage"]: r["n_keys"] for r in got}
+    assert g == {1: 2, 2: 1, 3: 0}

@@ -1531,6 +1531,31 @@ def q_events_asof_order(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_events_asof_next_order(sf_dir: str):
+    """FORWARD as-of join: for each event, the user's next order at or
+    after event time (ties on order date broken by min o_orderkey) —
+    the next-scheduled-event shape, same single-cogroup plan as the
+    backward variant (``functions/joins.py:asof_join`` direction
+    parameter)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    out = asof_join(
+        ev, orders,
+        by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
+    return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
+
+
 def q_events_range_count(sf_dir: str):
     """Interval self-join: events of the same user within the preceding
     5 minutes (inclusive; each event counts itself)."""
@@ -1929,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_docs_per_source": q_cap_docs_per_source,
         "stratified_split_docs": q_stratified_split_docs,
         "funnel_events": q_funnel_events,
+        "events_asof_next_order": q_events_asof_next_order,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -1940,8 +1966,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_source_prune": q_decode_source_prune,
         "point_lookup_docs": q_point_lookup_docs,
         "phrase_lookup_docs": q_phrase_lookup_docs,
-        "training_shards_docs": q_training_shards_docs,
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
+        "training_shards_docs": q_training_shards_docs,
         "tokenize_docs": q_tokenize_docs,
         "epoch_shuffle_docs": q_epoch_shuffle_docs,
         "chunk_docs": q_chunk_docs,
@@ -2505,6 +2531,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o.o_orderkey FROM orders o "
             "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
             "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey "
+            "FROM events e"
+        ),
+        "events_asof_next_order": (
+            "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "
+            "(SELECT o.o_orderkey FROM orders o "
+            "  WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts "
+            "  ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS o_orderkey "
             "FROM events e"
         ),
         "events_range_count": (

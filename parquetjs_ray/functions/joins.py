@@ -58,14 +58,21 @@ def asof_join(
     right_cols: list[str],
     right_by: str | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> rd.Dataset:
-    """Backward as-of join → left_cols + by + ``left_on`` (as epoch-us
-    int64, named ``<left_on>_us``) + right_cols (null when the key has no
-    right row at or before the left time).
+    """As-of join → left_cols + by + ``left_on`` (as epoch-us int64,
+    named ``<left_on>_us``) + right_cols.
 
-    Ties on the right time are broken by the greatest ``tiebreak``
-    column value (default: the first of ``right_cols``) so the result is
-    deterministic and SQL-reproducible."""
+    ``direction="backward"`` (default) matches the latest right row at
+    or before the left time (null when none exists) — ties on the right
+    time break on the GREATEST ``tiebreak`` value. ``"forward"`` matches
+    the earliest right row at or after the left time — ties break on the
+    SMALLEST ``tiebreak`` (the next-scheduled-event shape). Either way
+    the result is deterministic and SQL-reproducible; ``tiebreak``
+    defaults to the first of ``right_cols``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    fwd = direction == "forward"
     tb = tiebreak or right_cols[0]
     rby = right_by or by
     lschema = left.schema()
@@ -119,9 +126,19 @@ def asof_join(
             rtb = pc.take(group[f"r_{tb}"], pa.array(rsel)).to_numpy(zero_copy_only=False)
             order = np.lexsort((rtb, rt))  # time asc, tiebreak asc
             rt_sorted = rt[order]
-            pos = np.searchsorted(rt_sorted, lt, side="right") - 1
-            have = pos >= 0
-            take_idx = np.where(have, rsel[order[np.maximum(pos, 0)]], -1)
+            if fwd:
+                # first right row at-or-after: 'left' lands on the first
+                # of an equal-time run → smallest tiebreak
+                pos = np.searchsorted(rt_sorted, lt, side="left")
+                have = pos < len(rt_sorted)
+                pos = np.minimum(pos, len(rt_sorted) - 1)
+            else:
+                # last right row at-or-before: 'right'-1 lands on the
+                # last of an equal-time run → greatest tiebreak
+                pos = np.searchsorted(rt_sorted, lt, side="right") - 1
+                have = pos >= 0
+                pos = np.maximum(pos, 0)
+            take_idx = np.where(have, rsel[order[pos]], -1)
             mask = pa.array(have)
             for c in right_cols:
                 taken = pc.take(group[f"r_{c}"], pa.array(np.maximum(take_idx, 0)))

@@ -328,3 +328,98 @@ def test_funnel_stages_zero_survivors_and_empty_stage_rows(ray_session):
     got = funnel_stages(rd.from_arrow(t), ["view", "click", "purchase"]).take_all()
     g = {r["stage"]: r["n_keys"] for r in got}
     assert g == {1: 2, 2: 1, 3: 0}
+
+
+def test_asof_join_forward(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "t": pa.array([100, 5, 50, 70, 10], pa.int64()),
+            "lid": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "rt": pa.array([10, 50, 50, 60], pa.int64()),
+            "val": pa.array([7, 8, 9, 5], pa.int64()),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_on="t", right_on="rt",
+            left_cols=["lid"], right_cols=["val"], tiebreak="val",
+            direction="forward",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    vals = out["val"].tolist()
+    # lid=10 (k=1,t=100): no rt>=100 -> null
+    # lid=11 (k=1,t=5): first rt>=5 is 10 -> val 7
+    # lid=12 (k=1,t=50): rt=50 tie -> MIN val = 8 (forward tiebreak)
+    # lid=13 (k=2,t=70): no rt>=70 -> null
+    # lid=14 (k=3): no right rows -> null
+    def is_null(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    assert is_null(vals[0])
+    assert vals[1] == 7
+    assert vals[2] == 8
+    assert is_null(vals[3]) and is_null(vals[4])
+
+
+def test_asof_join_forward_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 2000, 800
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, nl).astype("int64")),
+            "t": pa.array(rng.integers(0, 5000, nl).astype("int64")),
+            "lid": pa.array(np.arange(nl, dtype="int64")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, nr).astype("int64")),
+            "rt": pa.array(rng.integers(0, 5000, nr).astype("int64")),
+            "val": pa.array(np.arange(nr, dtype="int64")),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_arrow(left).repartition(5), rd.from_arrow(right).repartition(3),
+            by="k", left_on="t", right_on="rt",
+            left_cols=["lid"], right_cols=["val"], tiebreak="val",
+            direction="forward",
+        )
+        .to_pandas()
+    )
+    lft, rgt = left, right  # left/right are SQL reserved words
+    want = duckdb.sql(
+        "SELECT l.lid, (SELECT r.val FROM rgt r WHERE r.k = l.k AND r.rt >= l.t "
+        " ORDER BY r.rt ASC, r.val ASC LIMIT 1) AS val FROM lft l"
+    ).fetchall()
+    w = dict(want)
+    g = dict(zip(got["lid"].tolist(), got["val"].tolist()))
+    import math
+
+    for lid, v in w.items():
+        gv = g[lid]
+        if v is None:
+            assert gv is None or (isinstance(gv, float) and math.isnan(gv))
+        else:
+            assert int(gv) == v

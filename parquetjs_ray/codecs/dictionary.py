@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import plain, rle
+from . import frontcode, plain, rle
 from .bitpack import bit_width
 
 __all__ = [
@@ -60,8 +60,15 @@ def _encode_indices(indices: np.ndarray, card: int) -> tuple[bytes, int]:
     return rle.encode(indices.astype(np.uint64), width, disable_envelope=True), width
 
 
-def encode_local(arr: pa.Array) -> tuple[bytes, bytes, dict]:
-    """Per-chunk dictionary. Returns (index_buf, dict_buf, params)."""
+def encode_local(arr: pa.Array, *, try_front: bool = True) -> tuple[bytes, bytes, dict]:
+    """Per-chunk dictionary. Returns (index_buf, dict_buf, params).
+
+    With ``try_front`` (default) the dictionary page is ALSO built
+    sorted + front-coded (``codecs/frontcode.py``) and the smaller TOTAL
+    (index stream + dictionary page — sorting remaps the indices, which
+    can change their RLE size) wins; ``params["dict_fmt"]`` records the
+    page format, defaulting to ``"plain"`` so pre-existing artifacts
+    decode unchanged."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     denc = pc.dictionary_encode(arr)
@@ -69,12 +76,55 @@ def encode_local(arr: pa.Array) -> tuple[bytes, bytes, dict]:
     indices = denc.indices.to_numpy(zero_copy_only=False)
     card = len(dict_vals)
     buf, width = _encode_indices(indices, card)
-    return buf, serialize_dict(dict_vals), {"card": card, "width": width, "count": len(arr)}
+    dict_buf = serialize_dict(dict_vals)
+    params = {"card": card, "width": width, "count": len(arr), "dict_fmt": "plain"}
+    if try_front and card and (
+        pa.types.is_string(dict_vals.type)
+        or pa.types.is_large_string(dict_vals.type)
+        or pa.types.is_binary(dict_vals.type)
+    ):
+        order = pc.array_sort_indices(dict_vals)
+        order_np = order.to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.empty(card, np.int64)
+        rank[order_np] = np.arange(card)
+        sorted_vals = dict_vals.take(order).cast(pa.binary())
+        b = sorted_vals.buffers()
+        offs = np.frombuffer(b[1], dtype=np.int32, count=card + 1 + sorted_vals.offset)[
+            sorted_vals.offset :
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(b[2], dtype=np.uint8)
+            if b[2] is not None
+            else np.zeros(0, np.uint8)
+        )
+        try:
+            front_buf = frontcode.encode(data, offs)
+        except ValueError:
+            front_buf = None  # a dict string ≥ 64 KiB: PLAIN page it is
+        if front_buf is not None:
+            idx_sorted, _ = _encode_indices(rank[indices], card)
+            if len(front_buf) + len(idx_sorted) < len(dict_buf) + len(buf):
+                buf, dict_buf = idx_sorted, front_buf
+                params["dict_fmt"] = "front"
+    return buf, dict_buf, params
+
+
+def deserialize_dict_front(buf: bytes, *, as_string: bool = True) -> pa.Array:
+    data, offsets = frontcode.decode(buf)
+    arr = pa.Array.from_buffers(
+        pa.binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(data)],
+    )
+    return arr.cast(pa.string()) if as_string else arr
 
 
 def decode_local(index_buf: bytes, dict_buf: bytes, params: dict) -> pa.Array:
     card, n = int(params["card"]), int(params["count"])
-    dict_vals = deserialize_dict(dict_buf, card)
+    if params.get("dict_fmt", "plain") == "front":
+        dict_vals = deserialize_dict_front(dict_buf)
+    else:
+        dict_vals = deserialize_dict(dict_buf, card)
     idx = rle.decode(index_buf, n, int(params["width"]), disable_envelope=True)
     return pc.take(dict_vals, pa.array(idx.astype(np.int64)))
 

@@ -141,6 +141,12 @@ def decode_chunk(chunk, manifest: dict, state: EncoderState) -> pa.Table:
             width = int(params["width"])
             idx = rle.decode(_segment(chunk, segs["idx"]), n, width, disable_envelope=True)
             arrays[name] = pa.compute.take(state.source_dict, pa.array(idx.astype(np.int64)))
+        elif codec == "dict_local":
+            from ..codecs import dictionary
+
+            arrays[name] = dictionary.decode_local(
+                _segment(chunk, segs["idx"]), _segment(chunk, segs["dict"]), params
+            )
         elif codec == "fsst":
             lens = fornum.decode(_segment(chunk, segs["lens"]), params["lens_for"])
             code_offs = np.zeros(n + 1, dtype=np.int64)

@@ -219,8 +219,20 @@ def _encode_string(
         if cand.null_count == 0:
             idx = cand
             est["dict_global"] = n * bit_width(len(state.source_dict) - 1) / 8 + 8
-    # FSST candidate (sampled ratio), gated by the encode-cost policy
+    # local sorted-dict + front-coded page candidate: only when the
+    # sampled cardinality says values actually repeat (the dictionary
+    # pays for itself) and no global dictionary covers the column
     st = state.stats.get(name)
+    local_dict = None
+    if (
+        idx is None
+        and st is not None
+        and st.distinct_est is not None
+        and 0 < st.distinct_est <= min(DICT_MAX_CARD, max(1, n // 4))
+    ):
+        local_dict = dictionary.encode_local(arr)
+        est["dict_local"] = float(len(local_dict[0]) + len(local_dict[1]))
+    # FSST candidate (sampled ratio), gated by the encode-cost policy
     fsst_blocked = None
     if state.fsst_table is not None and st is not None and st.fsst_ratio is not None:
         fsst_est = st.fsst_ratio * len(data) + n * bit_width(64) / 8 * 0.2 + 16
@@ -244,6 +256,13 @@ def _encode_string(
         buf = rle.encode(indices, width, disable_envelope=True)
         meta["segments"] = {"idx": cb.add_segment(buf)}
         meta["params"] = {"card": len(state.source_dict), "width": width}
+    elif codec == "dict_local":
+        idx_buf, dict_buf, dparams = local_dict
+        meta["segments"] = {
+            "idx": cb.add_segment(idx_buf),
+            "dict": cb.add_segment(dict_buf),
+        }
+        meta["params"] = dparams
     elif codec == "fsst":
         codes, code_offs = fsst_mod.encode(state.fsst_table, data, offsets)
         len_buf, len_params = fornum.encode(np.diff(code_offs))

@@ -423,3 +423,56 @@ def test_asof_join_forward_matches_duckdb(ray_session):
             assert gv is None or (isinstance(gv, float) and math.isnan(gv))
         else:
             assert int(gv) == v
+
+
+def test_log_quantile_sketch_error_bound():
+    from parquetjs_ray.functions.sketch import LogQuantileSketch
+
+    rng = np.random.default_rng(41)
+    for dist in (
+        rng.lognormal(3, 2, 50_000),
+        rng.exponential(100, 50_000),
+        np.concatenate((rng.normal(-50, 20, 20_000), [0.0] * 500, rng.lognormal(2, 1, 30_000))),
+    ):
+        eps = 0.01
+        sk = LogQuantileSketch(eps=eps).add(dist)
+        srt = np.sort(dist)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            exact = srt[max(1, int(np.ceil(q * len(srt)))) - 1]
+            got = sk.quantile(q)
+            if exact == 0.0:
+                assert got == 0.0
+            else:
+                # bucket bounds are within (1+eps); geometric midpoint
+                # keeps the result inside ~eps relative error
+                assert abs(got - exact) <= (eps + 1e-9) * abs(exact) + 1e-12, (q, got, exact)
+
+
+def test_log_quantile_sketch_merge_and_serde_associative():
+    from parquetjs_ray.functions.sketch import LogQuantileSketch
+
+    rng = np.random.default_rng(43)
+    v = rng.lognormal(0, 3, 30_000)
+    whole = LogQuantileSketch().add(v)
+    merged = LogQuantileSketch()
+    for chunk in np.array_split(v, 7):
+        merged.merge(LogQuantileSketch.deserialize(LogQuantileSketch().add(chunk).serialize()))
+    assert merged.count == whole.count == len(v)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        assert merged.quantile(q) == whole.quantile(q)  # merge is exact
+
+
+def test_log_quantile_sketch_edge_cases():
+    import pytest as _pytest
+
+    from parquetjs_ray.functions.sketch import LogQuantileSketch
+
+    with _pytest.raises(ValueError):
+        LogQuantileSketch(eps=0)
+    with _pytest.raises(ValueError):
+        LogQuantileSketch().quantile(0.5)
+    sk = LogQuantileSketch().add(np.array([0.0, 0.0, np.inf, np.nan, -1.0, 2.0]))
+    assert sk.count == 4  # non-finite dropped
+    assert sk.quantile(0.01) < 0
+    assert sk.quantile(0.5) == 0.0
+    assert sk.quantile(1.0) > 0

@@ -2378,7 +2378,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_chars, "
             "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS row_number, "
             "rank() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT AS rank, "
-            "dense_rank() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT AS dense_rank "
+            "dense_rank() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT AS dense_rank, "
+            "percent_rank() OVER (PARTITION BY source ORDER BY n_chars)::DOUBLE AS percent_rank, "
+            "cume_dist() OVER (PARTITION BY source ORDER BY n_chars)::DOUBLE AS cume_dist "
             "FROM documents"
         ),
         "winsorize_docs": (

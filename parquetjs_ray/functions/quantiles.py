@@ -222,10 +222,15 @@ def rank_per_group(
     - ``rank``       = base + 1      (shared by the whole tie class);
     - ``dense_rank`` = ordinal of this value among the key's distinct
       values — read straight off the class's position in the broadcast
-      histogram run.
+      histogram run;
+    - ``percent_rank`` = (rank-1)/(n-1)  and  ``cume_dist`` =
+      (base + tie_class_size)/n — each ONE double division of exact
+      int64 counts, so even the float columns hash-match the SQL
+      windows bit-for-bit.
 
-    Output: ``(id_col, key, value, row_number, rank, dense_rank)``,
-    int64, bit-identical to the SQL windows. ``value`` must be int64 in
+    Output: ``(id_col, key, value, row_number, rank, dense_rank,
+    percent_rank, cume_dist)`` — int64 ranks, float64 fractions,
+    bit-identical to the SQL windows. ``value`` must be int64 in
     [0, 2^31) (packed beside the key index for the broadcast lookup).
     """
     import ray
@@ -245,6 +250,9 @@ def rank_per_group(
         rn = np.empty(len(ids), np.int64)
         rn[order] = base + np.arange(1, len(ids) + 1)
         n = len(ids)
+        total = int(totals[kidx])
+        pr = float(base) / (total - 1) if total > 1 else 0.0
+        cd = float(base + n) / total
         return pa.table(
             {
                 id_col: g[id_col],
@@ -253,6 +261,8 @@ def rank_per_group(
                 "row_number": pa.array(rn),
                 "rank": pa.array(np.full(n, base + 1, np.int64)),
                 "dense_rank": pa.array(np.full(n, dense, np.int64)),
+                "percent_rank": pa.array(np.full(n, pr, np.float64)),
+                "cume_dist": pa.array(np.full(n, cd, np.float64)),
             }
         )
 

@@ -32,11 +32,19 @@ def test_rank_per_group_matches_duckdb(ray_session):
             "SELECT doc_id, "
             "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id), "
             "rank() OVER (PARTITION BY source ORDER BY n_chars), "
-            "dense_rank() OVER (PARTITION BY source ORDER BY n_chars) FROM t"
+            "dense_rank() OVER (PARTITION BY source ORDER BY n_chars), "
+            "percent_rank() OVER (PARTITION BY source ORDER BY n_chars), "
+            "cume_dist() OVER (PARTITION BY source ORDER BY n_chars) FROM t"
         ).fetchall()
         w = {r[0]: r[1:] for r in want}
-        g = {r["doc_id"]: (r["row_number"], r["rank"], r["dense_rank"]) for r in got}
-        assert g == {k: tuple(v) for k, v in w.items()}
+        g = {
+            r["doc_id"]: (
+                r["row_number"], r["rank"], r["dense_rank"],
+                r["percent_rank"], r["cume_dist"],
+            )
+            for r in got
+        }
+        assert g == {k: tuple(v) for k, v in w.items()}  # bit-exact incl. doubles
 
 
 def test_rank_per_group_hot_key_bounded_groups(ray_session):

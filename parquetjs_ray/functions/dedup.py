@@ -203,30 +203,40 @@ def content_overlap_matrix(
     *,
     text_col: str = "text",
     group_col: str = "source",
+    bitmask_domain_cap: int = 64,
 ) -> rd.Dataset:
     """Cross-group duplicate-content matrix: for every unordered pair of
     groups (sources/crawls/snapshots), how many DISTINCT contents appear
     in both — the "which crawls mirror each other" diagnostic that
     decides where dedup effort goes.
 
-    Shuffle-bounded end to end: texts reduce to 64-bit fingerprints in
-    ``map_batches`` and are deduped per (fp, group) in-batch (combiner),
-    the global distinct is one Count groupby over pairs, and the pair
-    expansion is :func:`~parquetjs_ray.functions.joins.equi_join` of the
-    distinct table with itself on fp — each fp's bucket holds ≤ one row
-    per group, so the join's quadratic term is bounded by the group
-    count, never the corpus. Same collision caveat as
-    :func:`exact_dedup` (~n²/2⁶⁵).
+    Texts reduce to 64-bit fingerprints in ``map_batches`` and are
+    deduped per (fp, group) in-batch (combiner); the global distinct is
+    one Count groupby over pairs, MATERIALIZED once (fingerprint-sized,
+    never the corpus) so neither downstream plan recomputes the scan.
+    Then two plans:
+
+    * **bitmask (≤ ``bitmask_domain_cap`` groups, the common case)** —
+      each distinct (fp, group) row becomes ``(fp, 1 << group_index)``;
+      because rows are globally DISTINCT per pair, a plain vectorized
+      ``Sum`` groupby IS the bitwise OR, yielding one exact group-mask
+      per fp. Per-mask batches then produce ALL pairwise co-occurrence
+      counts with one ``bits.T @ bits`` matmul (G×G per batch), and a
+      tiny pair-keyed Sum finishes — no join, no per-row Python.
+    * **join (> cap groups)** — the distinct table self-joins on fp via
+      :func:`~parquetjs_ray.functions.joins.equi_join`; each fp's bucket
+      holds ≤ one row per group, so the quadratic term is bounded by
+      the group count, never the corpus.
+
+    Same collision caveat as :func:`exact_dedup` (~n²/2⁶⁵).
 
     ``text_col`` may also be an integer column (an entity id rather than
-    content): it is then used as the join key directly, collision-free —
+    content): it is then used as the key directly, collision-free —
     e.g. "distinct users shared between each pair of event types".
 
     Output: ``(src_a, src_b, n_shared)`` with ``src_a < src_b``.
     """
-    from ray.data.aggregate import Count
-
-    from .joins import equi_join
+    from ray.data.aggregate import Count, Sum
 
     def fp_pairs(batch: pa.Table) -> pa.Table:
         ctype = batch.schema.field(text_col).type
@@ -242,7 +252,83 @@ def content_overlap_matrix(
         .groupby(["__fp", group_col])
         .aggregate(Count(alias_name="__c"))
         .select_columns(["__fp", group_col])
+        .materialize()  # pair-sized; both plans read it, the scan runs once
     )
+    groups = sorted(
+        r[group_col] for r in distinct.groupby(group_col).count().take_all()
+    )
+    if len(groups) <= bitmask_domain_cap:
+        return _overlap_bitmask(distinct, group_col, groups)
+    return _overlap_join(distinct, group_col)
+
+
+def _overlap_bitmask(distinct: rd.Dataset, group_col: str, groups: list) -> rd.Dataset:
+    """Small-group-domain overlap plan: Sum-as-OR masks + per-batch
+    co-occurrence matmul. ``distinct`` must hold globally-distinct
+    (fp, group) rows."""
+    from ray.data.aggregate import Sum
+
+    gidx = {g: i for i, g in enumerate(groups)}
+    ng = len(groups)
+    names = np.array(groups, dtype=object)
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pos = pc.index_in(
+            b[group_col].combine_chunks(), value_set=pa.array(list(gidx))
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"__fp": b["__fp"], "__bit": pa.array(np.int64(1) << pos)})
+
+    masks = (
+        distinct.map_batches(to_bits, batch_format="pyarrow")
+        .groupby("__fp")
+        .aggregate(Sum("__bit", alias_name="__mask"))  # distinct rows → Sum == OR
+    )
+
+    def co_counts(b: pa.Table) -> pa.Table:
+        m = b["__mask"].combine_chunks().to_numpy(zero_copy_only=False)
+        bits = ((m[:, None] >> np.arange(ng)) & 1).astype(np.float64)
+        c = (bits.T @ bits).astype(np.int64)  # G×G pairwise co-occurrence
+        ii, jj = np.triu_indices(ng, k=1)
+        return pa.table(
+            {
+                "__i": pa.array(ii.astype(np.int64)),
+                "__j": pa.array(jj.astype(np.int64)),
+                "__n": pa.array(c[ii, jj]),
+            }
+        )
+
+    agg = (
+        masks.map_batches(co_counts, batch_format="pyarrow")
+        .groupby(["__i", "__j"])
+        .aggregate(Sum("__n", alias_name="n_shared"))
+    )
+
+    def label(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = b["__i"].to_numpy(zero_copy_only=False)
+        j = b["__j"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "src_a": pa.array(names[i].tolist()),
+                "src_b": pa.array(names[j].tolist()),
+                "n_shared": b["n_shared"],
+            }
+        )
+        return t.filter(pc.greater(t["n_shared"], 0))
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
+def _overlap_join(distinct: rd.Dataset, group_col: str) -> rd.Dataset:
+    """Large-group-domain overlap plan: fp self-join (bucket quadratic
+    term bounded by the group count)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import equi_join
+
     # distinct output-column names per side (a self-join would collide)
     left = distinct.map_batches(
         lambda b: pa.table({"__fp": b["__fp"], "src_a": b[group_col]}),
@@ -268,8 +354,6 @@ def content_overlap_matrix(
             pc.less(b["src_a"], b["src_b"])
         )
         return t.group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
-
-    from ray.data.aggregate import Sum
 
     return (
         joined.map_batches(ordered, batch_format="pyarrow")

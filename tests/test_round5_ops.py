@@ -484,3 +484,36 @@ def test_log_quantile_sketch_edge_cases():
     assert sk.quantile(0.01) < 0
     assert sk.quantile(0.5) == 0.0
     assert sk.quantile(1.0) > 0
+
+
+def test_content_overlap_bitmask_and_join_plans_agree(ray_session):
+    """The small-domain bitmask plan and the large-domain fp self-join
+    plan must produce identical matrices (bitmask_domain_cap=0 forces
+    the join plan on the same input)."""
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import content_overlap_matrix
+
+    rng = np.random.default_rng(47)
+    n = 5000
+    t = pa.table(
+        {
+            "uid": pa.array(rng.integers(0, 400, n).astype("int64")),
+            "grp": pa.array(rng.choice([f"g{i}" for i in range(7)], n).tolist()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    fast = content_overlap_matrix(ds, text_col="uid", group_col="grp").take_all()
+    slow = content_overlap_matrix(
+        ds, text_col="uid", group_col="grp", bitmask_domain_cap=0
+    ).take_all()
+    want = duckdb.sql(
+        "WITH d AS (SELECT DISTINCT uid, grp FROM t) "
+        "SELECT a.grp, b.grp, count(*) FROM d a JOIN d b "
+        "ON a.uid = b.uid AND a.grp < b.grp GROUP BY 1, 2"
+    ).fetchall()
+    w = {(r[0], r[1]): r[2] for r in want}
+    f = {(r["src_a"], r["src_b"]): r["n_shared"] for r in fast}
+    s = {(r["src_a"], r["src_b"]): r["n_shared"] for r in slow}
+    assert f == w and s == w

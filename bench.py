@@ -258,6 +258,10 @@ def run_headline() -> dict:
                 "epoch_shuffle_docs",  # seeded global sort (range shuffle)
                 "training_shards_docs",  # tokenize -> pack -> materialized windows
                 "bigram_lm_docs",  # pair-shuffle LM scoring
+                "rank_docs_per_source",  # grouped-window rank family (histogram broadcast)
+                "stratified_split_docs",  # exact-count per-group split by hash rank
+                "funnel_events",  # ordered conversion funnel (single cogroup)
+                "user_overlap_event_types",  # group-overlap matrix (bitmask matmul plan)
             ):
                 # min of 2 reps: a single timing is hostage to whatever
                 # else the box is doing (round-4's driver record showed

@@ -115,7 +115,7 @@ def ntile_per_group(
     bundle = _value_hist_bundle(ds, key, value)
 
     def tiles(g: pa.Table) -> pa.Table:
-        uk, comp, cum_before, totals, _ = ray.get(bundle)  # zero-copy plasma read
+        uk, comp, cum_before, totals, _, _ = ray.get(bundle)  # zero-copy plasma read
         k_val = g[key][0].as_py()
         v_val = int(g[value][0].as_py())
         kidx = int(np.searchsorted(uk, k_val))
@@ -153,8 +153,11 @@ def _value_hist_bundle(ds: rd.Dataset, key: str, value: str):
     Ray task (off-driver) into sorted composite keys with per-pair
     cumulative offsets, per-key totals and per-key run starts, published
     once to the object store. Returns the ObjectRef of the bundle
-    ``(uk, comp, cum_before, totals, key_start)`` where ``comp`` packs
-    ``key_index << 32 | value`` (hence ``value`` must be in [0, 2^31)).
+    ``(uk, comp, cum_before, totals, key_start, pair_counts)`` where
+    ``comp`` packs ``key_index << 32 | value`` (hence ``value`` must be
+    in [0, 2^31)) and ``pair_counts[i]`` is the row count of pair
+    ``comp[i]`` (lets callers branch on tie-class size without a
+    cogroup).
     """
     import ray
     from ray.data.aggregate import Sum
@@ -176,7 +179,7 @@ def _value_hist_bundle(ds: rd.Dataset, key: str, value: str):
         tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
         if not tabs:
             empty = np.array([], np.int64)
-            return np.array([], object), empty, empty, empty, empty
+            return np.array([], object), empty, empty, empty, empty, empty
         full = pa.concat_tables(tabs).combine_chunks()
         ks = np.asarray(full[key])
         vs = full[value].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -194,7 +197,7 @@ def _value_hist_bundle(ds: rd.Dataset, key: str, value: str):
         cum_before = cum - key_base
         totals = np.bincount(kidx_o, weights=cs_o).astype(np.int64)
         key_start = np.searchsorted(kidx_o, np.arange(len(uk)))
-        return uk, comp, cum_before, totals, key_start
+        return uk, comp, cum_before, totals, key_start, cs_o
 
     return _assemble.remote(list(hist.to_arrow_refs()))
 
@@ -238,7 +241,7 @@ def rank_per_group(
     bundle = _value_hist_bundle(ds, key, value)
 
     def ranks(g: pa.Table) -> pa.Table:
-        uk, comp, cum_before, totals, key_start = ray.get(bundle)
+        uk, comp, cum_before, totals, key_start, _ = ray.get(bundle)
         k_val = g[key][0].as_py()
         v_val = int(g[value][0].as_py())
         kidx = int(np.searchsorted(uk, k_val))

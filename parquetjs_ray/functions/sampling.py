@@ -427,13 +427,16 @@ def stratified_split_exact(
     (ties → ``key_col``), so membership is deterministic across runs,
     resumes and cluster sizes.
 
-    Hot-key-proof two-phase shape (shared with
-    :func:`~parquetjs_ray.functions.quantiles.ntile_per_group` via its
-    (group, value) histogram bundle): the 31-bit hash histogram rides a
-    distinct-pair combiner shuffle and is broadcast once; per-row ranks
-    are then resolved inside (group, hash) TIE CLASSES — bounded by
-    31-bit collisions, never by a group's row count. Output:
-    ``(key_col, group_col, split)``.
+    Hot-key-proof AND tiny-group-proof: the 31-bit hash histogram rides
+    a distinct-pair combiner shuffle and is broadcast once with per-pair
+    counts. Because the hash is near-unique, almost every row is alone
+    in its (group, hash) class — those rows resolve their rank with a
+    STATELESS vectorized broadcast lookup (no groupby at all; a naive
+    per-class ``map_groups`` spawns one group per row, the per-group
+    overhead that killed the first version of this operator at 2M rows).
+    Only rows in COLLIDING classes (expected ~n²/2³² per group — dozens
+    at any realistic scale) take a cogroup to order ties by ``key_col``;
+    the two branches union. Output: ``(key_col, group_col, split)``.
     """
     import ray
 
@@ -459,28 +462,66 @@ def stratified_split_exact(
             }
         )
 
+    # one hash per row: recomputing the keyed pass for the two branches
+    # is far cheaper at corpus scale than pinning it in the object store
+    # (same policy as budget_sample)
     src = ds.map_batches(keyed, batch_format="pyarrow")
     bundle = _value_hist_bundle(src, group_col, "__h31")
 
-    def assign(g: pa.Table) -> pa.Table:
-        uk, comp, cum_before, totals, _ = ray.get(bundle)
-        k_val = g[group_col][0].as_py()
-        v_val = int(g["__h31"][0].as_py())
-        kidx = int(np.searchsorted(uk, k_val))
-        pos = int(np.searchsorted(comp, (kidx << 32) | v_val))
-        base, n = int(cum_before[pos]), int(totals[kidx])
+    def _lookup(batch: pa.Table):
+        """Vectorized bundle lookup → (pos, base, n_key, class_count)."""
+        uk, comp, cum_before, totals, _, cs = ray.get(bundle)
+        kidx = (
+            pc.index_in(batch[group_col].combine_chunks(), value_set=pa.array(uk))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )  # uk is np.unique-sorted, so index_in position == bundle key index
+        h = batch["__h31"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(comp, (kidx << 32) | h)
+        return cum_before[pos], totals[kidx], cs[pos]
+
+    def label_of(rank0: np.ndarray, n_key: np.ndarray) -> pa.Array:
+        # split i owns rank0 in [n·cumw_{i-1}//W, n·cumw_i//W)
+        idx = np.zeros(len(rank0), np.int64)
+        for c in cumw[:-1]:
+            idx += rank0 >= (n_key * int(c)) // W
+        return pa.array(lookup[idx].tolist(), type=pa.string())
+
+    def solo(batch: pa.Table) -> pa.Table:
+        base, n_key, cnt = _lookup(batch)
+        keep = cnt == 1  # alone in the tie class → rank is the offset itself
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                group_col: batch[group_col],
+                "split": label_of(base, n_key),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    def colliding(batch: pa.Table) -> pa.Table:
+        _, _, cnt = _lookup(batch)
+        return batch.filter(pa.array(cnt > 1))
+
+    def assign_class(g: pa.Table) -> pa.Table:
+        base_a, n_a, _ = _lookup(g.slice(0, 1))
+        base, n = int(base_a[0]), int(n_a[0])
         ids = g[key_col].combine_chunks()
         order = pc.array_sort_indices(ids).to_numpy(zero_copy_only=False)
         rank0 = np.empty(len(ids), np.int64)
         rank0[order] = base + np.arange(len(ids))
-        cuts = cumw * n // W  # split i owns rank0 in [cut_{i-1}, cut_i)
-        idx = np.searchsorted(cuts, rank0, side="right")
         return pa.table(
             {
                 key_col: g[key_col],
                 group_col: g[group_col],
-                "split": pa.array(lookup[idx].tolist(), type=pa.string()),
+                "split": label_of(rank0, np.full(len(ids), n, np.int64)),
             }
         )
 
-    return src.groupby([group_col, "__h31"]).map_groups(assign, batch_format="pyarrow")
+    fast = src.map_batches(solo, batch_format="pyarrow")
+    ties = (
+        src.map_batches(colliding, batch_format="pyarrow")
+        .groupby([group_col, "__h31"])
+        .map_groups(assign_class, batch_format="pyarrow")
+    )
+    return fast.union(ties)

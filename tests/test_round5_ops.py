@@ -517,3 +517,43 @@ def test_content_overlap_bitmask_and_join_plans_agree(ray_session):
     f = {(r["src_a"], r["src_b"]): r["n_shared"] for r in fast}
     s = {(r["src_a"], r["src_b"]): r["n_shared"] for r in slow}
     assert f == w and s == w
+
+
+def test_stratified_split_exact_hash_collision_classes(ray_session):
+    """Force 31-bit hash collisions so the cogroup ties branch actually
+    runs, and check membership still matches the SQL oracle."""
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import _GOLDEN, _U, _mix64, stratified_split_exact
+
+    cand = np.arange(3_000_000, dtype=np.int64)
+    h31 = (_mix64(cand.astype(np.uint64) + _U(0)) >> _U(33)).astype(np.int64)
+    order = np.argsort(h31, kind="stable")
+    hs = h31[order]
+    dup_pos = np.flatnonzero(hs[1:] == hs[:-1])
+    assert len(dup_pos) > 0, "no 31-bit collisions in 3M candidates?!"
+    pairs = np.stack((cand[order[dup_pos]], cand[order[dup_pos + 1]]), axis=1)[:20]
+    colliders = pairs.ravel()
+    fillers = cand[10_000 : 10_000 + 500]
+    ids = np.unique(np.concatenate((colliders, fillers)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "source": pa.array(["s0"] * len(ids)),  # same group → real tie classes
+        }
+    )
+    got = stratified_split_exact(
+        rd.from_arrow(t).repartition(4), {"train": 90, "val": 7, "test": 3}
+    ).take_all()
+    mix = _mix64_sql("doc_id", "t")
+    want = duckdb.sql(
+        f"WITH h AS ({mix}), "
+        "r AS (SELECT doc_id, source, "
+        " row_number() OVER (PARTITION BY source ORDER BY (x // 8589934592), doc_id) - 1 AS rn0, "
+        " count(*) OVER (PARTITION BY source) AS n FROM h) "
+        "SELECT doc_id, CASE WHEN rn0 < (n*90)//100 THEN 'train' "
+        " WHEN rn0 < (n*97)//100 THEN 'val' ELSE 'test' END FROM r"
+    ).fetchall()
+    assert len(got) == len(ids)
+    assert {r["doc_id"]: r["split"] for r in got} == dict(want)

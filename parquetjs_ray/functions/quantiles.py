@@ -208,6 +208,7 @@ def rank_per_group(
     key: str = "source",
     value: str = "n_chars",
     id_col: str = "doc_id",
+    include_row_number: bool = True,
 ) -> rd.Dataset:
     """Per-row ``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY
     key ORDER BY value, id_col)`` — the general grouped-window rank
@@ -235,10 +236,50 @@ def rank_per_group(
     percent_rank, cume_dist)`` — int64 ranks, float64 fractions,
     bit-identical to the SQL windows. ``value`` must be int64 in
     [0, 2^31) (packed beside the key index for the broadcast lookup).
+
+    Every output EXCEPT ``row_number`` is constant across a tie class —
+    a pure broadcast lookup. ``include_row_number=False`` therefore
+    skips the tie-class cogroup entirely and resolves all columns in
+    ONE stateless vectorized pass (no shuffle beyond the histogram) —
+    the right call when per-row tiebreaking isn't needed (percentile
+    features, dense ranking), and markedly faster when the (key, value)
+    class count is large.
     """
     import ray
 
     bundle = _value_hist_bundle(ds, key, value)
+
+    if not include_row_number:
+
+        def ranks_stateless(batch: pa.Table) -> pa.Table:
+            uk, comp, cum_before, totals, key_start, cs = ray.get(bundle)
+            kidx = (
+                pc.index_in(batch[key].combine_chunks(), value_set=pa.array(uk))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )  # uk is np.unique-sorted → index_in position == bundle key index
+            v = batch[value].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(comp, (kidx << 32) | v)
+            base = cum_before[pos]
+            total = totals[kidx]
+            dense = pos - key_start[kidx] + 1
+            pr = np.where(total > 1, base / np.maximum(total - 1, 1), 0.0)
+            cd = (base + cs[pos]) / total
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    key: batch[key],
+                    value: batch[value],
+                    "rank": pa.array(base + 1),
+                    "dense_rank": pa.array(dense),
+                    "percent_rank": pa.array(pr.astype(np.float64)),
+                    "cume_dist": pa.array(cd.astype(np.float64)),
+                }
+            )
+
+        return ds.select_columns([id_col, key, value]).map_batches(
+            ranks_stateless, batch_format="pyarrow"
+        )
 
     def ranks(g: pa.Table) -> pa.Table:
         uk, comp, cum_before, totals, key_start, _ = ray.get(bundle)

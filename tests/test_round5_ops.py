@@ -557,3 +557,26 @@ def test_stratified_split_exact_hash_collision_classes(ray_session):
     ).fetchall()
     assert len(got) == len(ids)
     assert {r["doc_id"]: r["split"] for r in got} == dict(want)
+
+
+def test_rank_per_group_stateless_mode_matches_grouped(ray_session):
+    """include_row_number=False resolves rank/dense_rank/percent_rank/
+    cume_dist in one stateless pass — bit-identical to the cogroup mode."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import rank_per_group
+
+    t = _docs_table(2500, 5, 40)
+    full = {
+        r["doc_id"]: (r["rank"], r["dense_rank"], r["percent_rank"], r["cume_dist"])
+        for r in rank_per_group(rd.from_arrow(t).repartition(4)).take_all()
+    }
+    fast = rank_per_group(
+        rd.from_arrow(t).repartition(4), include_row_number=False
+    ).take_all()
+    assert "row_number" not in fast[0]
+    got = {
+        r["doc_id"]: (r["rank"], r["dense_rank"], r["percent_rank"], r["cume_dist"])
+        for r in fast
+    }
+    assert got == full

@@ -1338,6 +1338,23 @@ def q_value_quantiles_sketch(sf_dir: str):
     )
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (A-ES exponential keys,
+    Efraimidis–Spirakis): 100 docs drawn with probability ∝ n_chars —
+    the quality-score-weighted corpus selection shape. Deterministic
+    pure function of (ids, weights, seed); per-batch top-k combiner so
+    ≤ k rows per batch ever move. No SQL oracle by design (the key is a
+    libm pow/log — pinned instead by an exact numpy-referee pytest that
+    recomputes the same keys single-machine, plus repartition
+    invariance) (``functions/sampling.py:weighted_sample_k``)."""
+    from parquetjs_ray.functions.sampling import weighted_sample_k
+
+    out = weighted_sample_k(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]), 100, seed=1
+    )
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch pair dedup combiner, one
     distinct-pair shuffle, pair-sized recount."""
@@ -1991,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "events_asof_next_order": q_events_asof_next_order,
         "value_quantiles_sketch": q_value_quantiles_sketch,
+        "weighted_sample_docs": q_weighted_sample_docs,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -2000,8 +2018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_reclustered_scan": q_events_reclustered_scan,
         "decode_projection": q_decode_projection,
         "decode_source_prune": q_decode_source_prune,
-        "point_lookup_docs": q_point_lookup_docs,
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
+        "point_lookup_docs": q_point_lookup_docs,
         "phrase_lookup_docs": q_phrase_lookup_docs,
         "training_shards_docs": q_training_shards_docs,
         "tokenize_docs": q_tokenize_docs,

@@ -33,6 +33,7 @@ __all__ = [
     "budget_sample",
     "cap_per_group",
     "stratified_split_exact",
+    "weighted_sample_k",
 ]
 
 _U = np.uint64
@@ -525,3 +526,72 @@ def stratified_split_exact(
         .map_groups(assign_class, batch_format="pyarrow")
     )
     return fast.union(ties)
+
+
+def weighted_sample_k(
+    ds,
+    k: int,
+    *,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Weighted sampling WITHOUT replacement: the standard distributed
+    A-ES / exponential-keys scheme (Efraimidis & Spirakis 2006) — row i
+    gets key ``u_i^(1/w_i)`` with ``u_i`` a deterministic hash-uniform
+    in (0,1), and the k largest keys are the sample. Inclusion odds are
+    proportional to weight; heavy documents (or quality scores) are
+    favored without ever being guaranteed, and the whole draw is a pure
+    function of (key set, weights, seed): byte-identical across runs,
+    resumes, block layouts and cluster sizes.
+
+    Keys are compared as ``log(u)/w`` (monotone in ``u^(1/w)``, avoids
+    underflow at large weights). Two-phase, bounded shuffle like
+    :func:`reservoir_per_group`: per-batch vectorized top-``k`` first —
+    at most ``k`` rows per batch ever move — then one merge group of
+    ≤ k × n_batches candidate rows. Ties are impossible up to hash
+    collisions (mix64 is bijective on the unique keys; a collision
+    would need equal weights AND equal hashes). Weights must be > 0;
+    rows with weight ≤ 0 or null are excluded (never sampled).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    salt = _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF)
+
+    def akey(batch: pa.Table) -> np.ndarray:
+        ids = batch[key_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        w = batch[weight_col].cast(pa.float64()).combine_chunks().to_numpy(zero_copy_only=False)
+        h = _mix64(ids.astype(np.uint64) + salt)
+        # u in (0,1): (h + 0.5) / 2^64 — never exactly 0 or 1
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w  # max == max of u^(1/w); in (-inf, 0)
+        key[~(w > 0)] = -np.inf  # non-positive/NaN weight: never sampled
+        return key
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        key = akey(batch)
+        if len(key) > k:
+            kth = np.partition(key, len(key) - k)[len(key) - k]
+            keep = key >= kth
+        else:
+            keep = np.ones(len(key), dtype=bool)
+        keep &= np.isfinite(key)
+        return batch.append_column("__akey", pa.array(key)).filter(pa.array(keep))
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        a = group["__akey"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(a, kind="stable")[::-1][:k]
+        return group.take(pa.array(np.sort(idx))).drop_columns(["__akey", "__one"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__one", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__one")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

@@ -580,3 +580,47 @@ def test_rank_per_group_stateless_mode_matches_grouped(ray_session):
         for r in fast
     }
     assert got == full
+
+
+def test_weighted_sample_k_exact_vs_referee_and_stable(ray_session):
+    """A-ES is a pure function of (ids, weights, seed): the operator's
+    top-k must equal a single-machine numpy referee computing the same
+    exponential keys — and be invariant to repartitioning."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import _GOLDEN, _U, _mix64, weighted_sample_k
+
+    rng = np.random.default_rng(53)
+    n, k, seed = 20_000, 200, 3
+    ids = rng.permutation(100_000)[:n].astype("int64")
+    w = rng.integers(1, 5000, n).astype("int64")
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+
+    salt = _U((seed * _GOLDEN) & 0xFFFFFFFFFFFFFFFF)
+    h = _mix64(ids.astype(np.uint64) + salt)
+    u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+    key = np.log(u) / w.astype(np.float64)
+    referee = set(ids[np.argsort(key)[::-1][:k]].tolist())
+
+    for parts in (3, 11):
+        got = weighted_sample_k(
+            rd.from_arrow(t).repartition(parts), k, seed=seed
+        ).take_all()
+        assert len(got) == k
+        assert {r["doc_id"] for r in got} == referee
+
+
+def test_weighted_sample_k_favors_heavy_and_skips_nonpositive(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.sampling import weighted_sample_k
+
+    n = 5000
+    ids = np.arange(n, dtype="int64")
+    w = np.ones(n, dtype="int64")
+    w[0] = 10_000_000  # overwhelming weight → sampled for any seed
+    w[1] = 0  # never sampled
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+    for seed in range(5):
+        got = {r["doc_id"] for r in weighted_sample_k(rd.from_arrow(t), 50, seed=seed).take_all()}
+        assert 0 in got and 1 not in got and len(got) == 50

@@ -1338,6 +1338,20 @@ def q_value_quantiles_sketch(sf_dir: str):
     )
 
 
+def q_argextreme_docs(sf_dir: str):
+    """ARG_MIN/ARG_MAX per source (shortest and longest doc id + length)
+    in ONE scan — per-batch argmin+argmax combiner, ≤2 rows per
+    (key, batch) shuffle (``functions/groupops.py:group_argextreme``)."""
+    from parquetjs_ray.functions.groupops import group_argextreme
+
+    return group_argextreme(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        "source",
+        "n_chars",
+        "doc_id",
+    )
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Weighted sampling WITHOUT replacement (A-ES exponential keys,
     Efraimidis–Spirakis): 100 docs drawn with probability ∝ n_chars —
@@ -2009,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_next_order": q_events_asof_next_order,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "argextreme_docs": q_argextreme_docs,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -2017,8 +2032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_range_scan": q_events_time_range_scan,
         "events_reclustered_scan": q_events_reclustered_scan,
         "decode_projection": q_decode_projection,
-        "decode_source_prune": q_decode_source_prune,
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
+        "decode_source_prune": q_decode_source_prune,
         "point_lookup_docs": q_point_lookup_docs,
         "phrase_lookup_docs": q_phrase_lookup_docs,
         "training_shards_docs": q_training_shards_docs,
@@ -2418,6 +2433,16 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_event_types": (
             "SELECT user_id, 'n_' || event_type AS event_col, "
             "count(*)::BIGINT AS n FROM events GROUP BY user_id, event_type"
+        ),
+        "argextreme_docs": (
+            "WITH mn AS (SELECT source, n_chars AS min_n_chars, doc_id AS min_doc_id "
+            " FROM documents QUALIFY row_number() OVER "
+            " (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) = 1), "
+            "mx AS (SELECT source, n_chars AS max_n_chars, doc_id AS max_doc_id "
+            " FROM documents QUALIFY row_number() OVER "
+            " (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) = 1) "
+            "SELECT mn.source, mn.min_n_chars, mn.min_doc_id, "
+            "mx.max_n_chars, mx.max_doc_id FROM mn JOIN mx USING (source)"
         ),
         "source_share_report": (
             "WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source) "

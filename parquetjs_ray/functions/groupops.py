@@ -28,6 +28,7 @@ __all__ = [
     "cube_aggregate",
     "unpivot_counts",
     "group_share_report",
+    "group_argextreme",
 ]
 
 
@@ -362,4 +363,53 @@ def pivot_counts(ds, key: str, pivot_col: str, values: list[str]):
         .groupby(key)
         .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
         .select_columns([key] + out_cols)
+    )
+
+
+def group_argextreme(
+    ds,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    *,
+    extra_cols: list[str] | None = None,
+):
+    """ARG_MIN / ARG_MAX per group in one pass: for every key, the row
+    holding the smallest and the largest ``val_col`` (ties broken by the
+    smallest ``id_col`` — deterministic, SQL-window-reproducible).
+
+    Combiner-before-shuffle via :func:`group_top_k` twice fused into one
+    scan: each batch keeps its own per-key argmin row AND argmax row
+    (≤ 2 rows per (key, batch) move), and the final per-key reduction
+    works on that residue. Output: one row per key —
+    ``(key, min_val, min_id, max_val, max_id)`` (+ ``min_<c>``/``max_<c>``
+    for each of ``extra_cols``)."""
+    extra = list(extra_cols or [])
+
+    def local(batch: pa.Table) -> pa.Table:
+        lo = _topk_per_key(batch, key_col, val_col, id_col, 1, False)
+        hi = _topk_per_key(batch, key_col, val_col, id_col, 1, True)
+        return pa.concat_tables([lo, hi])
+
+    def reduce_key(g: pa.Table) -> pa.Table:
+        s = g.sort_by([(val_col, "ascending"), (id_col, "ascending")])
+        row = {key_col: s[key_col].slice(0, 1)}
+        row["min_" + val_col] = s[val_col].slice(0, 1)
+        row["min_" + id_col] = s[id_col].slice(0, 1)
+        # max side: largest value, smallest id among its ties
+        sv = s[val_col].combine_chunks().to_numpy(zero_copy_only=False)
+        first_of_max = int(np.searchsorted(sv, sv[-1], side="left"))
+        row["max_" + val_col] = s[val_col].slice(first_of_max, 1)
+        row["max_" + id_col] = s[id_col].slice(first_of_max, 1)
+        for c in extra:
+            row["min_" + c] = s[c].slice(0, 1)
+            row["max_" + c] = s[c].slice(first_of_max, 1)
+        return pa.table(row)
+
+    cols = [key_col, val_col, id_col] + extra
+    return (
+        ds.select_columns(cols)
+        .map_batches(local, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(reduce_key, batch_format="pyarrow")
     )

@@ -624,3 +624,38 @@ def test_weighted_sample_k_favors_heavy_and_skips_nonpositive(ray_session):
     for seed in range(5):
         got = {r["doc_id"] for r in weighted_sample_k(rd.from_arrow(t), 50, seed=seed).take_all()}
         assert 0 in got and 1 not in got and len(got) == 50
+
+
+def test_group_argextreme_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_argextreme
+
+    # duplicate extreme values across batches → tie resolution must be
+    # the smallest id on BOTH ends
+    rng = np.random.default_rng(59)
+    n = 4000
+    t = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(50_000)[:n].astype("int64")),
+            "source": pa.array([f"s{i % 6}" for i in range(n)]),
+            "n_chars": pa.array(rng.integers(0, 25, n).astype("int64")),
+        }
+    )
+    got = group_argextreme(
+        rd.from_arrow(t).repartition(7), "source", "n_chars", "doc_id"
+    ).take_all()
+    want = duckdb.sql(
+        "WITH mn AS (SELECT source, n_chars a, doc_id b FROM t QUALIFY "
+        " row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) = 1), "
+        "mx AS (SELECT source, n_chars c, doc_id d FROM t QUALIFY "
+        " row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) = 1) "
+        "SELECT mn.source, a, b, c, d FROM mn JOIN mx USING (source)"
+    ).fetchall()
+    w = {r[0]: r[1:] for r in want}
+    g = {
+        r["source"]: (r["min_n_chars"], r["min_doc_id"], r["max_n_chars"], r["max_doc_id"])
+        for r in got
+    }
+    assert g == {k: tuple(v) for k, v in w.items()}

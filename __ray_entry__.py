@@ -1369,6 +1369,24 @@ def q_weighted_sample_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars"])
 
 
+def q_funnel_events_48h(sf_dir: str):
+    """Time-boxed conversion funnel: each stage must land within 48 h of
+    the previous stage's matched time (first-touch anchored) — same
+    single-cogroup plan as the unwindowed funnel
+    (``functions/windows.py:funnel_stages`` ``within_us``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import funnel_stages
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_stages(
+        ds, ["view", "click", "purchase"], within_us=48 * 3_600_000_000
+    )
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch pair dedup combiner, one
     distinct-pair shuffle, pair-sized recount."""
@@ -2025,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "weighted_sample_docs": q_weighted_sample_docs,
         "argextreme_docs": q_argextreme_docs,
+        "funnel_events_48h": q_funnel_events_48h,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -2032,8 +2051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "events_time_range_scan": q_events_time_range_scan,
         "events_reclustered_scan": q_events_reclustered_scan,
-        "decode_projection": q_decode_projection,
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
+        "decode_projection": q_decode_projection,
         "decode_source_prune": q_decode_source_prune,
         "point_lookup_docs": q_point_lookup_docs,
         "phrase_lookup_docs": q_phrase_lookup_docs,
@@ -2466,6 +2485,22 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY source) AS n FROM h5) "
             "SELECT doc_id, source, CASE WHEN rn0 < (n*90)//100 THEN 'train' "
             "WHEN rn0 < (n*97)//100 THEN 'val' ELSE 'test' END AS split FROM r"
+        ),
+        "funnel_events_48h": (
+            "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+            " WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+            " JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t "
+            "  AND epoch_us(e.ts) <= s1.t + 172800000000 "
+            " WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+            " JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t "
+            "  AND epoch_us(e.ts) <= s2.t + 172800000000 "
+            " WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT * FROM ("
+            "SELECT 1::BIGINT AS stage, 'view' AS event_type, count(*)::BIGINT AS n_keys FROM s1 "
+            "UNION ALL SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2 "
+            "UNION ALL SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)"
         ),
         "funnel_events": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

@@ -376,6 +376,7 @@ def funnel_stages(
     key: str = "user_id",
     type_col: str = "event_type",
     ts: str = "ts",
+    within_us: int | None = None,
 ) -> rd.Dataset:
     """Ordered conversion funnel: for each prefix of ``stages``, how
     many distinct keys completed it IN TEMPORAL ORDER — stage i counts a
@@ -391,6 +392,16 @@ def funnel_stages(
     kilobytes; the final per-stage count is an in-batch fold. Per-key
     group size is that key's stage-event count (same bounded-history
     assumption as :func:`session_windows`, documented at module top).
+
+    ``within_us`` adds the conversion-window constraint: stage i only
+    counts when it happens within ``within_us`` of the matched stage-i-1
+    time (strictly after, at most T later) — the "purchased within 24 h
+    of clicking" shape. Semantics stay FIRST-TOUCH ANCHORED (the greedy
+    chain from each key's earliest stage-0 event), the standard
+    product-analytics definition. Note this is NOT max-conversion
+    matching: with a window, a later stage-0 anchor can occasionally
+    convert where the earliest cannot; counting such keys requires
+    per-key dynamic matching, deliberately out of scope.
 
     Output: ``(stage, event_type, n_keys)`` — stage is 1-based; every
     stage emits a row even at zero survivors.
@@ -429,7 +440,10 @@ def funnel_stages(
                 pos = int(np.searchsorted(arr, prev, side="right"))
                 if pos >= len(arr):
                     break
-                prev = arr[pos]
+                nxt = arr[pos]
+                if within_us is not None and nxt - prev > within_us:
+                    break
+                prev = nxt
             depth = i + 1
         return pd.DataFrame({"depth": [depth]})
 

@@ -659,3 +659,47 @@ def test_group_argextreme_matches_duckdb(ray_session):
         for r in got
     }
     assert g == {k: tuple(v) for k, v in w.items()}
+
+
+def test_funnel_stages_within_window_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import funnel_stages
+
+    rng = np.random.default_rng(61)
+    n = 6000
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 300, n).astype("int64")),
+            "event_type": pa.array(rng.choice(["view", "click", "purchase"], n).tolist()),
+            "ts": pa.array(rng.integers(0, 10_000, n).astype("int64")),
+        }
+    )
+    W = 40
+    got = funnel_stages(
+        rd.from_arrow(t).repartition(6), ["view", "click", "purchase"], within_us=W
+    ).take_all()
+    want = duckdb.sql(
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM t "
+        " WHERE event_type='view' GROUP BY user_id), "
+        f"s2 AS (SELECT e.user_id, min(e.ts) AS t FROM t e "
+        f" JOIN s1 ON e.user_id=s1.user_id AND e.ts > s1.t AND e.ts <= s1.t + {W} "
+        " WHERE e.event_type='click' GROUP BY e.user_id), "
+        f"s3 AS (SELECT e.user_id, min(e.ts) AS t FROM t e "
+        f" JOIN s2 ON e.user_id=s2.user_id AND e.ts > s2.t AND e.ts <= s2.t + {W} "
+        " WHERE e.event_type='purchase' GROUP BY e.user_id) "
+        "SELECT 1 AS stage, count(*) FROM s1 "
+        "UNION ALL SELECT 2, count(*) FROM s2 "
+        "UNION ALL SELECT 3, count(*) FROM s3"
+    ).fetchall()
+    g = {r["stage"]: r["n_keys"] for r in got}
+    assert g == dict(want)
+    # the window must actually bite vs the unwindowed funnel
+    full = {
+        r["stage"]: r["n_keys"]
+        for r in funnel_stages(
+            rd.from_arrow(t), ["view", "click", "purchase"]
+        ).take_all()
+    }
+    assert g[2] < full[2] and g[3] < full[3]

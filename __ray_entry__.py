@@ -1387,6 +1387,23 @@ def q_funnel_events_48h(sf_dir: str):
     )
 
 
+def q_bm25_topk_docs(sf_dir: str):
+    """BM25 retrieval (Lucene idf form): top-10 docs for a 3-term query
+    — the topic-relevance scorer for corpus curation. Two zero-shuffle
+    scans (kilobyte df/length partials, then per-batch scoring with a
+    local top-k combiner) + a candidate-sized merge. No SQL oracle by
+    design (float idf/log) — pinned by an exact numpy-referee pytest
+    (same formula, same term order, byte-equal scores) plus repartition
+    invariance (``functions/df.py:bm25_topk``)."""
+    from parquetjs_ray.functions.df import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        ["join", "hash", "scan"],
+        10,
+    )
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): per-batch pair dedup combiner, one
     distinct-pair shuffle, pair-sized recount."""
@@ -2044,14 +2061,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "argextreme_docs": q_argextreme_docs,
         "funnel_events_48h": q_funnel_events_48h,
+        "bm25_topk_docs": q_bm25_topk_docs,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
         "dedup_exact_docs": q_dedup_exact_docs,
         "events_time_range_scan": q_events_time_range_scan,
-        "events_reclustered_scan": q_events_reclustered_scan,
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
+        "events_reclustered_scan": q_events_reclustered_scan,
         "decode_projection": q_decode_projection,
         "decode_source_prune": q_decode_source_prune,
         "point_lookup_docs": q_point_lookup_docs,

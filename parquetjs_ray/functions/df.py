@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-__all__ = ["doc_distinct_words", "df_score"]
+__all__ = ["doc_distinct_words", "df_score", "bm25_topk"]
 
 
 def doc_distinct_words(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -104,3 +104,105 @@ def df_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds: rd.Dataset,
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 retrieval over the corpus: the top-``k`` documents for a
+    bag-of-terms query (Robertson–Sparck Jones / Lucene idf form with
+    the +1 guard) — the retrieval scorer a curation pipeline uses to
+    pull topic-relevant training documents.
+
+    Two zero-shuffle scans plus a candidate-sized merge:
+
+    1. **stats pass** — each batch emits ONE kilobyte partial row
+       (per-term document frequencies, Σ doc length, doc count,
+       vectorized via one split + ``index_in`` + ``bincount``); the
+       driver folds the partials into (df, N, avgdl) — closure-tiny.
+    2. **score pass** — per-batch tf per (doc, term) with the same
+       kernels, BM25 accumulated term-by-term in fixed query order
+       (byte-reproducible), local top-``k`` per batch, global merge of
+       ≤ k×batches candidates (the :func:`~parquetjs_ray.functions.
+       sampling.weighted_sample_k` merge shape).
+
+    Output: ``(id_col, score)``, score float64, descending, ties broken
+    by ascending id. Scores are a pure deterministic function of the
+    corpus + query (same floats on every run/layout).
+    """
+    if k <= 0 or not query_terms:
+        raise ValueError("k and query_terms must be non-empty/positive")
+    terms = pa.array(list(dict.fromkeys(query_terms)))  # dedup, keep order
+    m = len(terms)
+
+    def term_tf(batch: pa.Table):
+        """(tf matrix n_docs×m, doc lengths) for one batch — vectorized."""
+        text = batch[text_col]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        toks = pc.split_pattern(text, " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        lens = np.diff(offs)
+        n_docs = len(lens)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        tidx = pc.index_in(toks.values, value_set=terms).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(tidx) if tidx.dtype.kind == "f" else (tidx >= 0)
+        flat = doc_of[hit] * m + tidx[hit].astype(np.int64)
+        tf = np.bincount(flat, minlength=n_docs * m).reshape(n_docs, m)
+        return tf, lens
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tf, lens = term_tf(batch)
+        df = (tf > 0).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+                "sum_dl": pa.array([int(lens.sum())], pa.int64()),
+                "n_docs": pa.array([len(lens)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    df = np.zeros(m, np.int64)
+    sum_dl = n = 0
+    for r in parts:
+        df += np.asarray(r["df"], np.int64)
+        sum_dl += r["sum_dl"]
+        n += r["n_docs"]
+    if n == 0:
+        raise ValueError("empty corpus")
+    avgdl = sum_dl / n
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)  # ≥ 0 always
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        tf, lens = term_tf(batch)
+        norm = k1 * (1.0 - b + b * (lens / avgdl))  # per-doc length norm
+        score = np.zeros(len(lens), np.float64)
+        for t in range(m):  # fixed query order → byte-reproducible sums
+            tft = tf[:, t]
+            score += idf[t] * (tft * (k1 + 1.0)) / (tft + norm)
+        out = pa.table({id_col: batch[id_col], "score": pa.array(score)})
+        if len(score) > k:
+            kth = np.partition(score, len(score) - k)[len(score) - k]
+            out = out.filter(pa.array(score >= kth))
+        return out.append_column(
+            "__one", pa.array(np.zeros(out.num_rows, np.int64))
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = group.sort_by([("score", "descending"), (id_col, "ascending")])
+        return s.slice(0, k).drop_columns(["__one"])
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(score_batch, batch_format="pyarrow")
+        .groupby("__one")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -703,3 +703,54 @@ def test_funnel_stages_within_window_matches_duckdb(ray_session):
         ).take_all()
     }
     assert g[2] < full[2] and g[3] < full[3]
+
+
+def test_bm25_topk_matches_numpy_referee(ray_session):
+    """BM25 is a pure function of (corpus, query): the operator's top-k
+    ids AND float scores must equal a single-machine numpy referee using
+    the same formula in the same term order — and be invariant to
+    repartitioning."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.df import bm25_topk
+
+    rng = np.random.default_rng(67)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [
+        " ".join(rng.choice(vocab, rng.integers(5, 60)).tolist()) for _ in range(800)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(800, dtype="int64")), "text": pa.array(docs)}
+    )
+    terms, k, k1, b = ["w3", "w17", "w40"], 15, 1.2, 0.75
+
+    # referee
+    split = [d.split(" ") for d in docs]
+    lens = np.array([len(s) for s in split], np.float64)
+    tf = np.array([[s.count(term) for term in terms] for s in split], np.float64)
+    df = (tf > 0).sum(axis=0)
+    n = len(docs)
+    avgdl = lens.sum() / n
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    norm = k1 * (1.0 - b + b * (lens / avgdl))
+    score = np.zeros(n, np.float64)
+    for t_i in range(len(terms)):
+        score += idf[t_i] * (tf[:, t_i] * (k1 + 1.0)) / (tf[:, t_i] + norm)
+    order = np.lexsort((np.arange(n), -score))[:k]
+    referee = [(int(i), score[i]) for i in order]
+
+    for parts in (3, 9):
+        got = bm25_topk(rd.from_arrow(t).repartition(parts), terms, k).take_all()
+        assert [(r["doc_id"], r["score"]) for r in got] == referee
+
+
+def test_bm25_topk_rejects_bad_args(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.df import bm25_topk
+
+    t = pa.table({"doc_id": [1], "text": ["a b"]})
+    with pytest.raises(ValueError):
+        bm25_topk(rd.from_arrow(t), [], 5)
+    with pytest.raises(ValueError):
+        bm25_topk(rd.from_arrow(t), ["a"], 0)

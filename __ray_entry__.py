@@ -1137,6 +1137,39 @@ def q_lag_deltas_events(sf_dir: str):
     return lag_deltas(ds)
 
 
+def q_rolling_window_events(sf_dir: str):
+    """Trailing 1h RANGE-window aggregate per user (count/min/max of
+    value over [t-1h, t]) via the single-shuffle bucket+carry
+    ``rolling_window_agg`` — each event answered inside its (user,
+    hour-bucket) group with the previous bucket carried in, group size
+    bounded by two buckets regardless of a key's history."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import rolling_window_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return rolling_window_agg(ds, size_us=3_600_000_000)
+
+
+def q_ohlc_events_hourly(sf_dir: str):
+    """Open/high/low/close/count downsample per (user, hour): each batch
+    collapses to one partial row per touched (user, hour) BEFORE the
+    shuffle, so exchange volume is bounded by groups × batches, never
+    events (``functions/windows.py:ohlc_downsample``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import ohlc_downsample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return ohlc_downsample(ds, bucket_us=3_600_000_000)
+
+
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
@@ -1195,6 +1228,23 @@ def q_rank_docs_per_source(sf_dir: str):
 
     return rank_per_group(
         _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    )
+
+
+def q_global_order_docs(sf_dir: str):
+    """Exact GLOBAL ROW_NUMBER (longest-first, doc_id tiebreak) plus the
+    NTILE(8) equal-count sorted-shard assignment, computed WITHOUT a
+    global sort: a distinct-value histogram broadcast resolves unique
+    values statelessly; only tied values cogroup, each group bounded by
+    its tie-class size (``functions/order.py:global_order``)."""
+    from parquetjs_ray.functions.order import global_order
+
+    return global_order(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value="n_chars",
+        id_col="doc_id",
+        descending=True,
+        num_shards=8,
     )
 
 
@@ -2049,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_docs": q_ntile_docs,
         "user_overlap_event_types": q_user_overlap_event_types,
         "rank_docs_per_source": q_rank_docs_per_source,
+        "global_order_docs": q_global_order_docs,
         "winsorize_docs": q_winsorize_docs,
         "cube_docs": q_cube_docs,
         "unpivot_event_types": q_unpivot_event_types,
@@ -2085,6 +2136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "session_windows_events": q_session_windows_events,
         "lag_deltas_events": q_lag_deltas_events,
+        "rolling_window_events": q_rolling_window_events,
+        "ohlc_events_hourly": q_ohlc_events_hourly,
         "sliding_counts_events": q_sliding_counts_events,
         "per_source_doc_stats": q_per_source_doc_stats,
         "lang_distribution": q_lang_distribution,
@@ -2454,6 +2507,12 @@ def oracle_sql() -> dict[str, str]:
             "cume_dist() OVER (PARTITION BY source ORDER BY n_chars)::DOUBLE AS cume_dist "
             "FROM documents"
         ),
+        "global_order_docs": (
+            "SELECT doc_id, n_chars, "
+            "row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS row_number, "
+            "ntile(8) OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS shard "
+            "FROM documents"
+        ),
         "winsorize_docs": (
             "WITH b AS (SELECT source, quantile_disc(n_chars, 0.05) AS lo, "
             "quantile_disc(n_chars, 0.95) AS hi FROM documents GROUP BY source) "
@@ -2560,6 +2619,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id), -1) AS BIGINT) AS delta_us "
             "FROM events"
+        ),
+        "rolling_window_events": (
+            "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_window, "
+            "min(value) OVER w AS min_value, max(value) OVER w AS max_value "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        "ohlc_events_hourly": (
+            "SELECT user_id, (epoch_us(ts)//3600000000)*3600000000 AS bucket_us, "
+            "first(value ORDER BY ts, event_id) AS open_value, "
+            "max(value) AS high_value, min(value) AS low_value, "
+            "last(value ORDER BY ts, event_id) AS close_value, "
+            "count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
         ),
         "sliding_counts_events": (
             "SELECT user_id, CAST((floor(epoch_us(ts)/900000000) - i.i) * 900000000 AS BIGINT) AS win_start_us, "

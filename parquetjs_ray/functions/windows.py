@@ -27,6 +27,8 @@ __all__ = [
     "running_totals",
     "lag_deltas",
     "funnel_stages",
+    "rolling_window_agg",
+    "ohlc_downsample",
 ]
 
 
@@ -481,3 +483,197 @@ def funnel_stages(
         )
 
     return counts.map_batches(label, batch_format="pyarrow")
+
+
+def _range_minmax(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """Vectorized range-min/max queries over ``vals`` for half-open index
+    windows ``[lo, hi)`` (every window non-empty) via an O(n log n) sparse
+    table — log n numpy passes to build, one pass per distinct window
+    log-size to answer. No Python loop over queries."""
+    mn = [vals]
+    mx = [vals]
+    j = 1
+    while (1 << j) <= len(vals):
+        h = 1 << (j - 1)
+        mn.append(np.minimum(mn[-1][:-h], mn[-1][h:]))
+        mx.append(np.maximum(mx[-1][:-h], mx[-1][h:]))
+        j += 1
+    k = np.floor(np.log2(hi - lo)).astype(np.int64)
+    out_mn = np.empty(len(lo), vals.dtype)
+    out_mx = np.empty(len(lo), vals.dtype)
+    for kk in np.unique(k):
+        m = k == kk
+        h = 1 << int(kk)
+        out_mn[m] = np.minimum(mn[kk][lo[m]], mn[kk][hi[m] - h])
+        out_mx[m] = np.maximum(mx[kk][lo[m]], mx[kk][hi[m] - h])
+    return out_mn, out_mx
+
+
+def rolling_window_agg(
+    ds: rd.Dataset, *, key: str = "user_id", ts: str = "ts",
+    order_id: str = "event_id", value: str = "value",
+    size_us: int = 3_600_000_000, bucket_us: int | None = None,
+) -> rd.Dataset:
+    """Trailing time-range window aggregate: for every event, COUNT /
+    MIN(value) / MAX(value) over the same key's events in ``[t - size,
+    t]`` (both ends inclusive) — exactly SQL's ``... OVER (PARTITION BY
+    key ORDER BY ts RANGE BETWEEN size PRECEDING AND CURRENT ROW)``.
+    Output ``(key, event_id, ts_us, n_window, min_value, max_value)``;
+    count is int64, min/max are order-independent so the whole row is
+    hash-exact against the SQL window even on doubles.
+
+    Hot-key-proof in ONE shuffle: a window reaches back at most
+    ``size_us``, so with time buckets of ``bucket_us >= size_us`` every
+    window is covered by the event's own bucket plus the previous one.
+    Each event is shipped twice — once as an aggregation subject in its
+    own ``(key, ts // bucket_us)`` group, once as carried context into
+    the NEXT bucket's group — and each group answers its own events'
+    windows with sorted-timestamp ``searchsorted`` bounds + a sparse
+    table for range-min/max (:func:`_range_minmax`). Group size is
+    bounded by two buckets' volume, never a key's total history; shuffle
+    volume is 2× the projected ``(key, ts, id, value)`` columns.
+    """
+    import pyarrow.compute as pc
+
+    if bucket_us is None:
+        bucket_us = size_us
+    if bucket_us < size_us:
+        raise ValueError("bucket_us must be >= size_us so one carry bucket suffices")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        b = pc.divide(epoch, bucket_us).cast(pa.int64())
+        cols = {
+            key: batch[key],
+            "__ts": epoch,
+            "__id": batch[order_id].cast(pa.int64()),
+            "__v": batch[value].cast(pa.float64()),
+        }
+        own = pa.table({**cols, "__b": b, "__own": pa.array(np.ones(len(batch), bool))})
+        carry = pa.table(
+            {**cols, "__b": pc.add(b, 1), "__own": pa.array(np.zeros(len(batch), bool))}
+        )
+        return pa.concat_tables([own, carry])
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["__ts"].to_numpy().astype(np.int64)
+        v = g["__v"].to_numpy().astype(np.float64)
+        own = g["__own"].to_numpy().astype(bool)
+        eid = g["__id"].to_numpy().astype(np.int64)
+        o = np.argsort(t, kind="stable")
+        t, v, own, eid = t[o], v[o], own[o], eid[o]
+        sel = np.flatnonzero(own)
+        if len(sel) == 0:  # carry-only group (next bucket has no events)
+            return pd.DataFrame(
+                {key: [], "event_id": [], "ts_us": [], "n_window": [],
+                 "min_value": [], "max_value": []}
+            )
+        ts_self = t[sel]
+        lo = np.searchsorted(t, ts_self - size_us, side="left")
+        hi = np.searchsorted(t, ts_self, side="right")
+        mn, mx = _range_minmax(v, lo, hi)
+        return pd.DataFrame(
+            {
+                key: g[key].iloc[0],
+                "event_id": eid[sel],
+                "ts_us": ts_self,
+                "n_window": (hi - lo).astype(np.int64),
+                "min_value": mn,
+                "max_value": mx,
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .map_groups(local, batch_format="pandas")
+    )
+
+
+def ohlc_downsample(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    value: str = "value",
+    bucket_us: int = 3_600_000_000,
+) -> rd.Dataset:
+    """Downsample an event stream to one row per ``(key, time bucket)``
+    with open / high / low / close of ``value`` plus the event count —
+    the classic telemetry/finance reduction that shrinks a raw stream by
+    the bucket factor before it ever hits wide storage. Open/close are
+    the values at the bucket's first/last event ordered by ``(ts,
+    order_id)`` (the id tiebreak makes both deterministic, so the row
+    hash-matches SQL's ``first(value ORDER BY ts, id)``).
+
+    Fully pre-aggregated BEFORE the shuffle: each batch collapses to ONE
+    partial row per (key, bucket) it touches — sort the batch by (key,
+    bucket, ts, id), take run boundaries, slice endpoints and segmented
+    min/max — so shuffle volume is bounded by (touched groups ×
+    batches), never the event count, and the final per-group merge sees
+    at most one row per batch. No group ever holds raw events.
+    """
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        b = pc.divide(epoch, bucket_us).cast(pa.int64())
+        t = pa.table(
+            {
+                key: batch[key],
+                "__b": b,
+                "__ts": epoch,
+                "__id": batch[order_id].cast(pa.int64()),
+                "__v": batch[value].cast(pa.float64()),
+            }
+        ).sort_by([(key, "ascending"), ("__b", "ascending"), ("__ts", "ascending"), ("__id", "ascending")])
+        k = np.asarray(t[key])
+        bb = t["__b"].to_numpy(zero_copy_only=False)
+        v = t["__v"].to_numpy(zero_copy_only=False)
+        tt = t["__ts"].to_numpy(zero_copy_only=False)
+        ii = t["__id"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            starts = np.array([], np.int64)
+        else:
+            change = (k[1:] != k[:-1]) | (bb[1:] != bb[:-1])
+            starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        hi = np.maximum.reduceat(v, starts) if len(starts) else np.array([], np.float64)
+        lo = np.minimum.reduceat(v, starts) if len(starts) else np.array([], np.float64)
+        return pa.table(
+            {
+                key: pa.array(k[starts].tolist(), type=t[key].type),
+                "__b": pa.array(bb[starts]),
+                "open_ts": pa.array(tt[starts]),
+                "open_id": pa.array(ii[starts]),
+                "open_v": pa.array(v[starts]),
+                "close_ts": pa.array(tt[ends - 1]),
+                "close_id": pa.array(ii[ends - 1]),
+                "close_v": pa.array(v[ends - 1]),
+                "high": pa.array(hi),
+                "low": pa.array(lo),
+                "n": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["open_id"].to_numpy(), g["open_ts"].to_numpy()))[0]
+        c = np.lexsort((g["close_id"].to_numpy(), g["close_ts"].to_numpy()))[-1]
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "bucket_us": [int(g["__b"].iloc[0]) * bucket_us],
+                "open_value": [float(g["open_v"].iloc[o])],
+                "high_value": [float(g["high"].max())],
+                "low_value": [float(g["low"].min())],
+                "close_value": [float(g["close_v"].iloc[c])],
+                "n_events": [int(g["n"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .map_groups(merge, batch_format="pandas")
+    )

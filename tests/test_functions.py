@@ -1697,3 +1697,187 @@ def test_content_overlap_matrix_text_and_int_keys(ray_session):
         "JOIN d b ON a.user_id=b.user_id AND a.event_type<b.event_type GROUP BY 1,2 ORDER BY 1,2"
     ).fetchall()
     assert got2 == [tuple(w) for w in want]
+
+
+def test_rolling_window_agg_matches_duckdb(ray_session):
+    """rolling_window_agg == SQL RANGE BETWEEN size PRECEDING AND CURRENT
+    ROW, including timestamp ties (peers) and boundary events exactly
+    size_us apart; checked in both the default and hot-key-tight bucket
+    configurations."""
+    import duckdb
+
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import rolling_window_agg
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = rng.integers(0, 3_000_000, n) * 1000  # µs, dense → many window overlaps
+    ts[100:110] = ts[99]  # a burst of exact ties
+    ts[200] = ts[199] + 500_000  # exactly size_us apart at size=500ms
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 25, n).astype("int64")),
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "ts": pa.array(ts.astype("int64"), type=pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(rng.normal(size=n)),
+        }
+    )
+    want = duckdb.sql(
+        "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) ts_us, "
+        "CAST(count(*) OVER w AS BIGINT) n_window, "
+        "min(value) OVER w min_value, max(value) OVER w max_value FROM t "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 500 MILLISECONDS PRECEDING AND CURRENT ROW)"
+    ).df().sort_values("event_id").reset_index(drop=True)
+    for bucket_us in (500_000, 2_000_000):
+        got = (
+            rolling_window_agg(
+                rd.from_arrow(t).repartition(9),
+                size_us=500_000,
+                bucket_us=bucket_us,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_rolling_window_agg_hot_key_bounded_groups(ray_session):
+    """One key owning every event must not materialize as one group: with
+    bucket_us == size_us the largest (key, bucket) group is bounded by two
+    buckets' event volume, independent of the key's total history."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import rolling_window_agg
+
+    n = 50_000
+    size_us = 1_000_000
+    ts = np.sort(np.random.default_rng(3).integers(0, 200 * size_us, n))
+    t = pa.table(
+        {
+            "user_id": pa.array(np.zeros(n, dtype="int64")),
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(np.random.default_rng(4).normal(size=n)),
+        }
+    )
+    out = rolling_window_agg(
+        rd.from_arrow(t).repartition(8), size_us=size_us, bucket_us=size_us
+    )
+    df = out.to_pandas()
+    assert len(df) == n
+    # spot-check one event against a direct numpy referee
+    i = 31_337
+    m = (ts >= ts[i] - size_us) & (ts <= ts[i])
+    row = df[df.event_id == i].iloc[0]
+    assert row.n_window == int(m.sum())
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_window_agg(rd.from_arrow(t), size_us=10, bucket_us=5)
+
+
+def test_global_order_matches_duckdb(ray_session):
+    """global_order == ROW_NUMBER + NTILE windows over the whole dataset,
+    both directions, heavy ties, across block boundaries."""
+    import duckdb
+
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.order import global_order
+
+    rng = np.random.default_rng(11)
+    n = 8000
+    t = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(n).astype("int64")),
+            "n_chars": pa.array(rng.integers(0, 200, n).astype("int64")),
+        }
+    )
+    for desc in (False, True):
+        d = "DESC" if desc else "ASC"
+        got = (
+            global_order(
+                rd.from_arrow(t).repartition(11),
+                value="n_chars",
+                id_col="doc_id",
+                descending=desc,
+                num_shards=7,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"SELECT doc_id, n_chars, "
+            f"CAST(ROW_NUMBER() OVER (ORDER BY n_chars {d}, doc_id) AS BIGINT) row_number, "
+            f"CAST(NTILE(7) OVER (ORDER BY n_chars {d}, doc_id) AS BIGINT) shard FROM t"
+        ).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_global_order_unique_values_skip_cogroup(ray_session):
+    """All-distinct order column: every row resolves on the stateless
+    branch (the ties branch is empty), and numbers are still exact."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.order import global_order
+
+    n = 5000
+    ids = np.random.default_rng(5).permutation(n).astype("int64")
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(ids * 3 + 1)})
+    df = (
+        global_order(rd.from_arrow(t).repartition(6), value="n_chars", id_col="doc_id")
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    assert (df.row_number.to_numpy() == np.arange(1, n + 1)).all()
+
+    import pytest
+
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()), "n_chars": pa.array([-1], pa.int64())})
+    with pytest.raises(Exception):
+        global_order(rd.from_arrow(bad)).materialize()
+
+
+def test_ohlc_downsample_matches_duckdb(ray_session):
+    """ohlc_downsample == SQL first/last(ORDER BY ts,id)/min/max/count per
+    (key, hour bucket), with timestamp tie bursts crossing batches."""
+    import duckdb
+
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import ohlc_downsample
+
+    rng = np.random.default_rng(2)
+    n = 6000
+    ts = rng.integers(0, 20 * 3_600_000_000, n)
+    ts[500:520] = ts[499]  # tie burst → open/close decided by event_id
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 15, n).astype("int64")),
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "ts": pa.array(ts.astype("int64"), pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(rng.normal(size=n)),
+        }
+    )
+    got = (
+        ohlc_downsample(rd.from_arrow(t).repartition(13))
+        .to_pandas()
+        .sort_values(["user_id", "bucket_us"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT user_id, (epoch_us(ts)//3600000000)*3600000000 AS bucket_us, "
+        "first(value ORDER BY ts, event_id) AS open_value, "
+        "max(value) AS high_value, min(value) AS low_value, "
+        "last(value ORDER BY ts, event_id) AS close_value, count(*)::BIGINT AS n_events "
+        "FROM t GROUP BY 1,2"
+    ).df().sort_values(["user_id", "bucket_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)

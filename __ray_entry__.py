@@ -1623,6 +1623,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard(_docs(sf_dir), pairs, shingle_k=5)
 
 
+def q_fuzzy_dup_pairs(sf_dir: str):
+    """EXACT edit-distance near-dup pairs (k=10) over documents:
+    length-bucket blocking (lossless — |len(a)-len(b)| ≤ dist) with an
+    own+carry shuffle, banded row-DP Levenshtein verify inside each
+    bucket. Every qualifying pair exactly once, with its distance."""
+    from parquetjs_ray.functions.dedup import fuzzy_dup_pairs
+
+    return fuzzy_dup_pairs(_docs(sf_dir), k=10).sort(["id_a", "id_b"])
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (exact char-8-gram overlap vs an eval
     set = the 20 lowest doc_ids): per-doc distinct-shingle count,
@@ -2083,6 +2093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "decontaminate_docs": q_decontaminate_docs,
         "redact_docs": q_redact_docs,
         "events_asof_order": q_events_asof_order,
@@ -2685,6 +2696,17 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "fuzzy_dup_pairs": (
+            # all pairs within edit distance 10; DuckDB levenshtein is
+            # byte-based, matching the operator's utf-8-byte DP. The
+            # length prefilter is staged (materialized CTEs) so DuckDB
+            # only scores length-compatible pairs.
+            "WITH d AS (SELECT doc_id, text FROM documents), "
+            "cand AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb "
+            " FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(strlen(a.text) - strlen(b.text)) <= 10), "
+            "scored AS MATERIALIZED (SELECT id_a, id_b, levenshtein(ta, tb) AS dist FROM cand) "
+            "SELECT id_a, id_b, dist FROM scored WHERE dist <= 10 ORDER BY id_a, id_b"
         ),
         "ngram_jaccard_pairs": (
             # consecutive pairs of the 40 lowest doc_ids; exact char

@@ -754,3 +754,131 @@ def test_bm25_topk_rejects_bad_args(ray_session):
         bm25_topk(rd.from_arrow(t), [], 5)
     with pytest.raises(ValueError):
         bm25_topk(rd.from_arrow(t), ["a"], 0)
+
+
+# ————— fuzzy_dup_pairs: exact edit-distance near-dup mining —————
+
+
+def _brute_lev(a: str, b: str) -> int:
+    """Plain O(nm) Levenshtein on utf-8 bytes (referee)."""
+    x, y = a.encode("utf-8"), b.encode("utf-8")
+    prev = list(range(len(y) + 1))
+    for i, ca in enumerate(x, 1):
+        cur = [i]
+        for j, cb in enumerate(y, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(y)]
+
+
+def test_lev_banded_matches_brute_force():
+    from parquetjs_ray.functions.dedup import _lev_banded
+
+    rng = np.random.default_rng(7)
+    alpha = "abcd"
+    for _ in range(200):
+        n, m = rng.integers(0, 14, 2)
+        a = "".join(alpha[i] for i in rng.integers(0, 4, n))
+        b = "".join(alpha[i] for i in rng.integers(0, 4, m))
+        for k in (0, 1, 3, 8):
+            got = _lev_banded(
+                np.frombuffer(a.encode(), np.uint8),
+                np.frombuffer(b.encode(), np.uint8),
+                k,
+            )
+            true = _brute_lev(a, b)
+            if true <= k:
+                assert got == true, (a, b, k)
+            else:
+                assert got > k, (a, b, k)
+
+
+def test_lev_banded_byte_semantics_unicode():
+    from parquetjs_ray.functions.dedup import _lev_banded
+
+    # DuckDB levenshtein('héllo','hello') == 2 (bytes), not 1
+    a = np.frombuffer("héllo".encode(), np.uint8)
+    b = np.frombuffer("hello".encode(), np.uint8)
+    assert _lev_banded(a, b, 10) == 2
+
+
+def test_fuzzy_dup_pairs_exactly_once_across_buckets(ray_session):
+    """Pairs must surface exactly once even when the two docs live in
+    different (adjacent) length buckets, and never when buckets are
+    non-adjacent but distance would qualify (impossible by the length
+    bound) — brute-force referee over a planted corpus."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import fuzzy_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    texts, ids = [], []
+    for i in range(80):
+        # perturb: delete a random slice of 0..6 chars at a random spot
+        cut = int(rng.integers(0, 7))
+        at = int(rng.integers(0, len(base) - cut))
+        texts.append(base[:at] + base[at + cut :] + "x" * int(rng.integers(0, 3)))
+        ids.append(i)
+    # plus some far-away docs that must never pair with anything
+    for i in range(80, 100):
+        texts.append("z" * int(rng.integers(200, 400)))
+        ids.append(i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+    k = 4
+    got = (
+        fuzzy_dup_pairs(rd.from_arrow(t), k=k, bucket_width=k)
+        .sort(["id_a", "id_b"])
+        .to_pandas()
+    )
+    want = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = _brute_lev(texts[i], texts[j])
+            if d <= k:
+                want.append((ids[i], ids[j], d))
+    want.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    # the planted z-docs all differ in length by >k from everything real
+    assert got["dist"].max() <= k
+    # exactly-once: no duplicated (id_a, id_b)
+    assert not got.duplicated(["id_a", "id_b"]).any()
+
+
+def test_fuzzy_dup_pairs_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import fuzzy_dup_pairs
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(words[w] for w in rng.integers(0, 6, int(rng.integers(4, 30))))
+        for _ in range(300)
+    ]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()), "text": texts})
+    got = fuzzy_dup_pairs(rd.from_arrow(t), k=6).sort(["id_a", "id_b"]).to_pandas()
+    con = duckdb.connect()
+    con.register("d", t)
+    want = con.sql(
+        "WITH cand AS MATERIALIZED (SELECT a.doc_id id_a, b.doc_id id_b, a.text ta, b.text tb "
+        " FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(strlen(a.text)-strlen(b.text)) <= 6), "
+        "s AS MATERIALIZED (SELECT id_a, id_b, levenshtein(ta, tb) dist FROM s0) "
+        "SELECT id_a, id_b, dist FROM s WHERE dist <= 6 ORDER BY id_a, id_b".replace("s0", "cand")
+    ).df()
+    assert len(want) > 0  # the corpus genuinely contains near-dups
+    assert got.astype("int64").values.tolist() == want.astype("int64").values.tolist()
+
+
+def test_fuzzy_dup_pairs_rejects_bad_args(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import fuzzy_dup_pairs
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a"]})
+    with pytest.raises(ValueError):
+        fuzzy_dup_pairs(rd.from_arrow(t), k=-1)
+    with pytest.raises(ValueError):
+        fuzzy_dup_pairs(rd.from_arrow(t), k=5, bucket_width=3)

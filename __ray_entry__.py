@@ -2100,8 +2100,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_count": q_events_range_count,
         "orders_by_nation": q_orders_by_nation,
         "parts_by_type": q_parts_by_type,
-        "source_quantiles": q_source_quantiles,
-        "top_words": q_top_words,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "corpus_clean_encode": q_corpus_clean_encode,
@@ -2124,6 +2122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argextreme_docs": q_argextreme_docs,
         "funnel_events_48h": q_funnel_events_48h,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "rolling_window_events": q_rolling_window_events,
+        "ohlc_events_hourly": q_ohlc_events_hourly,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -2131,6 +2131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "events_time_range_scan": q_events_time_range_scan,
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
+        "source_quantiles": q_source_quantiles,
+        "top_words": q_top_words,
         "events_reclustered_scan": q_events_reclustered_scan,
         "decode_projection": q_decode_projection,
         "decode_source_prune": q_decode_source_prune,
@@ -2147,8 +2149,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": q_events_tumbling_hourly,
         "session_windows_events": q_session_windows_events,
         "lag_deltas_events": q_lag_deltas_events,
-        "rolling_window_events": q_rolling_window_events,
-        "ohlc_events_hourly": q_ohlc_events_hourly,
         "sliding_counts_events": q_sliding_counts_events,
         "per_source_doc_stats": q_per_source_doc_stats,
         "lang_distribution": q_lang_distribution,

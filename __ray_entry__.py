@@ -1633,6 +1633,49 @@ def q_fuzzy_dup_pairs(sf_dir: str):
     return fuzzy_dup_pairs(_docs(sf_dir), k=10).sort(["id_a", "id_b"])
 
 
+def _event_halves(sf_dir: str):
+    """(user_id, event_type) projections of the even / odd event_id
+    halves — the two-dataset input shape for the set operators."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "event_id"],
+    )
+
+    def half(par: int):
+        def fn(t):
+            keep = pc.equal(pc.bit_wise_and(t["event_id"], 1), par)
+            return t.filter(keep).select(["user_id", "event_type"])
+
+        return fn
+
+    return (
+        ev.map_batches(half(0), batch_format="pyarrow"),
+        ev.map_batches(half(1), batch_format="pyarrow"),
+    )
+
+
+def q_events_halves_intersect(sf_dir: str):
+    """SQL INTERSECT (distinct set semantics) as a distributed operator:
+    one row-hash shuffle, exact group-by resolution inside each
+    fingerprint group (collision-proof)."""
+    from parquetjs_ray.functions.setops import dataset_setop
+
+    a, b = _event_halves(sf_dir)
+    return dataset_setop(a, b, op="intersect").sort(["user_id", "event_type"])
+
+
+def q_events_halves_except_all(sf_dir: str):
+    """SQL EXCEPT ALL (bag semantics: clamped count difference) through
+    the same single-shuffle plan."""
+    from parquetjs_ray.functions.setops import dataset_setop
+
+    a, b = _event_halves(sf_dir)
+    return dataset_setop(a, b, op="except_all").sort(["user_id", "event_type"])
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (exact char-8-gram overlap vs an eval
     set = the 20 lowest doc_ids): per-doc distinct-shingle count,
@@ -2098,8 +2141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": q_redact_docs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
-        "orders_by_nation": q_orders_by_nation,
-        "parts_by_type": q_parts_by_type,
+        "events_halves_intersect": q_events_halves_intersect,
+        "events_halves_except_all": q_events_halves_except_all,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "corpus_clean_encode": q_corpus_clean_encode,
@@ -2133,6 +2176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
+        "orders_by_nation": q_orders_by_nation,
+        "parts_by_type": q_parts_by_type,
         "events_reclustered_scan": q_events_reclustered_scan,
         "decode_projection": q_decode_projection,
         "decode_source_prune": q_decode_source_prune,
@@ -2696,6 +2741,18 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "events_halves_intersect": (
+            "SELECT user_id, event_type FROM events WHERE event_id % 2 = 0 "
+            "INTERSECT "
+            "SELECT user_id, event_type FROM events WHERE event_id % 2 = 1 "
+            "ORDER BY user_id, event_type"
+        ),
+        "events_halves_except_all": (
+            "SELECT user_id, event_type FROM events WHERE event_id % 2 = 0 "
+            "EXCEPT ALL "
+            "SELECT user_id, event_type FROM events WHERE event_id % 2 = 1 "
+            "ORDER BY user_id, event_type"
         ),
         "fuzzy_dup_pairs": (
             # all pairs within edit distance 10; DuckDB levenshtein is

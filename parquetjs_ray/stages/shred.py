@@ -154,7 +154,8 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
         type_name = "DOUBLE" if t.bit_width == 64 else "FLOAT"
         vals = arr.to_numpy(zero_copy_only=False)
         raw = plain.encode_numeric(vals, type_name)
-        # per-chunk float codec selection: PLAIN vs zstd(raw) vs
+        # per-chunk float codec selection: ALP (decimal scale-to-int,
+        # BIT-EXACT, see codecs/alp.py) vs PLAIN vs zstd(raw) vs
         # byte-stream-split+zstd (the Parquet BYTE_STREAM_SPLIT idea:
         # group the i-th byte of every value into one stream — exponent/
         # sign bytes of similar-magnitude floats become repetitive, and
@@ -167,7 +168,45 @@ def encode_any(arr: pa.Array, state: EncoderState, cb: _ChunkBuilder) -> dict:
             candidates["bss_zstd"] = pa.Codec("zstd").compress(split, asbytes=True)
             candidates["num_zstd"] = pa.Codec("zstd").compress(raw, asbytes=True)
         best = min(candidates, key=lambda k: len(candidates[k])) if candidates else None
-        if best is not None and len(candidates[best]) < 0.9 * len(raw):
+        best_len = len(candidates[best]) if best is not None else len(raw)
+        alp_pick = None
+        if len(vals) >= 64:
+            from ..codecs import alp as alp_mod
+            from .encoder import estimate_int_stream
+
+            hit = alp_mod.probe(vals)
+            if hit is not None:
+                e, ok = hit
+                with np.errstate(invalid="ignore", over="ignore"):
+                    scaled = np.round(vals.astype(np.float64, copy=False) * 10.0**e)
+                # exception slots hold the valid minimum so they never
+                # widen the FOR range of the scaled stream
+                filler = float(scaled[ok].min()) if ok.any() else 0.0
+                s = np.where(ok, scaled, filler).astype(np.int64)
+                n_exc = int((~ok).sum())
+                est = estimate_int_stream(s) + n_exc * (itemsize + 4) + 24
+                if est < 0.95 * min(best_len, len(raw)):
+                    alp_pick = (e, ok, s, n_exc, est)
+        if alp_pick is not None:
+            e, ok, s, n_exc, est = alp_pick
+            codec_s, segs_s, params_s = encode_int_stream(s, cb, vpack_margin=state.vpack_margin)
+            streams = {"scaled": {"codec": codec_s, "segments": segs_s, "params": params_s}}
+            segments: dict = {}
+            if n_exc:
+                pos = np.flatnonzero(~ok).astype(np.int64)
+                codec_p, segs_p, params_p = encode_int_stream(pos, cb, vpack_margin=state.vpack_margin)
+                streams["exc_pos"] = {"codec": codec_p, "segments": segs_p, "params": params_p}
+                segments["exc_raw"] = cb.add_segment(vals[~ok].tobytes())
+            meta.update(
+                codec="alp",
+                num_type=type_name,
+                exp=e,
+                n_exceptions=n_exc,
+                est={"alp": est, "zstd_best": best_len, "plain": len(raw)},
+                streams=streams,
+                segments=segments,
+            )
+        elif best is not None and len(candidates[best]) < 0.9 * len(raw):
             meta.update(
                 codec=best,
                 num_type=type_name,
@@ -252,6 +291,18 @@ def decode_any(chunk: memoryview, meta: dict, state: EncoderState) -> pa.Array:
         dense = pa.Array.from_buffers(
             pa.month_day_nano_interval(), m, [None, pa.py_buffer(rec.tobytes())]
         )
+    elif codec == "alp":
+        np_t = np.float64 if meta["num_type"] == "DOUBLE" else np.float32
+        s = _decode_int_stream(chunk, meta["streams"]["scaled"], np.int64)
+        # exact inverse of the encode arithmetic: int64 → float64
+        # divide by the (exactly representable) power of 10 → column
+        # dtype; losslessness was verified per value at encode time
+        vals = (s / 10.0 ** int(meta["exp"])).astype(np_t)
+        if int(meta.get("n_exceptions", 0)):
+            pos = _decode_int_stream(chunk, meta["streams"]["exc_pos"], np.int64)
+            exc = np.frombuffer(bytes(_segment(chunk, meta["segments"]["exc_raw"])), dtype=np_t)
+            vals[pos] = exc
+        dense = pa.array(vals[:m], type=t)
     elif codec == "plain_num":
         vals = plain.decode_numeric(bytes(_segment(chunk, meta["segments"]["data"])), meta["num_type"])
         dense = pa.array(vals[:m], type=t)

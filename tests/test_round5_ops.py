@@ -882,3 +882,74 @@ def test_fuzzy_dup_pairs_rejects_bad_args(ray_session):
         fuzzy_dup_pairs(rd.from_arrow(t), k=-1)
     with pytest.raises(ValueError):
         fuzzy_dup_pairs(rd.from_arrow(t), k=5, bucket_width=3)
+
+
+# ————— dataset_setop: INTERSECT / EXCEPT, set + bag semantics —————
+
+
+def test_dataset_setop_all_four_ops_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.setops import dataset_setop
+
+    rng = np.random.default_rng(9)
+    def mk(n, seed_shift):
+        return pa.table(
+            {
+                "k": pa.array(rng.integers(0, 40, n).astype("int64")),
+                "s": pa.array([f"v{int(x)}" for x in rng.integers(0, 6, n)]),
+                "f": pa.array(np.round(rng.integers(0, 50, n) / 4.0, 2)),
+            }
+        )
+
+    ta, tb = mk(3000, 0), mk(2500, 1)
+    con = duckdb.connect()
+    con.register("ta", ta)
+    con.register("tb", tb)
+    da, db = rd.from_arrow(ta), rd.from_arrow(tb)
+    for op, sql in [
+        ("intersect", "INTERSECT"),
+        ("intersect_all", "INTERSECT ALL"),
+        ("except", "EXCEPT"),
+        ("except_all", "EXCEPT ALL"),
+    ]:
+        got = dataset_setop(da, db, op=op).sort(["k", "s", "f"]).to_pandas()
+        want = con.sql(
+            f"SELECT k, s, f FROM ta {sql} SELECT k, s, f FROM tb ORDER BY k, s, f"
+        ).df()
+        assert len(want) > 0, (op, "test data must exercise a nonempty result")
+        assert got.reset_index(drop=True).values.tolist() == want.values.tolist(), op
+
+
+def test_dataset_setop_nulls_and_collisions(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.setops import dataset_setop
+
+    # nulls are equal to nulls (SQL set-op semantics: INTERSECT treats
+    # NULLs as not distinct), and exact within-group compare means even
+    # adversarial same-hash rows cannot merge
+    ta = pa.table({"k": pa.array([1, None, 2, None], pa.int64()), "s": ["a", "b", "c", "b"]})
+    tb = pa.table({"k": pa.array([None, 2], pa.int64()), "s": ["b", "c"]})
+    got = (
+        dataset_setop(rd.from_arrow(ta), rd.from_arrow(tb), op="intersect")
+        .to_pandas()
+        .sort_values(["s"])
+    )
+    assert got["s"].tolist() == ["b", "c"]
+    exc = dataset_setop(rd.from_arrow(ta), rd.from_arrow(tb), op="except").to_pandas()
+    assert exc["s"].tolist() == ["a"]
+
+
+def test_dataset_setop_rejects_bad_args(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.setops import dataset_setop
+
+    t = pa.table({"a": [1]})
+    t2 = pa.table({"b": [1]})
+    with pytest.raises(ValueError):
+        dataset_setop(rd.from_arrow(t), rd.from_arrow(t2), op="intersect")
+    with pytest.raises(ValueError):
+        dataset_setop(rd.from_arrow(t), rd.from_arrow(t), op="union_weird")

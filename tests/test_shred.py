@@ -184,8 +184,9 @@ def test_fsst_policy_blocks_long_strings():
 
 
 def test_byte_stream_split_floats():
-    # low-precision floats (quantized metrics): byte-stream-split + zstd
-    # must win and round-trip bit-exactly (incl. float32)
+    # low-precision floats (quantized metrics, only 1000 distinct):
+    # zstd's entropy coding beats ALP's 17-bit packing estimate here, so
+    # byte-stream-split + zstd must still win and round-trip bit-exactly
     rng = np.random.default_rng(0)
     vals = (rng.integers(0, 1000, 20000) / 8.0).astype(np.float32)
     tbl = pa.table({"f": pa.array(vals, pa.float32())})
@@ -196,6 +197,13 @@ def test_byte_stream_split_floats():
     assert man["enc_bytes"] < 0.6 * man["raw_bytes"]
     back = decode_chunk(chunk, man, state)
     assert back["f"].to_pylist() == tbl["f"].to_pylist()
+    # repeated irrational values: ALP rejects (no decimal exponent),
+    # zstd on the raw/split streams wins on the repeats
+    v2 = np.tile(rng.random(50) * 1e3, 400)
+    t3 = pa.table({"g": pa.array(v2, pa.float64())})
+    c3, m3 = encode_table(t3, state)
+    assert m3["columns"]["g"]["codec"] in ("bss_zstd", "num_zstd"), m3["columns"]["g"]["codec"]
+    assert decode_chunk(c3, m3, state)["g"].to_pylist() == t3["g"].to_pylist()
     # doubles too, and special values survive bit-exactly
     special = [0.0, -0.0, float("inf"), float("-inf"), 1e-300, -1e300] * 100
     t2 = pa.table({"d": pa.array(special, pa.float64())})
@@ -248,3 +256,83 @@ def test_interval_month_day_nano_roundtrip():
     assert meta["codec"] in ("interval_mdn",) or meta.get("validity")
     back = decode_any(memoryview(cb.chunk()), meta, state)
     assert back.to_pylist() == arr.to_pylist()
+
+
+# ————— ALP decimal-float codec —————
+
+
+def _enc_one(col: pa.Array, name="v"):
+    state = EncoderState(EncodePlan())
+    tbl = pa.table({name: col})
+    chunk, man = encode_table(tbl, state)
+    back = decode_chunk(chunk, man, state)
+    return man["columns"][name], back[name].combine_chunks(), man
+
+
+def test_alp_two_decimal_doubles_bit_exact():
+    rng = np.random.default_rng(1)
+    vals = np.round(rng.random(50_000) * 600.0, 2)
+    col = pa.array(vals, pa.float64())
+    meta, back, man = _enc_one(col)
+    assert meta["codec"] == "alp" and meta["exp"] == 2 and meta["n_exceptions"] == 0
+    # bit-exact, not just ==: catches any -0.0 / rounding drift
+    assert np.array_equal(back.to_numpy().view(np.int64), vals.view(np.int64))
+    # and it genuinely compresses: 2-decimal data under 600 spans ~16
+    # bits scaled, so ≤ ~2.2 bytes/value incl. headers vs 8 raw
+    assert man["enc_bytes"] < 0.3 * man["raw_bytes"]
+
+
+def test_alp_exceptions_scatter_back():
+    rng = np.random.default_rng(2)
+    vals = np.round(rng.random(5_000) * 100.0, 2)
+    # plant non-decimal exceptions: NaN, ±inf, -0.0, high-precision reals
+    vals[7] = np.nan
+    vals[100] = np.inf
+    vals[101] = -np.inf
+    vals[102] = -0.0
+    vals[200:210] = rng.random(10) * np.pi
+    vals[4999] = 1e300
+    col = pa.array(vals, pa.float64())
+    meta, back, _ = _enc_one(col)
+    assert meta["codec"] == "alp" and meta["n_exceptions"] >= 14
+    got = back.to_numpy(zero_copy_only=False)
+    assert np.array_equal(got.view(np.int64), vals.view(np.int64))  # NaN/-0.0 bit-exact
+
+
+def test_alp_float32_and_rejection():
+    rng = np.random.default_rng(3)
+    # float32 cents
+    v32 = (np.round(rng.random(10_000) * 90.0, 2)).astype(np.float32)
+    meta, back, _ = _enc_one(pa.array(v32, pa.float32()))
+    assert meta["codec"] == "alp"
+    assert np.array_equal(back.to_numpy().view(np.int32), v32.view(np.int32))
+    # full-entropy doubles: no decimal exponent fits — ALP must NOT be
+    # chosen, and the column still round-trips through the zstd/plain path
+    vr = rng.random(10_000)
+    meta2, back2, _ = _enc_one(pa.array(vr, pa.float64()))
+    assert meta2["codec"] != "alp"
+    assert np.array_equal(back2.to_numpy().view(np.int64), vr.view(np.int64))
+
+
+def test_alp_nullable_float_column():
+    rng = np.random.default_rng(4)
+    vals = np.round(rng.random(3_000) * 50.0, 2)
+    mask = rng.random(3_000) < 0.1
+    col = pa.array([None if m else float(x) for m, x in zip(mask, vals)], pa.float64())
+    meta, back, _ = _enc_one(col)
+    assert meta["codec"] == "alp"
+    assert back.null_count == int(mask.sum())
+    assert back.to_pylist() == col.to_pylist()
+
+
+def test_alp_probe_sample_cannot_lie_into_loss():
+    # skewed tail: first 95% are 2-decimal, last 5% are full-entropy —
+    # whatever the probe picks, decode must be bit-exact (exceptions
+    # absorb the tail)
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([np.round(rng.random(19_000) * 10.0, 2), rng.random(1_000)])
+    meta, back, _ = _enc_one(pa.array(vals, pa.float64()))
+    got = back.to_numpy()
+    assert np.array_equal(got.view(np.int64), vals.view(np.int64))
+    if meta["codec"] == "alp":
+        assert meta["n_exceptions"] >= 900

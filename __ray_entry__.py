@@ -1676,6 +1676,51 @@ def q_events_halves_except_all(sf_dir: str):
     return dataset_setop(a, b, op="except_all").sort(["user_id", "event_type"])
 
 
+def q_collect_docs_per_source(sf_dir: str):
+    """Ordered grouped collection (SQL string_agg ... ORDER BY): per
+    (source, lang), the comma-joined sorted doc_id list — one shuffle,
+    vectorized in-group fold."""
+    from parquetjs_ray.functions.groupops import group_collect
+
+    return group_collect(
+        _docs(sf_dir), ["source", "lang"], "doc_id", order_col="doc_id"
+    ).sort(["source", "lang"])
+
+
+def q_events_view_purchase_overlap(sf_dir: str):
+    """Interval-overlap join (both sides are RANGES — the shape as-of /
+    range-count don't cover): per user, every (view, purchase) pair whose
+    30-minute activity windows intersect; intervals replicate to the
+    buckets they touch and each pair resolves exactly once at
+    max(start)'s bucket."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import interval_overlap_join
+
+    half_h = 30 * 60 * 1_000_000
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "event_id", "ts"],
+    )
+
+    def mk(et: str):
+        def fn(t):
+            t = t.filter(pc.equal(t["event_type"], et))
+            s = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table(
+                {"user_id": t["user_id"], "event_id": t["event_id"], "s": s, "e": pc.add(s, half_h)}
+            )
+
+        return fn
+
+    a = ev.map_batches(mk("view"), batch_format="pyarrow")
+    b = ev.map_batches(mk("purchase"), batch_format="pyarrow")
+    return interval_overlap_join(
+        a, b, key_col="user_id", start_col="s", end_col="e", id_col="event_id", bucket_us=half_h
+    ).sort(["user_id", "id_a", "id_b"])
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (exact char-8-gram overlap vs an eval
     set = the 20 lowest doc_ids): per-doc distinct-shingle count,
@@ -2139,8 +2184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "decontaminate_docs": q_decontaminate_docs,
         "redact_docs": q_redact_docs,
-        "events_asof_order": q_events_asof_order,
-        "events_range_count": q_events_range_count,
+        "collect_docs_per_source": q_collect_docs_per_source,
+        "events_view_purchase_overlap": q_events_view_purchase_overlap,
         "events_halves_intersect": q_events_halves_intersect,
         "events_halves_except_all": q_events_halves_except_all,
         "multimodal_features": q_multimodal_features,
@@ -2178,6 +2223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": q_top_words,
         "orders_by_nation": q_orders_by_nation,
         "parts_by_type": q_parts_by_type,
+        "events_asof_order": q_events_asof_order,
+        "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
         "decode_projection": q_decode_projection,
         "decode_source_prune": q_decode_source_prune,
@@ -2741,6 +2788,22 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "collect_docs_per_source": (
+            "SELECT source, lang, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id, CAST(doc_id AS VARCHAR)) AS doc_id_agg "
+            "FROM documents GROUP BY source, lang ORDER BY source, lang"
+        ),
+        "events_view_purchase_overlap": (
+            # 30-minute activity windows per event; inclusive overlap of
+            # (view, purchase) pairs within the same user
+            "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s, "
+            " epoch_us(ts) + 1800000000 AS e FROM events), "
+            "a AS (SELECT * FROM e WHERE event_type = 'view'), "
+            "b AS (SELECT * FROM e WHERE event_type = 'purchase') "
+            "SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b "
+            "FROM a JOIN b ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e "
+            "ORDER BY a.user_id, id_a, id_b"
         ),
         "events_halves_intersect": (
             "SELECT user_id, event_type FROM events WHERE event_id % 2 = 0 "

@@ -29,6 +29,7 @@ __all__ = [
     "unpivot_counts",
     "group_share_report",
     "group_argextreme",
+    "group_collect",
 ]
 
 
@@ -412,4 +413,51 @@ def group_argextreme(
         .map_batches(local, batch_format="pyarrow")
         .groupby(key_col)
         .map_groups(reduce_key, batch_format="pyarrow")
+    )
+
+
+def group_collect(
+    ds,
+    key_cols: str | list[str],
+    val_col: str,
+    *,
+    order_col: str,
+    sep: str = ",",
+    as_string: bool = True,
+):
+    """Ordered grouped collection: SQL ``string_agg(val, sep ORDER BY
+    order_col)`` (``as_string=True``) or ``array_agg(val ORDER BY
+    order_col)`` (``as_string=False``, a list column) — one row per key.
+
+    ``order_col`` must order rows deterministically within every group
+    (ties fall back to ``val_col`` ascending so the result is still a
+    pure function of the data, matching ``ORDER BY order_col, val``).
+
+    Plan: project to (keys, val, order), ONE groupby(key) shuffle, each
+    group sorted and folded vectorized (Arrow take + a single C-level
+    join / ListArray wrap — no per-row Python). SCALE NOTE: the output
+    row is proportional to its group's size by definition, so a hot key
+    produces a hot string — that is inherent to the SQL semantics, not
+    the plan; cap group sizes upstream (``cap_per_group``) when
+    collecting from skewed corpora."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def fold(g: pa.Table) -> pa.Table:
+        s = g.sort_by([(order_col, "ascending"), (val_col, "ascending")])
+        vals = s[val_col].combine_chunks()
+        row = {k: s[k].slice(0, 1) for k in keys}
+        if as_string:
+            sv = vals if pa.types.is_string(vals.type) else vals.cast(pa.string())
+            row[val_col + "_agg"] = pa.array([sep.join(sv.to_pylist())], pa.string())
+        else:
+            n = len(vals)
+            row[val_col + "_agg"] = pa.ListArray.from_arrays(
+                pa.array([0, n], pa.int32()), vals
+            )
+        return pa.table(row)
+
+    return (
+        ds.select_columns(list(dict.fromkeys(keys + [val_col, order_col])))
+        .groupby(keys[0] if len(keys) == 1 else keys)
+        .map_groups(fold, batch_format="pyarrow")
     )

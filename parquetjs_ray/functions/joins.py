@@ -25,7 +25,14 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-__all__ = ["asof_join", "range_join_count", "equi_join", "auto_num_buckets", "semi_join"]
+__all__ = [
+    "asof_join",
+    "range_join_count",
+    "equi_join",
+    "auto_num_buckets",
+    "semi_join",
+    "interval_overlap_join",
+]
 
 
 def _as_epoch_i64(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -587,4 +594,113 @@ def range_join_count(
 
     return ds.map_batches(project, batch_format="pyarrow").groupby("__by").map_groups(
         count, batch_format="pyarrow"
+    )
+
+
+def interval_overlap_join(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    bucket_us: int,
+    max_buckets_per_interval: int = 256,
+) -> rd.Dataset:
+    """All same-key interval pairs that OVERLAP (inclusive:
+    ``a.start ≤ b.end AND b.start ≤ a.end``) → ``(key, id_a, id_b)``.
+
+    The interval-join shape ``asof_join``/``range_join_count`` don't
+    cover: both sides are RANGES. Plan: every interval replicates to the
+    time buckets it touches (``start//W .. end//W`` — replication factor
+    = interval span / W, guarded loudly by ``max_buckets_per_interval``),
+    partition by ``(key, bucket)``, and a pair is resolved EXACTLY ONCE
+    in the bucket containing ``max(a.start, b.start)`` — that bucket is
+    inside both intervals' ranges, so both copies are present there and
+    nowhere else does the max-start rule fire. In-bucket matching is a
+    per-A-row vectorized window over B sorted by start (searchsorted on
+    ``b.start ≤ a.end``, mask on ``b.end ≥ a.start``), so group work is
+    bounded by bucket occupancy, never corpus size.
+    """
+    W = int(bucket_us)
+    if W <= 0:
+        raise ValueError("bucket_us must be positive")
+
+    def expand(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            s = np.asarray(_as_epoch_i64(t[start_col]))
+            e = np.asarray(_as_epoch_i64(t[end_col]))
+            if np.any(e < s):
+                raise ValueError("interval end < start")
+            b0 = s // W
+            spans = (e // W - b0 + 1).astype(np.int64)
+            if spans.max(initial=0) > max_buckets_per_interval:
+                raise ValueError(
+                    f"an interval touches {int(spans.max())} buckets "
+                    f"(> {max_buckets_per_interval}); raise bucket_us"
+                )
+            idx = np.repeat(np.arange(len(s)), spans)
+            # bucket id of each replica: b0 + within-interval offset
+            off = np.arange(len(idx)) - np.repeat(
+                np.concatenate(([0], np.cumsum(spans[:-1]))), spans
+            )
+            rep = pa.array(idx)
+            return pa.table(
+                {
+                    "__k": t[key_col].take(rep),
+                    "__b": pa.array(b0[idx] + off),
+                    "__s": pa.array(s[idx]),
+                    "__e": pa.array(e[idx]),
+                    "__id": t[id_col].take(rep).cast(pa.int64()),
+                    "__side": pa.array(np.full(len(idx), side, np.int8)),
+                }
+            )
+
+        return fn
+
+    def resolve(g: pa.Table) -> pa.Table:
+        gid = int(g["__b"][0].as_py())
+        side = g["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["__s"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = g["__e"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g["__id"].combine_chunks().to_numpy(zero_copy_only=False)
+        am, bm = side == 0, side == 1
+        empty = pa.table(
+            {
+                key_col: g["__k"].slice(0, 0),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+        if not am.any() or not bm.any():
+            return empty
+        sb, eb, ib = s[bm], e[bm], ids[bm]
+        order = np.argsort(sb, kind="stable")
+        sb, eb, ib = sb[order], eb[order], ib[order]
+        out_a, out_b = [], []
+        for sa, ea, ia in zip(s[am], e[am], ids[am]):
+            hi = int(np.searchsorted(sb, ea, side="right"))  # b.start ≤ a.end
+            if not hi:
+                continue
+            m = (eb[:hi] >= sa) & (np.maximum(sb[:hi], sa) // W == gid)
+            if m.any():
+                out_a.extend([ia] * int(m.sum()))
+                out_b.extend(ib[:hi][m].tolist())
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                key_col: pa.concat_arrays([g["__k"].combine_chunks().slice(0, 1)] * len(out_a)),
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    cols_a = a.map_batches(expand(0), batch_format="pyarrow")
+    cols_b = b.map_batches(expand(1), batch_format="pyarrow")
+    return (
+        cols_a.union(cols_b)
+        .groupby(["__k", "__b"])
+        .map_groups(resolve, batch_format="pyarrow")
     )

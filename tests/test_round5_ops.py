@@ -953,3 +953,117 @@ def test_dataset_setop_rejects_bad_args(ray_session):
         dataset_setop(rd.from_arrow(t), rd.from_arrow(t2), op="intersect")
     with pytest.raises(ValueError):
         dataset_setop(rd.from_arrow(t), rd.from_arrow(t), op="union_weird")
+
+
+# ————— group_collect: ordered string_agg / array_agg —————
+
+
+def test_group_collect_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_collect
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 25, n).astype("int64")),
+            "v": pa.array(rng.integers(0, 10_000, n).astype("int64")),
+            "o": pa.array(rng.permutation(n).astype("int64")),  # unique order key
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    got = group_collect(rd.from_arrow(t), "k", "v", order_col="o").sort("k").to_pandas()
+    want = con.sql(
+        "SELECT k, string_agg(CAST(v AS VARCHAR), ',' ORDER BY o) AS v_agg "
+        "FROM t GROUP BY k ORDER BY k"
+    ).df()
+    assert got.reset_index(drop=True).equals(want)
+    # array form
+    got2 = (
+        group_collect(rd.from_arrow(t), "k", "v", order_col="o", as_string=False)
+        .sort("k")
+        .to_pandas()
+    )
+    want2 = con.sql("SELECT k, array_agg(v ORDER BY o) AS v_agg FROM t GROUP BY k ORDER BY k").df()
+    assert got2["k"].tolist() == want2["k"].tolist()
+    assert all(list(a) == list(b) for a, b in zip(got2["v_agg"], want2["v_agg"]))
+
+
+def test_group_collect_tie_fallback_deterministic(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_collect
+
+    # equal order keys: result must still be a pure function of the data
+    # (ties fall back to the value itself, ascending)
+    t = pa.table({"k": [1, 1, 1], "v": ["b", "a", "c"], "o": [5, 5, 5]})
+    got = group_collect(rd.from_arrow(t), "k", "v", order_col="o").to_pandas()
+    assert got["v_agg"].tolist() == ["a,b,c"]
+
+
+# ————— interval_overlap_join —————
+
+
+def test_interval_overlap_join_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import interval_overlap_join
+
+    rng = np.random.default_rng(31)
+    def mk(n, seed):
+        s = rng.integers(0, 1_000_000, n).astype("int64")
+        return pa.table(
+            {
+                "k": pa.array(rng.integers(0, 12, n).astype("int64")),
+                "id": pa.array(np.arange(seed, seed + n).astype("int64")),
+                "s": pa.array(s),
+                "e": pa.array(s + rng.integers(0, 40_000, n)),
+            }
+        )
+
+    ta, tb = mk(800, 0), mk(700, 10_000)
+    con = duckdb.connect()
+    con.register("ta", ta)
+    con.register("tb", tb)
+    got = (
+        interval_overlap_join(
+            rd.from_arrow(ta), rd.from_arrow(tb),
+            key_col="k", start_col="s", end_col="e", id_col="id",
+            bucket_us=25_000,  # smaller than max span: forces multi-bucket replication
+        )
+        .sort(["k", "id_a", "id_b"])
+        .to_pandas()
+    )
+    want = con.sql(
+        "SELECT a.k, a.id AS id_a, b.id AS id_b FROM ta a JOIN tb b "
+        "ON a.k = b.k AND a.s <= b.e AND b.s <= a.e ORDER BY a.k, id_a, id_b"
+    ).df()
+    assert len(want) > 0
+    assert got.reset_index(drop=True).astype("int64").equals(want.astype("int64"))
+    # exactly-once even though intervals replicate across buckets
+    assert not got.duplicated(["k", "id_a", "id_b"]).any()
+
+
+def test_interval_overlap_join_guards(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import interval_overlap_join
+
+    t = pa.table({"k": [1], "id": [1], "s": [0], "e": [10_000_000]})
+    # Ray wraps worker-side errors in RayTaskError — match on the message
+    with pytest.raises(Exception, match="buckets"):
+        interval_overlap_join(
+            rd.from_arrow(t), rd.from_arrow(t),
+            key_col="k", start_col="s", end_col="e", id_col="id",
+            bucket_us=10, max_buckets_per_interval=16,
+        ).take_all()
+    bad = pa.table({"k": [1], "id": [1], "s": [10], "e": [5]})
+    with pytest.raises(Exception):
+        interval_overlap_join(
+            rd.from_arrow(bad), rd.from_arrow(bad),
+            key_col="k", start_col="s", end_col="e", id_col="id", bucket_us=100,
+        ).take_all()

@@ -1721,6 +1721,25 @@ def q_events_view_purchase_overlap(sf_dir: str):
     ).sort(["user_id", "id_a", "id_b"])
 
 
+def q_moments_lineitem(sf_dir: str):
+    """Exact second moments (covariance/correlation sufficient stats)
+    per l_returnflag over quantity × price-in-cents: per-(key,batch)
+    31-bit hi/lo split partials, Python big-int fold — the engine-side
+    HUGEINT. sum_y2 exceeds 10^17 at sf0.01 already; the decimal-string
+    columns stay exact at any corpus size."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_moments
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return group_moments(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice", x_scale=0, y_scale=2
+    ).sort("l_returnflag")
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (exact char-8-gram overlap vs an eval
     set = the 20 lowest doc_ids): per-doc distinct-shingle count,
@@ -2183,9 +2202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "decontaminate_docs": q_decontaminate_docs,
-        "redact_docs": q_redact_docs,
         "collect_docs_per_source": q_collect_docs_per_source,
         "events_view_purchase_overlap": q_events_view_purchase_overlap,
+        "moments_lineitem": q_moments_lineitem,
         "events_halves_intersect": q_events_halves_intersect,
         "events_halves_except_all": q_events_halves_except_all,
         "multimodal_features": q_multimodal_features,
@@ -2223,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": q_top_words,
         "orders_by_nation": q_orders_by_nation,
         "parts_by_type": q_parts_by_type,
+        "redact_docs": q_redact_docs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
@@ -2788,6 +2808,17 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "moments_lineitem": (
+            # HUGEINT sums cast to VARCHAR — the engine folds the same
+            # values in Python big ints, so the decimal strings match
+            "WITH t AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x, "
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem) "
+            "SELECT l_returnflag, count(*)::BIGINT AS n, "
+            "CAST(sum(x) AS VARCHAR) AS sum_x, CAST(sum(y) AS VARCHAR) AS sum_y, "
+            "CAST(sum(x*y) AS VARCHAR) AS sum_xy, CAST(sum(x*x) AS VARCHAR) AS sum_x2, "
+            "CAST(sum(y*y) AS VARCHAR) AS sum_y2 "
+            "FROM t GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "collect_docs_per_source": (
             "SELECT source, lang, "

@@ -30,6 +30,7 @@ __all__ = [
     "group_share_report",
     "group_argextreme",
     "group_collect",
+    "group_moments",
 ]
 
 
@@ -459,5 +460,80 @@ def group_collect(
     return (
         ds.select_columns(list(dict.fromkeys(keys + [val_col, order_col])))
         .groupby(keys[0] if len(keys) == 1 else keys)
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def group_moments(
+    ds,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 0,
+    y_scale: int = 0,
+):
+    """EXACT second moments per group with NO overflow at any corpus
+    size: ``(key, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2)`` — the
+    sufficient statistics for covariance / correlation / regression.
+
+    ``x_scale``/``y_scale`` lift decimal doubles to integers
+    (``round(v·10^s)``, verified EXACT per value — a non-decimal input
+    raises loudly, it is never silently rounded). Inputs must fit 31
+    bits scaled; cross/square terms then fit int64 per value, and each
+    per-(key, batch) partial splits them into 31-bit hi/lo halves whose
+    batch sums stay far from int64 range. The final per-key fold adds
+    the halves in PYTHON INTS (arbitrary precision — the engine-side
+    equivalent of SQL's 128-bit HUGEINT sums), so ``sum_xy``/``sum_x2``/
+    ``sum_y2`` (and ``sum_x``/``sum_y``, which outgrow int64 at 10^12
+    rows) are emitted as decimal STRINGS. Shuffle volume: 9 int64 per
+    (key, batch), never rows. Derive cov/corr from the exact sums:
+    ``cov_pop = (n·Σxy − Σx·Σy) / n²``.
+    """
+
+    def _to_int(col: pa.ChunkedArray, scale: int, name: str) -> np.ndarray:
+        v = col.combine_chunks().to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "iu":
+            out = v.astype(np.int64)
+        else:
+            f = 10.0**scale
+            out = np.round(v.astype(np.float64) * f).astype(np.int64)
+            if not np.array_equal(out / f, v.astype(np.float64)):
+                raise ValueError(f"{name} is not exact at scale {scale}")
+        if np.any(np.abs(out) >= 2**31):
+            raise ValueError(f"{name} exceeds 31 bits at scale {scale}")
+        return out
+
+    def _split(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        hi = v >> 31  # arithmetic shift: exact floor for negatives
+        return hi, v - (hi << 31)
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = _to_int(b[x_col], x_scale, x_col)
+        y = _to_int(b[y_col], y_scale, y_col)
+        cols = {"__n": np.ones(len(x), np.int64), "__sx": x, "__sy": y}
+        for nm, prod in (("xy", x * y), ("x2", x * x), ("y2", y * y)):
+            hi, lo = _split(prod)
+            cols[f"__{nm}_hi"], cols[f"__{nm}_lo"] = hi, lo
+        t = pa.table({key_col: b[key_col], **{k: pa.array(v) for k, v in cols.items()}})
+        return t.group_by([key_col]).aggregate([(c, "sum") for c in cols])
+
+    def fold(g: pa.Table) -> pa.Table:
+        def tot(c: str) -> int:
+            return int(sum(int(v) for v in g[c].to_pylist()))
+
+        row = {key_col: g[key_col].slice(0, 1)}
+        row["n"] = pa.array([tot("__n_sum")], pa.int64())
+        for out_name, src in (("sum_x", "__sx_sum"), ("sum_y", "__sy_sum")):
+            row[out_name] = pa.array([str(tot(src))], pa.string())
+        for nm in ("xy", "x2", "y2"):
+            exact = (tot(f"__{nm}_hi_sum") << 31) + tot(f"__{nm}_lo_sum")
+            row[f"sum_{nm}"] = pa.array([str(exact)], pa.string())
+        return pa.table(row)
+
+    return (
+        ds.select_columns([key_col, x_col, y_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(key_col)
         .map_groups(fold, batch_format="pyarrow")
     )

@@ -1067,3 +1067,67 @@ def test_interval_overlap_join_guards(ray_session):
             rd.from_arrow(bad), rd.from_arrow(bad),
             key_col="k", start_col="s", end_col="e", id_col="id", bucket_us=100,
         ).take_all()
+
+
+# ————— group_moments: exact overflow-proof second moments —————
+
+
+def test_group_moments_exact_vs_python_bigint(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_moments
+
+    rng = np.random.default_rng(41)
+    n = 30_000
+    # adversarial magnitudes: values near ±2^31 make per-value squares
+    # ~2^62 and group sums far beyond int64 — only exact big-int folding
+    # survives
+    x = rng.integers(-(2**31) + 1, 2**31, n).astype("int64")
+    y = rng.integers(-(2**31) + 1, 2**31, n).astype("int64")
+    k = rng.integers(0, 4, n).astype("int64")
+    t = pa.table({"k": k, "x": x, "y": y})
+    got = group_moments(rd.from_arrow(t), "k", "x", "y").sort("k").to_pandas()
+    for _, row in got.iterrows():
+        m = k == row["k"]
+        xs, ys = x[m].tolist(), y[m].tolist()  # python ints: exact
+        assert row["n"] == len(xs)
+        assert int(row["sum_x"]) == sum(xs)
+        assert int(row["sum_xy"]) == sum(a * b for a, b in zip(xs, ys))
+        assert int(row["sum_x2"]) == sum(a * a for a in xs)
+        assert int(row["sum_y2"]) == sum(b * b for b in ys)
+        assert int(row["sum_y2"]) > 2**63  # proves int64 would have overflowed
+
+
+def test_group_moments_decimal_scaling_and_covariance(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_moments
+
+    rng = np.random.default_rng(42)
+    n = 5_000
+    xs = np.round(rng.random(n) * 100.0, 2)  # 2-decimal doubles
+    ys = rng.integers(0, 1000, n).astype("int64")
+    k = rng.integers(0, 3, n).astype("int64")
+    t = pa.table({"k": k, "x": pa.array(xs), "y": ys})
+    got = group_moments(rd.from_arrow(t), "k", "x", "y", x_scale=2).sort("k").to_pandas()
+    for _, row in got.iterrows():
+        m = k == row["k"]
+        nn = int(row["n"])
+        sx, sy = int(row["sum_x"]), int(row["sum_y"])
+        sxy = int(row["sum_xy"])
+        cov = (nn * sxy - sx * sy) / nn**2 / 100.0  # undo the x scale
+        ref = np.cov(xs[m], ys[m], bias=True)[0, 1]
+        assert abs(cov - ref) < 1e-6 * max(1.0, abs(ref))
+
+
+def test_group_moments_rejects_inexact_and_wide(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_moments
+
+    t = pa.table({"k": [1, 1], "x": [0.1234567, 1.0], "y": [1, 2]})
+    with pytest.raises(Exception, match="not exact"):
+        group_moments(rd.from_arrow(t), "k", "x", "y", x_scale=2).take_all()
+    t2 = pa.table({"k": [1], "x": [2**40], "y": [1]})
+    with pytest.raises(Exception, match="31 bits"):
+        group_moments(rd.from_arrow(t2), "k", "x", "y").take_all()

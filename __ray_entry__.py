@@ -1900,6 +1900,21 @@ def q_parts_by_type(sf_dir: str):
     )
 
 
+def q_source_quantiles_cont(sf_dir: str):
+    """PERCENTILE_CONT / quantile_cont parity: interpolated per-source
+    quantiles off the same histogram shuffle, the float expression
+    replicated term-for-term so the doubles hash-match the SQL."""
+    from parquetjs_ray.functions.quantiles import grouped_quantiles
+
+    return grouped_quantiles(
+        _docs(sf_dir).select_columns(["source", "n_chars"]),
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+        key="source",
+        value="n_chars",
+        interpolated=True,
+    )
+
+
 def q_source_quantiles(sf_dir: str):
     """Exact per-source discrete quantiles of doc length via the
     hot-key-proof histogram operator: per-batch (source, n_chars) count
@@ -2201,7 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
-        "decontaminate_docs": q_decontaminate_docs,
+        "source_quantiles_cont": q_source_quantiles_cont,
         "collect_docs_per_source": q_collect_docs_per_source,
         "events_view_purchase_overlap": q_events_view_purchase_overlap,
         "moments_lineitem": q_moments_lineitem,
@@ -2243,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q_orders_by_nation,
         "parts_by_type": q_parts_by_type,
         "redact_docs": q_redact_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
@@ -2940,6 +2956,11 @@ def oracle_sql() -> dict[str, str]:
         "source_quantiles": (
             "SELECT source, quantile_disc(n_chars, 0.5) AS p50, "
             "quantile_disc(n_chars, 0.9) AS p90, quantile_disc(n_chars, 0.99) AS p99 "
+            "FROM documents GROUP BY source"
+        ),
+        "source_quantiles_cont": (
+            "SELECT source, quantile_cont(n_chars, 0.25) AS p25, "
+            "quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90 "
             "FROM documents GROUP BY source"
         ),
         "top_words": (

@@ -37,13 +37,18 @@ def grouped_quantiles(
     *,
     key: str = "source",
     value: str = "n_chars",
+    interpolated: bool = False,
 ) -> rd.Dataset:
     """One row per key with a column per requested quantile.
 
     ``quantiles`` maps output column name → q in (0, 1], e.g.
     ``{"p50": 0.5, "p90": 0.9}``. Values must be integers (the histogram
-    is exact); the output columns are int64.
-    """
+    is exact). Default: DISCRETE quantiles (SQL ``quantile_disc``,
+    element at 1-based position ceil(q·n); int64 columns).
+    ``interpolated=True``: SQL ``quantile_cont`` / PERCENTILE_CONT —
+    linear interpolation at zero-based rank q·(n−1), replicating the
+    standard ``(crn−rn)·v[frn] + (rn−frn)·v[crn]`` float expression
+    term-for-term so the doubles hash-match the SQL bit-for-bit."""
     from ray.data.aggregate import Sum
 
     qs = list(quantiles.items())
@@ -61,9 +66,21 @@ def grouped_quantiles(
         cum = np.cumsum(c)
         n = int(cum[-1])
         row = {key: g[key].iloc[0]}
+
+        def elem(i: int) -> int:  # zero-based element of the sorted multiset
+            return int(v[np.searchsorted(cum, i + 1)])
+
         for name, q in qs:
-            target = max(1, int(np.ceil(q * n)))
-            row[name] = int(v[np.searchsorted(cum, target)])
+            if interpolated:
+                rn = q * (n - 1)
+                frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+                if frn == crn:
+                    row[name] = float(elem(frn))
+                else:
+                    row[name] = (crn - rn) * elem(frn) + (rn - frn) * elem(crn)
+            else:
+                target = max(1, int(np.ceil(q * n)))
+                row[name] = int(v[np.searchsorted(cum, target)])
         return pd.DataFrame([row])
 
     return (

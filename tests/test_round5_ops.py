@@ -1131,3 +1131,32 @@ def test_group_moments_rejects_inexact_and_wide(ray_session):
     t2 = pa.table({"k": [1], "x": [2**40], "y": [1]})
     with pytest.raises(Exception, match="31 bits"):
         group_moments(rd.from_arrow(t2), "k", "x", "y").take_all()
+
+
+def test_grouped_quantiles_interpolated_matches_duckdb_bitexact(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import grouped_quantiles
+
+    t = _docs_table(3001, 5, 700, seed=51)  # odd/even group sizes mixed
+    got = (
+        grouped_quantiles(
+            rd.from_arrow(t).repartition(6),
+            {"p25": 0.25, "p50": 0.5, "p90": 0.9, "pphi": 0.6180339887},
+            interpolated=True,
+        )
+        .sort("source")
+        .to_pandas()
+    )
+    want = duckdb.sql(
+        "SELECT source, quantile_cont(n_chars, 0.25) AS p25, "
+        "quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90, "
+        "quantile_cont(n_chars, 0.6180339887) AS pphi "
+        "FROM t GROUP BY source ORDER BY source"
+    ).df()
+    # bit-exact doubles, not approx
+    for c in ("p25", "p50", "p90", "pphi"):
+        assert np.array_equal(
+            got[c].to_numpy().view(np.int64), want[c].to_numpy().view(np.int64)
+        ), c

@@ -1721,6 +1721,20 @@ def q_events_view_purchase_overlap(sf_dir: str):
     ).sort(["user_id", "id_a", "id_b"])
 
 
+def q_mode_event_per_user(sf_dir: str):
+    """SQL mode() per key, deterministic (ties → smallest value): two
+    combiner stages, rows never shuffle — distinct (key, value) pair
+    counts, then ≤1 row per (key, batch)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import mode_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return mode_per_group(ds, "user_id", "event_type").sort("user_id")
+
+
 def q_moments_lineitem(sf_dir: str):
     """Exact second moments (covariance/correlation sufficient stats)
     per l_returnflag over quantity × price-in-cents: per-(key,batch)
@@ -2214,12 +2228,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "source_quantiles_cont": q_source_quantiles_cont,
         "collect_docs_per_source": q_collect_docs_per_source,
         "events_view_purchase_overlap": q_events_view_purchase_overlap,
         "moments_lineitem": q_moments_lineitem,
+        "mode_event_per_user": q_mode_event_per_user,
         "events_halves_intersect": q_events_halves_intersect,
         "events_halves_except_all": q_events_halves_except_all,
         "multimodal_features": q_multimodal_features,
@@ -2259,6 +2273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_type": q_parts_by_type,
         "redact_docs": q_redact_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
@@ -2824,6 +2839,13 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "mode_event_per_user": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+            " FROM events GROUP BY user_id, event_type) "
+            "SELECT user_id, event_type AS mode_val, n AS mode_n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1 "
+            "ORDER BY user_id"
         ),
         "moments_lineitem": (
             # HUGEINT sums cast to VARCHAR — the engine folds the same

@@ -31,6 +31,7 @@ __all__ = [
     "group_argextreme",
     "group_collect",
     "group_moments",
+    "mode_per_group",
 ]
 
 
@@ -536,4 +537,50 @@ def group_moments(
         .map_batches(partials, batch_format="pyarrow")
         .groupby(key_col)
         .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def mode_per_group(ds, key_col: str, val_col: str):
+    """Most frequent value per key (SQL ``mode()``), deterministic: ties
+    break on the SMALLEST value → ``(key, mode_val, mode_n)``.
+
+    Two combiner stages, rows never shuffle: per-batch (key, value)
+    counts → one pair-keyed Sum shuffle (volume = distinct pairs per
+    batch) → per-batch per-key best (count desc, value asc; ≤ 1 row per
+    (key, batch)) → final per-key pick over that residue."""
+    from ray.data.aggregate import Sum
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col], val_col: b[val_col]})
+        return t.group_by([key_col, val_col]).aggregate([([], "count_all")])
+
+    def local_best(b: pa.Table) -> pa.Table:
+        s = b.sort_by([(key_col, "ascending"), ("mode_n", "descending"), (val_col, "ascending")])
+        k = s[key_col].combine_chunks()
+        keep = np.zeros(len(s), dtype=bool)
+        # first row of every key run is that key's local best
+        if len(s):
+            eq = pc.equal(k.slice(1), k.slice(0, len(s) - 1)).to_numpy(zero_copy_only=False)
+            keep[0] = True
+            keep[1:] = ~eq
+        return s.filter(pa.array(keep))
+
+    def final_pick(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("mode_n", "descending"), (val_col, "ascending")])
+        return pa.table(
+            {
+                key_col: s[key_col].slice(0, 1),
+                "mode_val": s[val_col].slice(0, 1),
+                "mode_n": s["mode_n"].slice(0, 1),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(pair_counts, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .aggregate(Sum("count_all", alias_name="mode_n"))
+        .map_batches(local_best, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final_pick, batch_format="pyarrow")
     )

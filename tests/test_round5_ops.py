@@ -1160,3 +1160,32 @@ def test_grouped_quantiles_interpolated_matches_duckdb_bitexact(ray_session):
         assert np.array_equal(
             got[c].to_numpy().view(np.int64), want[c].to_numpy().view(np.int64)
         ), c
+
+
+def test_mode_per_group_matches_duckdb_with_cross_batch_ties(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import mode_per_group
+
+    rng = np.random.default_rng(61)
+    n = 6000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 30, n).astype("int64")),
+            "v": pa.array(rng.choice(["a", "b", "c", "d"], n).tolist()),
+        }
+    )
+    got = (
+        mode_per_group(rd.from_arrow(t).repartition(7), "k", "v").sort("k").to_pandas()
+    )
+    want = duckdb.sql(
+        "WITH c AS (SELECT k, v, count(*) AS n FROM t GROUP BY k, v) "
+        "SELECT k, v AS mode_val, n AS mode_n FROM c "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY n DESC, v) = 1 ORDER BY k"
+    ).df()
+    assert got.reset_index(drop=True).equals(want)
+    # exact tie: smallest value must win deterministically
+    t2 = pa.table({"k": [1, 1, 1, 1], "v": ["z", "z", "a", "a"]})
+    got2 = mode_per_group(rd.from_arrow(t2).repartition(2), "k", "v").to_pandas()
+    assert got2["mode_val"].tolist() == ["a"] and got2["mode_n"].tolist() == [2]

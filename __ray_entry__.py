@@ -1721,6 +1721,22 @@ def q_events_view_purchase_overlap(sf_dir: str):
     ).sort(["user_id", "id_a", "id_b"])
 
 
+def q_mad_outliers_docs(sf_dir: str):
+    """Robust MAD outlier flags per source (all-integer arithmetic:
+    c_den·dev > c_num·MAD) — three bounded histogram exchanges, the
+    corpus never shuffles."""
+    from parquetjs_ray.functions.quantiles import mad_outliers_per_group
+
+    return mad_outliers_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        key="source",
+        value="n_chars",
+        id_col="doc_id",
+        c_num=2,
+        c_den=1,
+    ).sort("doc_id")
+
+
 def q_mode_event_per_user(sf_dir: str):
     """SQL mode() per key, deterministic (ties → smallest value): two
     combiner stages, rows never shuffle — distinct (key, value) pair
@@ -2224,7 +2240,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q_simhash_docs,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
@@ -2234,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_view_purchase_overlap": q_events_view_purchase_overlap,
         "moments_lineitem": q_moments_lineitem,
         "mode_event_per_user": q_mode_event_per_user,
+        "mad_outliers_docs": q_mad_outliers_docs,
         "events_halves_intersect": q_events_halves_intersect,
         "events_halves_except_all": q_events_halves_except_all,
         "multimodal_features": q_multimodal_features,
@@ -2274,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": q_redact_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
@@ -2839,6 +2856,16 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "mad_outliers_docs": (
+            "WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) AS med "
+            " FROM documents GROUP BY source), "
+            "dv AS (SELECT d.doc_id, d.source, d.n_chars, abs(d.n_chars - m.med) AS dev "
+            " FROM documents d JOIN m USING (source)), "
+            "s AS (SELECT source, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY source) "
+            "SELECT dv.doc_id, dv.source, dv.n_chars, dv.dev, s.mad, "
+            " (1*dv.dev > 2*s.mad) AS is_outlier "
+            "FROM dv JOIN s USING (source) ORDER BY dv.doc_id"
         ),
         "mode_event_per_user": (
             "WITH c AS (SELECT user_id, event_type, count(*) AS n "

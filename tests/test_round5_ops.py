@@ -1189,3 +1189,41 @@ def test_mode_per_group_matches_duckdb_with_cross_batch_ties(ray_session):
     t2 = pa.table({"k": [1, 1, 1, 1], "v": ["z", "z", "a", "a"]})
     got2 = mode_per_group(rd.from_arrow(t2).repartition(2), "k", "v").to_pandas()
     assert got2["mode_val"].tolist() == ["a"] and got2["mode_n"].tolist() == [2]
+
+
+def test_mad_outliers_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import mad_outliers_per_group
+
+    t = _docs_table(3000, 5, 900, seed=71)
+    got = (
+        mad_outliers_per_group(
+            rd.from_arrow(t).repartition(6), c_num=3, c_den=2
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+    want = duckdb.sql(
+        "WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) AS med FROM t GROUP BY source), "
+        "dv AS (SELECT t.doc_id, t.source, t.n_chars, abs(t.n_chars - m.med) AS dev "
+        " FROM t JOIN m USING (source)), "
+        "s AS (SELECT source, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY source) "
+        "SELECT dv.doc_id, dv.source, dv.n_chars, dv.dev, s.mad, "
+        " (2*dv.dev > 3*s.mad) AS is_outlier "
+        "FROM dv JOIN s USING (source) ORDER BY dv.doc_id"
+    ).df()
+    assert got["is_outlier"].sum() > 0  # the corpus must exercise real flags
+    assert got.reset_index(drop=True).equals(want)
+
+
+def test_mad_outliers_constant_group_flags_nothing(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import mad_outliers_per_group
+
+    # constant group: MAD = 0, dev = 0 → 0 > 0 false, nothing flagged
+    t = pa.table({"doc_id": [1, 2, 3], "source": ["s"] * 3, "n_chars": [7, 7, 7]})
+    got = mad_outliers_per_group(rd.from_arrow(t)).to_pandas()
+    assert not got["is_outlier"].any()

@@ -1721,6 +1721,19 @@ def q_events_view_purchase_overlap(sf_dir: str):
     ).sort(["user_id", "id_a", "id_b"])
 
 
+def q_props_field_extract(sf_dir: str):
+    """Vectorized JSON-int field extraction (one RE2 kernel per batch,
+    no Python rows, no JSON parse) over events.props."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.text import extract_json_int
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+    return extract_json_int(ds, col="props", field="k", id_col="event_id").sort("event_id")
+
+
 def q_mad_outliers_docs(sf_dir: str):
     """Robust MAD outlier flags per source (all-integer arithmetic:
     c_den·dev > c_num·MAD) — three bounded histogram exchanges, the
@@ -2241,7 +2254,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
-        "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "source_quantiles_cont": q_source_quantiles_cont,
@@ -2250,6 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moments_lineitem": q_moments_lineitem,
         "mode_event_per_user": q_mode_event_per_user,
         "mad_outliers_docs": q_mad_outliers_docs,
+        "props_field_extract": q_props_field_extract,
         "events_halves_intersect": q_events_halves_intersect,
         "events_halves_except_all": q_events_halves_except_all,
         "multimodal_features": q_multimodal_features,
@@ -2291,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
@@ -2856,6 +2870,13 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "props_field_extract": (
+            # NULLIF: regexp_extract returns '' on no-match; the engine
+            # emits NULL there
+            "SELECT event_id, "
+            "CAST(NULLIF(regexp_extract(props, '\"k\"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS k "
+            "FROM events ORDER BY event_id"
         ),
         "mad_outliers_docs": (
             "WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) AS med "

@@ -25,6 +25,7 @@ __all__ = [
     "chunk_windows_batch",
     "normalize_batch",
     "repetition_signals_batch",
+    "extract_json_int",
 ]
 
 _U = np.uint64
@@ -295,3 +296,36 @@ def repetition_signals_batch(batch: pa.Table, column: str = "text", id_col: str 
     )
     out = out.append_column("top_bigram_frac_x1000", pa.array(topb * 1000 // n_bigrams))
     return out
+
+
+def extract_json_int(
+    ds,
+    *,
+    col: str = "props",
+    field: str = "k",
+    id_col: str = "event_id",
+    out_col: str | None = None,
+):
+    """Vectorized extraction of a flat integer JSON field from a string
+    column → ``(id_col, out_col)`` with NULL where the field is absent.
+
+    The hot path is one RE2 kernel per batch (``pc.extract_regex`` with
+    a named group — no Python per row, no JSON parse): exactly the
+    narrow shape of event-props columns (``{"k": 69}``). Nested or
+    quoted-string payloads need a real parser and are out of scope —
+    the pattern anchors on ``"field": <digits>`` only, matching SQL
+    ``regexp_extract`` semantics so the oracle reproduces it verbatim.
+    """
+    import re as _re
+
+    import pyarrow.compute as _pc
+
+    out = out_col or field
+    pat = rf'"{_re.escape(field)}"\s*:\s*(?P<v>-?\d+)'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hit = _pc.extract_regex(batch[col], pattern=pat)
+        vals = _pc.struct_field(hit, "v").cast(pa.int64())
+        return pa.table({id_col: batch[id_col], out: vals})
+
+    return ds.select_columns([id_col, col]).map_batches(fn, batch_format="pyarrow")

@@ -1227,3 +1227,26 @@ def test_mad_outliers_constant_group_flags_nothing(ray_session):
     t = pa.table({"doc_id": [1, 2, 3], "source": ["s"] * 3, "n_chars": [7, 7, 7]})
     got = mad_outliers_per_group(rd.from_arrow(t)).to_pandas()
     assert not got["is_outlier"].any()
+
+
+def test_extract_json_int_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.text import extract_json_int
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "props": ['{"k": 69}', '{"k":-3}', '{"other": 1}', "{}", '{ "k" : 12, "z": 9}'],
+        }
+    )
+    got = extract_json_int(rd.from_arrow(t), col="props", field="k").sort("event_id").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        "SELECT event_id, CAST(NULLIF(regexp_extract(props, '\"k\"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS k "
+        "FROM t ORDER BY event_id"
+    ).df()
+    assert got.reset_index(drop=True).equals(want)
+    assert got["k"].isna().tolist() == [False, False, True, True, False]

@@ -1721,6 +1721,22 @@ def q_events_view_purchase_overlap(sf_dir: str):
     ).sort(["user_id", "id_a", "id_b"])
 
 
+def q_events_resampled_6h(sf_dir: str):
+    """Gap-filled regular-grid resample: per user and 6-hour bucket of
+    the global span, the latest value at-or-before bucket end, forward
+    filled (NULL before first observation). ≤1 row per (key, bucket,
+    batch) moves; per-key groups bounded by the grid length."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import resample_ffill
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    return resample_ffill(ds, bucket_us=6 * 3_600_000_000).sort(["user_id", "bucket"])
+
+
 def q_props_field_extract(sf_dir: str):
     """Vectorized JSON-int field extraction (one RE2 kernel per batch,
     no Python rows, no JSON parse) over events.props."""
@@ -2263,9 +2279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_per_user": q_mode_event_per_user,
         "mad_outliers_docs": q_mad_outliers_docs,
         "props_field_extract": q_props_field_extract,
+        "events_resampled_6h": q_events_resampled_6h,
         "events_halves_intersect": q_events_halves_intersect,
         "events_halves_except_all": q_events_halves_except_all,
-        "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "corpus_clean_encode": q_corpus_clean_encode,
         # — new this round (round 5) —
@@ -2305,6 +2321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "multimodal_features": q_multimodal_features,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
@@ -2870,6 +2887,19 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "events_resampled_6h": (
+            "WITH b AS (SELECT user_id, epoch_us(ts) // 21600000000 AS b, value, "
+            " epoch_us(ts) AS t, event_id FROM events), "
+            "lastv AS (SELECT user_id, b, value FROM b "
+            " QUALIFY row_number() OVER (PARTITION BY user_id, b ORDER BY t DESC, event_id DESC) = 1), "
+            "bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM b), "
+            "grid AS (SELECT u.user_id, g.b FROM (SELECT DISTINCT user_id FROM b) u "
+            " CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g), "
+            "j AS (SELECT grid.user_id, grid.b, lastv.value FROM grid LEFT JOIN lastv USING (user_id, b)) "
+            "SELECT user_id, b AS bucket, last_value(value IGNORE NULLS) OVER "
+            " (PARTITION BY user_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value "
+            "FROM j ORDER BY user_id, bucket"
         ),
         "props_field_extract": (
             # NULLIF: regexp_extract returns '' on no-match; the engine

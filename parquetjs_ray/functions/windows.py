@@ -29,6 +29,7 @@ __all__ = [
     "funnel_stages",
     "rolling_window_agg",
     "ohlc_downsample",
+    "resample_ffill",
 ]
 
 
@@ -676,4 +677,91 @@ def ohlc_downsample(
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby([key, "__b"])
         .map_groups(merge, batch_format="pandas")
+    )
+
+
+def resample_ffill(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    order_id: str = "event_id",
+    bucket_us: int = 3_600_000_000,
+) -> rd.Dataset:
+    """Gap-filled downsample: for every key and every time bucket of the
+    GLOBAL observed span, the key's latest ``value`` at-or-before the
+    bucket's end (forward fill; NULL before the key's first observation)
+    → ``(key, bucket, value)``, one row per (key, bucket) — the
+    regular-grid resample that turns sparse event streams into dense
+    time series for feature windows.
+
+    "Latest" is deterministic: greatest ``(ts, order_id)`` in the
+    bucket. Shuffle volume: ≤ 1 row per (key, bucket, batch) — a
+    per-batch last-in-bucket combiner collapses events before the ONE
+    key-level exchange; the per-key group is then bounded by the grid
+    length (time span / bucket), never by the key's event count. The
+    filled value is a verbatim copy of an input double (no arithmetic),
+    so results hash-match a SQL ``last_value IGNORE NULLS`` oracle
+    exactly."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    span = ds.select_columns([ts]).aggregate(
+        Min(ts, alias_name="lo"), Max(ts, alias_name="hi")
+    )
+    lo_b = int(pa.scalar(span["lo"]).cast(pa.timestamp("us")).cast(pa.int64()).as_py()) // bucket_us
+    hi_b = int(pa.scalar(span["hi"]).cast(pa.timestamp("us")).cast(pa.int64()).as_py()) // bucket_us
+    n_buckets = hi_b - lo_b + 1
+
+    def last_in_bucket(batch: pa.Table) -> pa.Table:
+        t = batch[ts].cast(pa.timestamp("us")).cast(pa.int64())
+        b = pc.divide(t, bucket_us)
+        g = pa.table(
+            {
+                key: batch[key],
+                "__b": b,
+                "__t": t,
+                "__o": batch[order_id].cast(pa.int64()),
+                value: batch[value],
+            }
+        ).sort_by(
+            [(key, "ascending"), ("__b", "ascending"), ("__t", "descending"), ("__o", "descending")]
+        )
+        kk = g[key].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = g["__b"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (kk[1:] != kk[:-1]) | (bb[1:] != bb[:-1])
+        return g.filter(pa.array(keep))
+
+    def fill(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("__b", "ascending"), ("__t", "descending"), ("__o", "descending")])
+        bb = s["__b"].combine_chunks().to_numpy(zero_copy_only=False)
+        # one batch can still emit two rows per (key, bucket); keep the
+        # greatest-(ts, order) one — the sort put it first in its run
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = bb[1:] != bb[:-1]
+        s = s.filter(pa.array(first))
+        bb = bb[first.nonzero()[0]] if len(bb) else bb
+        vals = s[value].combine_chunks()
+        grid = np.arange(lo_b, hi_b + 1, dtype=np.int64)
+        # index of the last observed bucket at-or-before each grid slot
+        pos = np.searchsorted(bb, grid, side="right") - 1
+        have = pos >= 0
+        take = pa.array(np.where(have, pos, 0))
+        filled = pc.if_else(pa.array(have), vals.take(take), pa.scalar(None, vals.type))
+        return pa.table(
+            {
+                key: pa.concat_arrays([s[key].combine_chunks().slice(0, 1)] * n_buckets),
+                "bucket": pa.array(grid),
+                value: filled,
+            }
+        )
+
+    return (
+        ds.select_columns([key, ts, value, order_id])
+        .map_batches(last_in_bucket, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(fill, batch_format="pyarrow")
     )

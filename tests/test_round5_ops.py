@@ -1250,3 +1250,71 @@ def test_extract_json_int_matches_duckdb(ray_session):
     ).df()
     assert got.reset_index(drop=True).equals(want)
     assert got["k"].isna().tolist() == [False, False, True, True, False]
+
+
+def test_resample_ffill_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import resample_ffill
+
+    rng = np.random.default_rng(81)
+    n = 600  # sparse: many keys first observed mid-span → leading NULLs
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 40, n).astype("int64")),
+            "ts": pa.array(rng.integers(0, 500_000, n).astype("int64")),
+            "value": pa.array(np.round(rng.random(n) * 100, 2)),
+            "event_id": pa.array(rng.permutation(n).astype("int64")),
+        }
+    )
+    W = 10_000
+    got = (
+        resample_ffill(rd.from_arrow(t).repartition(6), bucket_us=W)
+        .sort(["user_id", "bucket"])
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        f"WITH b AS (SELECT user_id, ts // {W} AS b, value, ts AS tt, event_id FROM t), "
+        "lastv AS (SELECT user_id, b, value FROM b "
+        " QUALIFY row_number() OVER (PARTITION BY user_id, b ORDER BY tt DESC, event_id DESC) = 1), "
+        "bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM b), "
+        "grid AS (SELECT u.user_id, g.b FROM (SELECT DISTINCT user_id FROM b) u "
+        " CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g), "
+        "j AS (SELECT grid.user_id, grid.b, lastv.value FROM grid LEFT JOIN lastv USING (user_id, b)) "
+        "SELECT user_id, b AS bucket, last_value(value IGNORE NULLS) OVER "
+        " (PARTITION BY user_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value "
+        "FROM j ORDER BY user_id, bucket"
+    ).df()
+    assert want["value"].isna().any()  # leading-null region genuinely exercised
+    assert got.reset_index(drop=True).equals(want)
+
+
+def test_resample_ffill_sparse_key_leading_nulls(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import resample_ffill
+
+    # key 2 first observed late: its grid rows before that must be NULL,
+    # and ties inside a bucket resolve to the greatest (ts, event_id)
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 1], pa.int64()),
+            "ts": pa.array([5, 25, 35, 25], pa.int64()),
+            "value": pa.array([1.0, 2.0, 9.0, 3.0]),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    got = (
+        resample_ffill(rd.from_arrow(t), bucket_us=10)
+        .sort(["user_id", "bucket"])
+        .to_pandas()
+    )
+    # global grid buckets 0..3; key 1: [1.0, 1.0, 3.0 (event_id 4 beats 2), 3.0]
+    k1 = got[got["user_id"] == 1]["value"].tolist()
+    assert k1 == [1.0, 1.0, 3.0, 3.0]
+    k2 = got[got["user_id"] == 2]["value"].tolist()
+    assert k2[:3] == [None, None, None] or (np.isnan(k2[:3]).all())
+    assert k2[3] == 9.0

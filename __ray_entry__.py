@@ -1721,6 +1721,20 @@ def q_events_view_purchase_overlap(sf_dir: str):
     ).sort(["user_id", "id_a", "id_b"])
 
 
+def q_fuzzy_dup_clusters(sf_dir: str):
+    """Operator composition: exact edit-distance pair mining →
+    distributed connected components → (doc_id, cluster_id) for every
+    doc in a ≤ k-edit mirror set — the dedup-group assignment the
+    keep-one-representative policies act on."""
+    from parquetjs_ray.functions.dedup import fuzzy_dup_pairs, label_propagate_clusters
+
+    pairs = fuzzy_dup_pairs(_docs(sf_dir), k=10).select_columns(["id_a", "id_b"])
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": t["id_a"], "b": t["id_b"]}), batch_format="pyarrow"
+    )
+    return label_propagate_clusters(edges)
+
+
 def q_events_resampled_6h(sf_dir: str):
     """Gap-filled regular-grid resample: per user and 6-hour bucket of
     the global span, the latest value at-or-before bucket end, forward
@@ -2270,7 +2284,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
-        "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "source_quantiles_cont": q_source_quantiles_cont,
         "collect_docs_per_source": q_collect_docs_per_source,
@@ -2280,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_docs": q_mad_outliers_docs,
         "props_field_extract": q_props_field_extract,
         "events_resampled_6h": q_events_resampled_6h,
+        "fuzzy_dup_clusters": q_fuzzy_dup_clusters,
         "events_halves_intersect": q_events_halves_intersect,
         "events_halves_except_all": q_events_halves_except_all,
         "audio_features": q_audio_features,
@@ -2322,6 +2336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
+        "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
@@ -2887,6 +2902,18 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, row_number() OVER "
             " (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"
+        ),
+        "fuzzy_dup_clusters": (
+            # ground truth directly: all length-compatible pairs within
+            # edit distance 10, then transitive closure (min-label)
+            "WITH RECURSIVE d AS (SELECT doc_id, text FROM documents), "
+            "cand AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib, a.text AS ta, b.text AS tb "
+            " FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(strlen(a.text) - strlen(b.text)) <= 10), "
+            "scored AS MATERIALIZED (SELECT ia, ib FROM cand WHERE levenshtein(ta, tb) <= 10), "
+            "edges AS (SELECT ia AS u, ib AS v FROM scored UNION SELECT ib, ia FROM scored), "
+            "reach AS (SELECT u, v FROM edges "
+            " UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+            "SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id"
         ),
         "events_resampled_6h": (
             "WITH b AS (SELECT user_id, epoch_us(ts) // 21600000000 AS b, value, "

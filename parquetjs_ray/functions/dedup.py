@@ -1361,6 +1361,13 @@ def fuzzy_dup_pairs(
         ln, ids = ln[order], ids[order]
         texts = g[text_col].take(pa.array(order)).to_pylist()
         cp = [np.frombuffer(t.encode("utf-8"), np.uint8) for t in texts]
+        # byte-histogram lower bound: one edit changes the histogram by
+        # L1 ≤ 2, so edit_distance ≥ L1/2 — a vectorized block kill of
+        # the length window before any DP runs
+        hist = np.zeros((len(cp), 256), dtype=np.int32)
+        for i, arr in enumerate(cp):
+            if len(arr):
+                hist[i] = np.bincount(arr, minlength=256)
         native = (ln // W) == gid
         out_a, out_b, out_d = [], [], []
         hi = 0
@@ -1370,7 +1377,10 @@ def fuzzy_dup_pairs(
             hi = max(hi, i + 1)
             while hi < len(ln) and ln[hi] - ln[i] <= k:
                 hi += 1
-            for j in range(i + 1, hi):
+            if hi <= i + 1:
+                continue
+            l1 = np.abs(hist[i + 1 : hi] - hist[i]).sum(axis=1)
+            for j in (np.flatnonzero(l1 <= 2 * k) + i + 1):
                 # exactly-once: the anchor i is native and ln[i] ≤ ln[j]
                 # (sort order). Carries here come from the NEXT bucket,
                 # so they are strictly longer than every native — a pair
@@ -1378,7 +1388,20 @@ def fuzzy_dup_pairs(
                 # a native+carry pair only in this bucket (the native's
                 # own carry went one bucket DOWN, where only carries
                 # live and nothing anchors)
-                d = _lev_banded(cp[i], cp[j], k)
+                a, b = cp[i], cp[j]
+                # strip the common prefix/suffix (edit-distance
+                # invariant): near-identical docs collapse to tiny DPs
+                p = int(np.argmin(a[: len(b)] == b[: len(a)])) if min(len(a), len(b)) else 0
+                if min(len(a), len(b)) and bool((a[: len(b)] == b[: len(a)]).all()):
+                    p = min(len(a), len(b))
+                a2, b2 = a[p:], b[p:]
+                s = 0
+                m = min(len(a2), len(b2))
+                if m:
+                    tail_eq = a2[len(a2) - m :] == b2[len(b2) - m :]
+                    rev = tail_eq[::-1]
+                    s = int(np.argmin(rev)) if not rev.all() else m
+                d = _lev_banded(a2[: len(a2) - s], b2[: len(b2) - s], k)
                 if d <= k and ids[i] != ids[j]:
                     out_a.append(min(ids[i], ids[j]))
                     out_b.append(max(ids[i], ids[j]))

@@ -262,6 +262,10 @@ def run_headline() -> dict:
                 "stratified_split_docs",  # exact-count per-group split by hash rank
                 "funnel_events",  # ordered conversion funnel (single cogroup)
                 "user_overlap_event_types",  # group-overlap matrix (bitmask matmul plan)
+                "fuzzy_dup_pairs",  # exact edit-distance mining (histogram-prefiltered DP)
+                "events_halves_intersect",  # distributed INTERSECT (row-hash shuffle)
+                "events_resampled_6h",  # gap-filled forward-fill resample
+                "moments_lineitem",  # overflow-proof exact second moments
             ):
                 # min of 2 reps: a single timing is hostage to whatever
                 # else the box is doing (round-4's driver record showed

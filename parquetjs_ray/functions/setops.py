@@ -9,11 +9,13 @@ SQL's four row-set operators over two datasets with identical schemas:
 
 Plan: tag each side, union, ONE row-hash shuffle (vectorized 64-bit
 whole-row fingerprint — strings through the polynomial fingerprint,
-numerics through bit-view mixing), then resolve each fingerprint group
-EXACTLY with an Arrow ``group_by`` over the real columns — hash
-collisions therefore cannot produce wrong answers, they only co-locate
-an extra row. Shuffle volume is the rows themselves (inherent: the
-result contains rows); project to the needed columns before calling.
+numerics through bit-view mixing) partitioned into ``num_buckets``
+hash buckets (equal rows always land in the same bucket), then resolve
+each BUCKET with one vectorized Arrow ``group_by`` over the real
+columns — exact regardless of hash collisions, and no per-distinct-row
+Python group ever exists. Shuffle volume is the rows themselves
+(inherent: the result contains rows); project to the needed columns
+before calling.
 
 The reference engine has no multi-table operators at all; this is part
 of the engine-completeness surface (SURVEY §2.4).
@@ -67,37 +69,49 @@ def _row_hashes(t: pa.Table, cols: list[str]) -> np.ndarray:
     return acc
 
 
-def dataset_setop(a: rd.Dataset, b: rd.Dataset, *, op: str = "intersect") -> rd.Dataset:
+def dataset_setop(
+    a: rd.Dataset, b: rd.Dataset, *, op: str = "intersect", num_buckets: int = 64
+) -> rd.Dataset:
     """A ``op`` B over identically-named scalar columns → result rows.
 
     ``intersect``/``except`` return DISTINCT rows (SQL set semantics);
     the ``_all`` variants return bag multiplicities (min / clamped
-    difference of per-side counts). Column order follows A's schema."""
+    difference of per-side counts). Output columns are in SORTED name
+    order (schemas are validated eagerly only when already known —
+    ``Dataset.schema()`` on an unexecuted pipeline would silently run a
+    limit-1 probe through every upstream stage; a mismatch otherwise
+    fails at the union). ``num_buckets`` bounds one resolution group's
+    size (both inputs' rows / num_buckets must fit a worker — size it
+    up at corpus scale)."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
-    cols = a.schema().names
-    if sorted(b.schema().names) != sorted(cols):
-        raise ValueError(f"schemas differ: {cols} vs {b.schema().names}")
+    sa = a.schema(fetch_if_missing=False)
+    sb = b.schema(fetch_if_missing=False)
+    if sa is not None and sb is not None and sorted(sa.names) != sorted(sb.names):
+        raise ValueError(f"schemas differ: {sa.names} vs {sb.names}")
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
+            cols = sorted(t.column_names)
             t = t.select(cols)
-            return t.append_column(
-                "__fp", pa.array(_row_hashes(t, cols).view(np.int64))
-            ).append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+            bucket = (_row_hashes(t, cols) % _U(num_buckets)).view(np.int64)
+            return t.append_column("__b", pa.array(bucket)).append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8))
+            )
 
         return fn
 
     def resolve(g: pa.Table) -> pa.Table:
+        cols = [c for c in g.column_names if c not in ("__b", "__side")]
         side = g["__side"].combine_chunks().to_numpy(zero_copy_only=False)
         g2 = (
-            g.drop_columns(["__fp", "__side"])
-            .append_column("__a", pa.array((side == 0).astype(np.int64)))
-            .append_column("__b", pa.array((side == 1).astype(np.int64)))
+            g.drop_columns(["__b", "__side"])
+            .append_column("__ca", pa.array((side == 0).astype(np.int64)))
+            .append_column("__cb", pa.array((side == 1).astype(np.int64)))
         )
-        gb = g2.group_by(cols).aggregate([("__a", "sum"), ("__b", "sum")])
-        na = gb["__a_sum"].to_numpy(zero_copy_only=False)
-        nb = gb["__b_sum"].to_numpy(zero_copy_only=False)
+        gb = g2.group_by(cols).aggregate([("__ca", "sum"), ("__cb", "sum")])
+        na = gb["__ca_sum"].to_numpy(zero_copy_only=False)
+        nb = gb["__cb_sum"].to_numpy(zero_copy_only=False)
         if op == "intersect":
             k = ((na > 0) & (nb > 0)).astype(np.int64)
         elif op == "intersect_all":
@@ -112,4 +126,4 @@ def dataset_setop(a: rd.Dataset, b: rd.Dataset, *, op: str = "intersect") -> rd.
     tagged = a.map_batches(tag(0), batch_format="pyarrow").union(
         b.map_batches(tag(1), batch_format="pyarrow")
     )
-    return tagged.groupby("__fp").map_groups(resolve, batch_format="pyarrow")
+    return tagged.groupby("__b").map_groups(resolve, batch_format="pyarrow")

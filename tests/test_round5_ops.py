@@ -914,7 +914,7 @@ def test_dataset_setop_all_four_ops_match_duckdb(ray_session):
         ("except", "EXCEPT"),
         ("except_all", "EXCEPT ALL"),
     ]:
-        got = dataset_setop(da, db, op=op).sort(["k", "s", "f"]).to_pandas()
+        got = dataset_setop(da, db, op=op).sort(["k", "s", "f"]).to_pandas()[["k", "s", "f"]]
         want = con.sql(
             f"SELECT k, s, f FROM ta {sql} SELECT k, s, f FROM tb ORDER BY k, s, f"
         ).df()

@@ -1751,6 +1751,22 @@ def q_events_resampled_6h(sf_dir: str):
     return resample_ffill(ds, bucket_us=6 * 3_600_000_000).sort(["user_id", "bucket"])
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate COUNT(DISTINCT user) per event type — the scale
+    path when the exact distinct-pair shuffle is itself too wide. One
+    4 KB register array per (key, batch) moves; deterministic
+    (hash-based, no RNG). Rows-only by design (an approximation has no
+    hash-exact SQL oracle); ±5 % vs exact pinned by pytest."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_approx_distinct
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return group_approx_distinct(ds, "event_type", "user_id").sort("event_type")
+
+
 def q_props_field_extract(sf_dir: str):
     """Vectorized JSON-int field extraction (one RE2 kernel per batch,
     no Python rows, no JSON parse) over events.props."""
@@ -2383,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_docs": q_rollup_docs,
         "distinct_users_by_type": q_distinct_users_by_type,
         "langid_docs": q_langid_docs,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "group_collect",
     "group_moments",
     "mode_per_group",
+    "group_approx_distinct",
 ]
 
 
@@ -583,4 +584,63 @@ def mode_per_group(ds, key_col: str, val_col: str):
         .map_batches(local_best, batch_format="pyarrow")
         .groupby(key_col)
         .map_groups(final_pick, batch_format="pyarrow")
+    )
+
+
+def group_approx_distinct(ds, key_col: str, val_col: str, *, p: int = 12):
+    """APPROXIMATE ``COUNT(DISTINCT val) GROUP BY key`` via per-key HLL
+    sketches — the scale path when :func:`group_count_distinct`'s exact
+    distinct-pair shuffle is itself too wide (e.g. distinct tokens per
+    source at 10^12 rows, where pairs ≈ rows).
+
+    Shuffle volume is ONE 2^p-byte register array per (key, batch) —
+    independent of cardinality — and the per-key merge is an
+    elementwise max. Standard error ≈ 1.04/√2^p (~1.6 % at the default
+    p=12). Output: ``(key, n_distinct_approx: int64)``; estimates are a
+    deterministic function of the data (hash-based, no RNG)."""
+    import base64
+
+    from ..functions.sketch import HllSketch
+    from .text import fingerprint64
+
+    def _hashes(col: pa.Array) -> np.ndarray:
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return fingerprint64(col)
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].combine_chunks()
+        karr = np.asarray(keys)
+        h = _hashes(b[val_col].combine_chunks())
+        order = np.argsort(karr, kind="stable")
+        kk, hh = karr[order], h[order]
+        starts = np.flatnonzero(np.concatenate(([True], kk[1:] != kk[:-1])))
+        ends = np.concatenate((starts[1:], [len(kk)]))
+        out_k, out_s = [], []
+        for s0, e0 in zip(starts, ends):
+            sk = HllSketch(p).add_hashes(hh[s0:e0])
+            out_k.append(kk[s0])
+            out_s.append(base64.b64encode(sk.serialize()).decode())
+        return pa.table({key_col: pa.array(out_k, keys.type), "__sk": pa.array(out_s)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        import base64 as b64
+
+        acc = None
+        for blob in g["__sk"].to_pylist():
+            sk = HllSketch.deserialize(b64.b64decode(blob))
+            acc = sk if acc is None else acc.merge(sk)
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "n_distinct_approx": pa.array([int(round(acc.estimate()))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(fold, batch_format="pyarrow")
     )

@@ -1318,3 +1318,53 @@ def test_resample_ffill_sparse_key_leading_nulls(ray_session):
     k2 = got[got["user_id"] == 2]["value"].tolist()
     assert k2[:3] == [None, None, None] or (np.isnan(k2[:3]).all())
     assert k2[3] == 9.0
+
+
+def test_group_approx_distinct_error_bound_and_merge(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_approx_distinct
+
+    rng = np.random.default_rng(91)
+    n = 60_000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 4, n).astype("int64")),
+            "v": pa.array(rng.integers(0, 15_000, n).astype("int64")),
+        }
+    )
+    got = (
+        group_approx_distinct(rd.from_arrow(t).repartition(8), "k", "v")
+        .sort("k")
+        .to_pandas()
+    )
+    want = duckdb.sql(
+        "SELECT k, count(DISTINCT v) AS n FROM t GROUP BY k ORDER BY k"
+    ).df()
+    # ±5% (3 sigma at p=12 is ~4.9%) on every group, merge-invariant
+    # across the 8-partition split
+    for g, w in zip(got["n_distinct_approx"], want["n"]):
+        assert abs(g - w) <= 0.05 * w, (g, w)
+    # determinism: same input, different partitioning → identical result
+    got2 = (
+        group_approx_distinct(rd.from_arrow(t).repartition(3), "k", "v")
+        .sort("k")
+        .to_pandas()
+    )
+    assert got["n_distinct_approx"].tolist() == got2["n_distinct_approx"].tolist()
+
+
+def test_group_approx_distinct_string_values(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_approx_distinct
+
+    t = pa.table(
+        {
+            "k": pa.array([1] * 1000, pa.int64()),
+            "v": [f"doc-{i % 137}" for i in range(1000)],
+        }
+    )
+    got = group_approx_distinct(rd.from_arrow(t), "k", "v").to_pandas()
+    assert abs(int(got["n_distinct_approx"][0]) - 137) <= 10

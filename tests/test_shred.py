@@ -336,3 +336,61 @@ def test_alp_probe_sample_cannot_lie_into_loss():
     assert np.array_equal(got.view(np.int64), vals.view(np.int64))
     if meta["codec"] == "alp":
         assert meta["n_exceptions"] >= 900
+
+
+def test_alp_survives_encode_optimize_decode_e2e(ray_session):
+    """Full-pipeline: encode a float-bearing table (ALP on the value
+    column), recluster with zorder_dataset (which re-encodes every
+    chunk), decode — doubles bit-exact end to end."""
+    import ray.data as rd
+
+    from parquetjs_ray.pipelines.encode import (
+        decode_dataset,
+        encode_dataset,
+        zorder_dataset,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "ts": pa.array(rng.integers(0, 10**9, n).astype("int64")),
+            "value": pa.array(np.round(rng.random(n) * 500.0, 2)),
+        }
+    )
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = f"{tmp}/in.parquet"
+        src = f"{tmp}/src"
+        dst = f"{tmp}/zordered"
+        pq.write_table(tbl, inp)
+        encode_dataset(inp, src, id_col="event_id", source_col=None)
+        import json
+        import os
+
+        # the float column must actually ride the ALP codec somewhere
+        import glob
+
+        codecs = set()
+        for fp in glob.glob(os.path.join(src, "part-*", "frag-*.json")):
+            fm = json.load(open(fp))
+            meta = fm.get("columns", {}).get("value")
+            if meta:
+                codecs.add(meta.get("codec"))
+        assert "alp" in codecs, codecs
+        zorder_dataset(src, dst, by=["ts"], id_col="event_id")
+        back = (
+            decode_dataset(dst)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = tbl.to_pandas()
+        assert np.array_equal(
+            back["value"].to_numpy().view(np.int64), want["value"].to_numpy().view(np.int64)
+        )
+        assert back["ts"].tolist() == want["ts"].tolist()

@@ -1751,6 +1751,36 @@ def q_events_resampled_6h(sf_dir: str):
     return resample_ffill(ds, bucket_us=6 * 3_600_000_000).sort(["user_id", "bucket"])
 
 
+def q_bpe_tokenize_docs(sf_dir: str):
+    """Tokenizer training AS a pipeline: train a 16-merge byte-level BPE
+    on the corpus (one counting pass per merge, pair-sized partials),
+    then encode every doc — (doc_id, n_tok, tok_sum) content pins.
+    Rows-only by design (BPE has no SQL form); the merge table and the
+    token streams are pinned against a sequential referee in pytest."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.tokenize import bpe_encode, bpe_train
+
+    docs = _docs(sf_dir)
+    merges = bpe_train(docs, n_merges=16)
+    enc = bpe_encode(_docs(sf_dir), merges)
+
+    def pins(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        flat = t["tokens"].combine_chunks()
+        sums = np.add.reduceat(
+            np.asarray(flat.values, dtype=np.int64),
+            np.asarray(flat.offsets)[:-1],
+        ) if len(flat.values) else np.zeros(len(t), np.int64)
+        lens = np.diff(np.asarray(flat.offsets))
+        sums = np.where(lens > 0, sums, 0)
+        return pa.table({"doc_id": t["doc_id"], "n_tok": t["n_tok"], "tok_sum": pa.array(sums)})
+
+    return enc.map_batches(pins, batch_format="pyarrow").sort("doc_id")
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT user) per event type — the scale
     path when the exact distinct-pair shuffle is itself too wide. One
@@ -2400,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": q_distinct_users_by_type,
         "langid_docs": q_langid_docs,
         "approx_distinct_users": q_approx_distinct_users,
+        "bpe_tokenize_docs": q_bpe_tokenize_docs,
     }
 
 

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-__all__ = ["build_vocab", "tokenize", "UNK_ID"]
+__all__ = ["build_vocab", "tokenize", "UNK_ID", "bpe_train", "bpe_encode"]
 
 UNK_ID = 0
 
@@ -95,3 +95,122 @@ def tokenize(
         return pa.table(out)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _apply_merges_flat(t: np.ndarray, doc: np.ndarray, merges) -> tuple[np.ndarray, np.ndarray]:
+    """Apply BPE merges in order over a flat token stream ``t`` with a
+    parallel ``doc`` id array (merges never cross document boundaries).
+    Greedy leftmost non-overlapping per merge — the standard BPE
+    application order — fully vectorized: overlap conflicts only exist
+    for a == b runs (an (a,b) match at i and i+1 needs t[i+1] to be both
+    b and a), resolved by keeping alternate matches within each run."""
+    for a, b, c in merges:
+        if len(t) < 2:
+            break
+        m = (t[:-1] == a) & (t[1:] == b) & (doc[:-1] == doc[1:])
+        idx = np.flatnonzero(m)
+        if not len(idx):
+            continue
+        if a == b:
+            new_run = np.concatenate(([True], np.diff(idx) != 1))
+            run_head = np.maximum.accumulate(np.where(new_run, np.arange(len(idx)), 0))
+            idx = idx[(np.arange(len(idx)) - run_head) % 2 == 0]
+        t = t.copy()
+        t[idx] = c
+        keep = np.ones(len(t), dtype=bool)
+        keep[idx + 1] = False
+        t, doc = t[keep], doc[keep]
+    return t, doc
+
+
+def _flat_bytes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 byte tokens of a string column as one flat int32 stream +
+    a per-token doc index (zero-copy off the Arrow buffers)."""
+    from ..arrow_util import string_buffers
+
+    data, offsets = string_buffers(col)
+    lens = np.diff(offsets)
+    doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return data.astype(np.int32), doc
+
+
+def bpe_train(ds, *, column: str = "text", n_merges: int = 32) -> list[tuple[int, int, int]]:
+    """Train a byte-level BPE merge table over the corpus — the
+    tokenizer-training job itself as a distributed pipeline.
+
+    Each merge step is ONE map_batches pass: every batch applies the
+    merges chosen so far to its own documents (vectorized,
+    :func:`_apply_merges_flat`) and emits packed (pair, count) partials
+    (vocabulary²-bounded, never corpus-sized); a pair-keyed Sum and a
+    tiny sort pick the globally most frequent pair, ties to the
+    smallest (a, b) — a total order, so the merge table is byte-stable
+    across runs, block layouts and cluster sizes. New ids are
+    ``256 + step``. Returns ``[(a, b, new_id), ...]``.
+
+    SCALE NOTE: exact BPE needs one corpus pass per merge (the counts
+    change after every merge) — at 10^12 scale train on a uniform
+    sample (``ds.random_sample`` upstream) exactly like every
+    production tokenizer; the pipeline shape is identical.
+    """
+    from ray.data.aggregate import Sum
+
+    merges: list[tuple[int, int, int]] = []
+    for step in range(n_merges):
+        frozen = list(merges)
+
+        def pair_counts(batch: pa.Table, _m=frozen) -> pa.Table:
+            t, doc = _flat_bytes(
+                batch[column].combine_chunks()
+                if isinstance(batch[column], pa.ChunkedArray)
+                else batch[column]
+            )
+            t, doc = _apply_merges_flat(t, doc, _m)
+            if len(t) < 2:
+                return pa.table({"pair": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+            same = doc[:-1] == doc[1:]
+            packed = (t[:-1].astype(np.int64) << 32) | t[1:].astype(np.int64)
+            u, c = np.unique(packed[same], return_counts=True)
+            return pa.table({"pair": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+        top = (
+            ds.map_batches(pair_counts, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .sort(["cnt", "pair"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        pair = int(top[0]["pair"])
+        merges.append((pair >> 32, pair & 0xFFFFFFFF, 256 + step))
+    return merges
+
+
+def bpe_encode(ds, merges, *, column: str = "text", id_col: str = "doc_id"):
+    """Apply a trained BPE merge table to a text corpus →
+    ``(id_col, tokens: list<int32>, n_tok)`` — the north-rule
+    pre-tokenized shape, ready for ``pipelines.encode.encode_stream``.
+    One stateless vectorized pass; the merge table travels in the task
+    closure (kilobytes)."""
+    frozen = list(merges)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        t, doc = _flat_bytes(col)
+        t, doc = _apply_merges_flat(t, doc, frozen)
+        n = len(col)
+        lens = np.bincount(doc, minlength=n) if len(doc) else np.zeros(n, np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(t, pa.int32()))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "tokens": tokens,
+                "n_tok": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, column]).map_batches(fn, batch_format="pyarrow")

@@ -1368,3 +1368,70 @@ def test_group_approx_distinct_string_values(ray_session):
     )
     got = group_approx_distinct(rd.from_arrow(t), "k", "v").to_pandas()
     assert abs(int(got["n_distinct_approx"][0]) - 137) <= 10
+
+
+# ————— distributed byte-level BPE training —————
+
+
+def _ref_bpe(texts, k):
+    """Sequential reference BPE: raw adjacent-pair counts (classic
+    Sennrich counting), greedy-leftmost non-overlapping application,
+    ties to the smallest (a, b)."""
+    from collections import Counter
+
+    docs = [list(t.encode()) for t in texts]
+    merges = []
+    for step in range(k):
+        c = Counter()
+        for d in docs:
+            for i in range(len(d) - 1):
+                c[(d[i], d[i + 1])] += 1
+        if not c or max(c.values()) < 2:
+            break
+        maxc = max(c.values())
+        a, b = min(p for p, n in c.items() if n == maxc)
+        nid = 256 + step
+        merges.append((a, b, nid))
+        for di, d in enumerate(docs):
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            docs[di] = out
+    return merges, docs
+
+
+def test_bpe_train_matches_sequential_referee(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.tokenize import bpe_encode, bpe_train
+
+    rng = np.random.default_rng(101)
+    words = ["the", "cat", "sat", "hat", "aaa", "bb", "banana"]
+    texts = [
+        " ".join(words[w] for w in rng.integers(0, len(words), int(rng.integers(2, 12))))
+        for _ in range(60)
+    ]
+    merges_ref, docs_ref = _ref_bpe(texts, 16)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    merges = bpe_train(rd.from_arrow(t).repartition(5), n_merges=16)
+    assert merges == merges_ref  # byte-stable incl. a==b overlap runs
+    enc = bpe_encode(rd.from_arrow(t), merges).sort("doc_id").to_pandas()
+    assert all(list(enc["tokens"][i]) == docs_ref[i] for i in range(len(texts)))
+    assert enc["n_tok"].tolist() == [len(d) for d in docs_ref]
+
+
+def test_bpe_train_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.tokenize import bpe_train
+
+    texts = ["abcabcabc", "abcabc", "xyzxyz"] * 10
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    m1 = bpe_train(rd.from_arrow(t).repartition(2), n_merges=8)
+    m2 = bpe_train(rd.from_arrow(t).repartition(7), n_merges=8)
+    assert m1 == m2 and len(m1) > 0

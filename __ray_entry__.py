@@ -1751,6 +1751,18 @@ def q_events_resampled_6h(sf_dir: str):
     return resample_ffill(ds, bucket_us=6 * 3_600_000_000).sort(["user_id", "bucket"])
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA (streaming d² moment partials, deterministic
+    block-order sums + sign convention) → project all embeddings to 16
+    dims. Rows-only by design (float eigenbasis has no SQL form);
+    pinned exactly vs a numpy referee in pytest."""
+    from parquetjs_ray.functions.ann import pca_fit, pca_transform
+
+    ds = _emb(sf_dir)
+    mean, comp = pca_fit(ds, k=16)
+    return pca_transform(_emb(sf_dir), mean, comp).sort("vec_id")
+
+
 def q_bpe_tokenize_docs(sf_dir: str):
     """Tokenizer training AS a pipeline: train a 16-merge byte-level BPE
     on the corpus (one counting pass per merge, pair-sized partials),
@@ -2431,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": q_langid_docs,
         "approx_distinct_users": q_approx_distinct_users,
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
+        "pca_embeddings": q_pca_embeddings,
     }
 
 

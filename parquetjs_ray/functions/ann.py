@@ -32,6 +32,8 @@ __all__ = [
     "assign_clusters",
     "build_ivf_index",
     "topk_ivf",
+    "pca_fit",
+    "pca_transform",
 ]
 
 
@@ -396,3 +398,72 @@ def topk_ivf(
         "rows_total": meta["total_rows"],
         "n_queries": len(qn),
     }
+
+
+def pca_fit(ds: rd.Dataset, *, col: str = "embedding", k: int = 16):
+    """Distributed PCA: top-``k`` principal components of an embedding
+    column — the dimensionality-reduction front end for ANN / near-dup
+    at scale (64→16 dims is a 4× matmul and index shrink).
+
+    One streaming pass accumulates per-block (n, Σx, XᵀX) partials
+    (d + d² floats per block — kilobytes, never rows); the driver sums
+    partials in BLOCK-INDEX order (deterministic float addition),
+    forms the covariance, and takes an eigendecomposition of the tiny
+    d×d matrix locally. Sign convention: each component's
+    largest-|entry| coordinate is made positive, so the basis is a
+    deterministic function of the data. Returns
+    ``(mean: (d,), components: (k, d) float64)``.
+    """
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _moments(block: pa.Table):
+        arr = block[col].combine_chunks() if isinstance(block[col], pa.ChunkedArray) else block[col]
+        d = len(arr[0]) if len(arr) else 0
+        m = _matrix(block, col, d) if d else np.zeros((0, 0))
+        return len(m), m.sum(axis=0), m.T @ m
+
+    parts = [
+        _moments.remote(ref)
+        for ref in ds.select_columns([col]).to_arrow_refs()
+    ]
+    got = ray.get(parts)  # list order == block order: deterministic sums
+    n = sum(g[0] for g in got)
+    if n == 0:
+        raise ValueError("pca_fit on an empty dataset")
+    s1 = np.sum([g[1] for g in got], axis=0)
+    s2 = np.sum([g[2] for g in got], axis=0)
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comp = v[:, ::-1][:, :k].T  # (k, d), descending variance
+    # deterministic sign: largest-|entry| coordinate positive
+    flip = comp[np.arange(k), np.abs(comp).argmax(axis=1)] < 0
+    comp[flip] *= -1.0
+    return mean, comp
+
+
+def pca_transform(
+    ds: rd.Dataset, mean: np.ndarray, components: np.ndarray, *,
+    col: str = "embedding", id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Project every embedding onto the fitted basis →
+    ``(id_col, embedding: list<float>)`` in k dims. The (mean, basis)
+    pair travels once via ``ray.put`` inside the Dataset plan; each
+    batch is one centered matmul."""
+    import ray
+
+    blob = ray.put((np.asarray(mean, np.float64), np.asarray(components, np.float64)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        mu, comp = ray.get(blob)
+        m = _matrix(t, col, len(mu))
+        proj = (m - mu) @ comp.T
+        k = proj.shape[1]
+        flat = pa.array(proj.astype(np.float32).ravel(), pa.float32())
+        offs = pa.array(np.arange(0, (len(m) + 1) * k, k, dtype=np.int32), pa.int32())
+        return pa.table(
+            {id_col: t[id_col], "embedding": pa.ListArray.from_arrays(offs, flat)}
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(fn, batch_format="pyarrow")

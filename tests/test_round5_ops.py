@@ -1435,3 +1435,51 @@ def test_bpe_train_partitioning_invariant(ray_session):
     m1 = bpe_train(rd.from_arrow(t).repartition(2), n_merges=8)
     m2 = bpe_train(rd.from_arrow(t).repartition(7), n_merges=8)
     assert m1 == m2 and len(m1) > 0
+
+
+def test_pca_fit_transform_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.ann import pca_fit, pca_transform
+
+    rng = np.random.default_rng(111)
+    n, d, k = 800, 12, 4
+    # anisotropic data: PCA must find the stretched axes
+    basis = rng.normal(size=(d, d))
+    X = (rng.normal(size=(n, d)) * np.array([10, 5, 3, 2] + [0.1] * (d - 4))) @ basis
+    X = X.astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype="int64")),
+            "embedding": pa.array([row for row in X.tolist()], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    mean, comp = pca_fit(ds, k=k)
+    X64 = X.astype(np.float64)
+    mu = X64.mean(axis=0)
+    C = np.cov(X64.T, bias=True)
+    w, v = np.linalg.eigh(C)
+    ref = v[:, ::-1][:, :k].T
+    flip = ref[np.arange(k), np.abs(ref).argmax(axis=1)] < 0
+    ref[flip] *= -1
+    assert np.abs(mean - mu).max() < 1e-9
+    assert np.abs(comp - ref).max() < 1e-9  # incl. the deterministic signs
+    out = pca_transform(ds, mean, comp).sort("vec_id").to_pandas()
+    P = np.stack(out["embedding"].tolist())
+    refp = ((X64 - mu) @ ref.T).astype(np.float32)
+    assert np.abs(P - refp).max() == 0.0
+    # the top-k basis captures the planted anisotropy
+    cap = w[::-1][:k].sum() / np.trace(C)
+    assert cap > 0.95
+
+
+def test_pca_fit_deterministic_across_partitionings(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.ann import pca_fit
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m1, c1 = pca_fit(ds.repartition(2), k=6)
+    m2, c2 = pca_fit(ds.repartition(2), k=6)
+    assert np.array_equal(m1, m2) and np.array_equal(c1, c2)

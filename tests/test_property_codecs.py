@@ -159,3 +159,57 @@ def test_int_stream_selector_roundtrip_property(values):
     codec, segs, params = encode_int_stream(v, cb)
     out = _decode_int_stream(memoryview(cb.chunk()), {"codec": codec, "segments": segs, "params": params}, np.int32)
     assert out.tolist() == values
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # decimal-shaped values (ALP's home turf) ...
+            st.integers(-10**6, 10**6).map(lambda c: c / 100.0),
+            # ... mixed with arbitrary doubles incl. nan/inf (exceptions)
+            st.floats(width=64, allow_nan=True, allow_infinity=True),
+        ),
+        min_size=64,  # below 64 the ALP probe is skipped by design
+        max_size=400,
+    )
+)
+def test_alp_chunk_roundtrip_bit_exact(values):
+    # whatever the selector picks (alp / bss_zstd / num_zstd / plain),
+    # doubles must round-trip BIT-exactly — including NaN payload bits,
+    # -0.0 and infinities routed through the ALP exception list
+    import pyarrow as pa
+
+    from parquetjs_ray.stages.decoder import decode_chunk
+    from parquetjs_ray.stages.encoder import EncoderState, encode_table
+    from parquetjs_ray.state.artifacts import EncodePlan
+
+    tbl = pa.table({"d": pa.array(values, pa.float64())})
+    state = EncoderState(EncodePlan())
+    chunk, man = encode_table(tbl, state)
+    back = decode_chunk(chunk, man, state)
+    got = back["d"].combine_chunks().to_numpy(zero_copy_only=False)
+    want = np.asarray(values, dtype=np.float64)
+    assert np.array_equal(got.view(np.int64), want.view(np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcx", max_size=24),
+    st.text(alphabet="abcx", max_size=24),
+    st.integers(0, 12),
+)
+def test_lev_banded_property(a, b, k):
+    from parquetjs_ray.functions.dedup import _lev_banded
+
+    prev = list(range(len(b.encode()) + 1))
+    for i, ca in enumerate(a.encode(), 1):
+        cur = [i]
+        for j, cb in enumerate(b.encode(), 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    true = prev[-1]
+    got = _lev_banded(
+        np.frombuffer(a.encode(), np.uint8), np.frombuffer(b.encode(), np.uint8), k
+    )
+    assert got == true if true <= k else got > k

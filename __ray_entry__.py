@@ -1852,6 +1852,23 @@ def q_mode_event_per_user(sf_dir: str):
     return mode_per_group(ds, "user_id", "event_type").sort("user_id")
 
 
+def q_regression_lineitem(sf_dir: str):
+    """Per-group least squares from the exact big-int moments: one
+    float expression per coefficient, replicated operand-for-operand in
+    the oracle so the doubles hash-match bit-for-bit."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_regression
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return group_regression(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice", x_scale=0, y_scale=2
+    ).sort("l_returnflag")
+
+
 def q_moments_lineitem(sf_dir: str):
     """Exact second moments (covariance/correlation sufficient stats)
     per l_returnflag over quantity × price-in-cents: per-(key,batch)
@@ -2338,7 +2355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_docs": q_dedup_incremental_docs,
         # — r03-verified but absent from CORRECTNESS_r04 —
         "minhash_dedup_docs": q_minhash_dedup_docs,
-        "simhash_docs": q_simhash_docs,
+        "regression_lineitem": q_regression_lineitem,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -2395,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
+        "simhash_docs": q_simhash_docs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,
         "events_reclustered_scan": q_events_reclustered_scan,
@@ -3012,6 +3030,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type AS mode_val, n AS mode_n FROM c "
             "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1 "
             "ORDER BY user_id"
+        ),
+        "regression_lineitem": (
+            "WITH t AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x, "
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), "
+            "m AS (SELECT l_returnflag, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy, "
+            " sum(x*y) AS sxy, sum(x*x) AS sx2 FROM t GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, "
+            "CASE WHEN n*sx2 - sx*sx = 0 THEN NULL ELSE "
+            " CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sx2 - sx*sx AS DOUBLE) END AS slope, "
+            "CASE WHEN n*sx2 - sx*sx = 0 THEN NULL ELSE "
+            " (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sx2 - sx*sx AS DOUBLE)) "
+            "  * CAST(sx AS DOUBLE)) / n END AS intercept "
+            "FROM m ORDER BY l_returnflag"
         ),
         "moments_lineitem": (
             # HUGEINT sums cast to VARCHAR — the engine folds the same

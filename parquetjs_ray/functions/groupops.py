@@ -33,6 +33,7 @@ __all__ = [
     "group_moments",
     "mode_per_group",
     "group_approx_distinct",
+    "group_regression",
 ]
 
 
@@ -644,3 +645,54 @@ def group_approx_distinct(ds, key_col: str, val_col: str, *, p: int = 12):
         .groupby(key_col)
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def group_regression(
+    ds,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 0,
+    y_scale: int = 0,
+):
+    """Per-group simple linear regression (least squares), SQL-exact:
+    ``(key, n, slope, intercept)`` with slope/intercept in the SCALED
+    integer units (undo with 10^(y_scale − x_scale) / 10^y_scale).
+
+    Derived from :func:`group_moments`' exact big-int sums with exactly
+    one float expression each — ``slope = double(nΣxy − ΣxΣy) /
+    double(nΣx² − (Σx)²)`` and ``intercept = (double(Σy) − slope ·
+    double(Σx)) / n`` — int→double conversions are correctly rounded on
+    both sides (verified against DuckDB's HUGEINT cast), so the doubles
+    hash-match the same SQL expression bit-for-bit. ``slope`` is NULL
+    for degenerate groups (zero x-variance)."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        ns = t["n"].to_pylist()
+        sx = [int(s) for s in t["sum_x"].to_pylist()]
+        sy = [int(s) for s in t["sum_y"].to_pylist()]
+        sxy = [int(s) for s in t["sum_xy"].to_pylist()]
+        sx2 = [int(s) for s in t["sum_x2"].to_pylist()]
+        slopes, intercepts = [], []
+        for n, a, b, ab, a2 in zip(ns, sx, sy, sxy, sx2):
+            den = n * a2 - a * a
+            if den == 0:
+                slopes.append(None)
+                intercepts.append(None)
+                continue
+            slope = float(n * ab - a * b) / float(den)
+            slopes.append(slope)
+            intercepts.append((float(b) - slope * float(a)) / n)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "n": t["n"],
+                "slope": pa.array(slopes, pa.float64()),
+                "intercept": pa.array(intercepts, pa.float64()),
+            }
+        )
+
+    return group_moments(
+        ds, key_col, x_col, y_col, x_scale=x_scale, y_scale=y_scale
+    ).map_batches(derive, batch_format="pyarrow")

@@ -1483,3 +1483,44 @@ def test_pca_fit_deterministic_across_partitionings(ray_session):
     m1, c1 = pca_fit(ds.repartition(2), k=6)
     m2, c2 = pca_fit(ds.repartition(2), k=6)
     assert np.array_equal(m1, m2) and np.array_equal(c1, c2)
+
+
+def test_group_regression_matches_duckdb_bitexact(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_regression
+
+    rng = np.random.default_rng(121)
+    n = 8000
+    k = rng.integers(0, 6, n).astype("int64")
+    x = rng.integers(0, 500, n).astype("int64")
+    y = (3 * x + rng.integers(-50, 50, n)).astype("int64")
+    t = pa.table({"k": k, "x": x, "y": y})
+    # plus one degenerate group: constant x → NULL slope
+    t = pa.concat_tables(
+        [t, pa.table({"k": [99, 99], "x": [7, 7], "y": [1, 2]})]
+    )
+    got = group_regression(rd.from_arrow(t).repartition(5), "k", "x", "y").sort("k").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        "WITH m AS (SELECT k, count(*)::BIGINT n, sum(x) sx, sum(y) sy, "
+        " sum(x*y) sxy, sum(x*x) sx2 FROM t GROUP BY k) "
+        "SELECT k, n, "
+        "CASE WHEN n*sx2 - sx*sx = 0 THEN NULL ELSE "
+        " CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sx2 - sx*sx AS DOUBLE) END AS slope, "
+        "CASE WHEN n*sx2 - sx*sx = 0 THEN NULL ELSE "
+        " (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sx2 - sx*sx AS DOUBLE)) "
+        "  * CAST(sx AS DOUBLE)) / n END AS intercept "
+        "FROM m ORDER BY k"
+    ).df()
+    assert got["k"].tolist() == want["k"].tolist()
+    real = want["slope"].notna()
+    assert np.array_equal(
+        got["slope"][real].to_numpy().view(np.int64),
+        want["slope"][real].to_numpy().view(np.int64),
+    )
+    assert got["slope"][~real].isna().all()
+    # planted relationship recovered
+    assert all(abs(s - 3.0) < 0.2 for s in got["slope"][real][got["k"][real] != 99])

@@ -406,12 +406,14 @@ def pca_fit(ds: rd.Dataset, *, col: str = "embedding", k: int = 16):
     at scale (64→16 dims is a 4× matmul and index shrink).
 
     One streaming pass accumulates per-block (n, Σx, XᵀX) partials
-    (d + d² floats per block — kilobytes, never rows); the driver sums
-    partials in BLOCK-INDEX order (deterministic float addition),
-    forms the covariance, and takes an eigendecomposition of the tiny
-    d×d matrix locally. Sign convention: each component's
-    largest-|entry| coordinate is made positive, so the basis is a
-    deterministic function of the data. Returns
+    (d + d² floats per block — kilobytes, never rows), combined through
+    a FIXED-SHAPE tree reduce (fan-in 64, blocks in index order inside
+    each node): float addition order is a pure function of the block
+    count, so the result is deterministic, and the driver only ever
+    holds ceil(blocks/64) partials instead of all of them. The tiny
+    d×d covariance eigendecomposition runs locally. Sign convention:
+    each component's largest-|entry| coordinate is made positive, so
+    the basis is a deterministic function of the data. Returns
     ``(mean: (d,), components: (k, d) float64)``.
     """
     import ray
@@ -423,11 +425,25 @@ def pca_fit(ds: rd.Dataset, *, col: str = "embedding", k: int = 16):
         m = _matrix(block, col, d) if d else np.zeros((0, 0))
         return len(m), m.sum(axis=0), m.T @ m
 
-    parts = [
+    @ray.remote(num_cpus=1)
+    def _combine(*parts):
+        parts = [p for p in parts if p[0] > 0]
+        if not parts:
+            return 0, np.zeros(0), np.zeros((0, 0))
+        return (
+            sum(p[0] for p in parts),
+            np.sum([p[1] for p in parts], axis=0),
+            np.sum([p[2] for p in parts], axis=0),
+        )
+
+    refs = [
         _moments.remote(ref)
         for ref in ds.select_columns([col]).to_arrow_refs()
     ]
-    got = ray.get(parts)  # list order == block order: deterministic sums
+    fan = 64
+    while len(refs) > fan:
+        refs = [_combine.remote(*refs[i : i + fan]) for i in range(0, len(refs), fan)]
+    got = [g for g in ray.get(refs) if g[0] > 0]
     n = sum(g[0] for g in got)
     if n == 0:
         raise ValueError("pca_fit on an empty dataset")

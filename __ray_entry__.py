@@ -1170,6 +1170,58 @@ def q_ohlc_events_hourly(sf_dir: str):
     return ohlc_downsample(ds, bucket_us=3_600_000_000)
 
 
+def q_twap_events_user(sf_dir: str):
+    """Time-weighted average value per user (each value holds until the
+    user's next event): exact big-int Σv·Δt / ΣΔt folded two-phase —
+    intra-bucket intervals inside groupby(user, day), cross-bucket
+    intervals over one summary row per (user, day) — so group size is
+    bounded by the bucket span, never a hot user's history; twap is ONE
+    float division of two exact integers and hash-matches the SQL lead()
+    window expression bit-for-bit
+    (``functions/windows.py:twap_per_group``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import twap_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return twap_per_group(ds)
+
+
+def q_hhi_event_types_user(sf_dir: str):
+    """Herfindahl concentration of each user's event-type mix — the
+    label-imbalance diagnostic: per-batch (key, type) count combiner →
+    one pair Sum shuffle → per-key Python-int fold (Σc² outgrows int64);
+    hhi is ONE float division of exact ints, SQL-bit-exact
+    (``functions/groupops.py:group_hhi``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_hhi
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return group_hhi(ds, "user_id", "event_type")
+
+
+def q_ttr_docs(sf_dir: str):
+    """Type-token ratio (lexical diversity) per document — zero-shuffle
+    vectorized map: dictionary-encoded word ids (string equality, no
+    hashes), one lexsort + run-boundary diff per batch; both counts
+    exact, ttr one float division → SQL-bit-exact
+    (``functions/text.py:ttr_batch``)."""
+    from parquetjs_ray.functions.text import ttr_batch
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(ttr_batch, batch_format="pyarrow")
+
+
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
@@ -2394,6 +2446,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": q_bm25_topk_docs,
         "rolling_window_events": q_rolling_window_events,
         "ohlc_events_hourly": q_ohlc_events_hourly,
+        # — new in session 5 (positions 48-50: these three displace the
+        # no-oracle roundtrips, which already carry r03+r04 rows and are
+        # pinned by pytest either way) —
+        "twap_events_user": q_twap_events_user,
+        "hhi_event_types_user": q_hhi_event_types_user,
+        "ttr_docs": q_ttr_docs,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -2922,6 +2980,28 @@ def oracle_sql() -> dict[str, str]:
             "min(value) OVER w AS min_value, max(value) OVER w AS max_value "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        "twap_events_user": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, "
+            "CAST(round(value*100) AS HUGEINT) AS v, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tn "
+            "FROM events) "
+            "SELECT user_id, count(*)::BIGINT + 1 AS n_events, "
+            "CAST(sum(v*(tn-t)) AS DOUBLE) / CAST(sum(tn-t)*100 AS DOUBLE) AS twap "
+            "FROM e WHERE tn IS NOT NULL GROUP BY user_id"
+        ),
+        "hhi_event_types_user": (
+            "WITH c AS (SELECT user_id, event_type, count(*)::HUGEINT AS c "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct, "
+            "CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS hhi "
+            "FROM c GROUP BY user_id"
+        ),
+        "ttr_docs": (
+            "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words, "
+            "len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words, "
+            "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / "
+            "CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr FROM documents"
         ),
         "ohlc_events_hourly": (
             "SELECT user_id, (epoch_us(ts)//3600000000)*3600000000 AS bucket_us, "

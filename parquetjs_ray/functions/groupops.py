@@ -34,6 +34,7 @@ __all__ = [
     "mode_per_group",
     "group_approx_distinct",
     "group_regression",
+    "group_hhi",
 ]
 
 
@@ -696,3 +697,47 @@ def group_regression(
     return group_moments(
         ds, key_col, x_col, y_col, x_scale=x_scale, y_scale=y_scale
     ).map_batches(derive, batch_format="pyarrow")
+
+
+def group_hhi(ds, key_col: str, val_col: str):
+    """Herfindahl–Hirschman concentration of the ``val_col`` distribution
+    per key → ``(key, n, n_distinct, hhi)`` — the label-imbalance /
+    duplication-concentration diagnostic (hhi = Σ(cᵢ/n)² ∈ (0, 1];
+    1 = all rows share one value, 1/n_distinct = perfectly uniform).
+
+    Shape: per-batch (key, value) count combiner → ONE pair-keyed Sum
+    shuffle (volume = distinct pairs per batch, rows never move) → a
+    per-key fold over that pair residue. Σcᵢ² is folded in PYTHON INTS
+    (exact at any corpus size; cᵢ² outgrows int64 past ~3·10⁹ rows per
+    value) and ``hhi`` is exactly ONE float division of two exact
+    integers — both sides correctly rounded — so the double hash-matches
+    SQL ``CAST(sum(c*c) AS DOUBLE)/CAST(sum(c)*sum(c) AS DOUBLE)``
+    bit-for-bit. Per-key group size is bounded by the value DOMAIN
+    (distinct values per key), never the key's row count."""
+    from ray.data.aggregate import Sum
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col], val_col: b[val_col]})
+        return t.group_by([key_col, val_col]).aggregate([([], "count_all")])
+
+    def fold(g: pa.Table) -> pa.Table:
+        cs = [int(c) for c in g["c"].to_pylist()]
+        n = sum(cs)
+        ssq = sum(c * c for c in cs)
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "n_distinct": pa.array([len(cs)], pa.int64()),
+                "hhi": pa.array([float(ssq) / float(n * n)], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(pair_counts, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .groupby(key_col)
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -26,6 +26,7 @@ __all__ = [
     "normalize_batch",
     "repetition_signals_batch",
     "extract_json_int",
+    "ttr_batch",
 ]
 
 _U = np.uint64
@@ -329,3 +330,42 @@ def extract_json_int(
         return pa.table({id_col: batch[id_col], out: vals})
 
     return ds.select_columns([id_col, col]).map_batches(fn, batch_format="pyarrow")
+
+
+def ttr_batch(batch: pa.Table, column: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Type-token ratio per document — the classic lexical-diversity
+    quality signal (distinct space-delimited words / total words) →
+    ``(id_col, n_words, n_distinct_words, ttr)``.
+
+    Zero shuffle (pure per-batch map) and EXACT: words are
+    ``pc.dictionary_encode``d to integer ids (real string equality, not
+    hashes — collision-free), per-row distincts counted by one lexsort +
+    run-boundary diff over (row, word_id) pairs. Both counts are exact
+    int64 ≤ 2^53, so ``ttr`` is ONE float division of two exactly-
+    representable integers and hash-matches SQL
+    ``CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+    CAST(len(string_split(text,' ')) AS DOUBLE)`` bit-for-bit
+    (split semantics match DuckDB ``string_split``: an empty text is one
+    empty word, never zero)."""
+    toks = pc.split_pattern(batch[column].combine_chunks(), " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    order = np.lexsort((codes, row_idx))
+    r, c = row_idx[order], codes[order]
+    new = np.ones(len(r), dtype=bool)
+    if len(r):
+        new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    distinct = np.bincount(r[new], minlength=len(lens)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(lens),
+            "n_distinct_words": pa.array(distinct),
+            "ttr": pa.array(distinct.astype(np.float64) / lens.astype(np.float64)),
+        }
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "rolling_window_agg",
     "ohlc_downsample",
     "resample_ffill",
+    "twap_per_group",
 ]
 
 
@@ -764,4 +765,114 @@ def resample_ffill(
         .map_batches(last_in_bucket, batch_format="pyarrow")
         .groupby(key)
         .map_groups(fill, batch_format="pyarrow")
+    )
+
+
+def twap_per_group(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    val: str = "value",
+    order_id: str = "event_id",
+    val_scale: int = 2,
+    bucket_us: int = 86_400_000_000,
+) -> rd.Dataset:
+    """Time-weighted average per key → ``(key, n_events, twap)``: each
+    event's value holds until the key's next event, so
+    ``twap = Σ vᵢ·(tᵢ₊₁−tᵢ) / Σ (tᵢ₊₁−tᵢ)`` over consecutive pairs in
+    ``(ts, order_id)`` order. Keys with a single event emit no row
+    (there is no interval); a key whose events all share one timestamp
+    emits ``twap = NULL`` (0/0, matching SQL division-by-zero).
+
+    EXACT at any corpus size: values are lifted to integers
+    (``round(v·10^scale)``, verified exact per value — never silently
+    rounded), every v·Δt product is split into 31-bit halves whose
+    per-bucket sums fold in PYTHON INTS, and ``twap`` is exactly ONE
+    float division of two exact integers — so the double hash-matches
+    the SQL ``CAST(sum(v*(tn-t)) AS DOUBLE)/CAST(sum(tn-t)*10^s AS
+    DOUBLE)`` window expression bit-for-bit.
+
+    Hot-key-proof two-phase like :func:`lag_deltas`: intervals only
+    couple CONSECUTIVE events, so phase 1 resolves all intra-bucket
+    intervals inside ``groupby (key, ts // bucket_us)`` (group size
+    bounded by the bucket span) and emits ONE summary row per non-empty
+    (key, bucket) — (num, den, n, first/last ts, last value); phase 2
+    folds each key's bucket summaries (bounded by the time span, never
+    event volume) adding the cross-bucket intervals."""
+    import pyarrow.compute as pc
+
+    _MASK31 = (1 << 31) - 1
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        v = batch[val].combine_chunks().to_numpy(zero_copy_only=False)
+        f = 10.0**val_scale
+        vi = np.round(v.astype(np.float64) * f).astype(np.int64)
+        if not np.array_equal(vi / f, v.astype(np.float64)):
+            raise ValueError(f"{val} is not exact at scale {val_scale}")
+        if np.any(np.abs(vi) >= 2**31):
+            raise ValueError(f"{val} exceeds 31 bits at scale {val_scale}")
+        return pa.table(
+            {
+                key: batch[key],
+                "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
+                "__ts": epoch,
+                "__id": batch[order_id].cast(pa.int64()),
+                "__v": pa.array(vi),
+            }
+        )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["__ts"].to_numpy().astype(np.int64)
+        i = g["__id"].to_numpy().astype(np.int64)
+        v = g["__v"].to_numpy().astype(np.int64)
+        o = np.lexsort((i, t))
+        t, v = t[o], v[o]
+        d = t[1:] - t[:-1]  # ≤ bucket span each; Σ ≤ bucket span
+        vh = v[:-1]
+        num = (int(np.add.reduce((vh * (d >> 31)).astype(object), initial=0)) << 31) + int(
+            np.add.reduce((vh * (d & _MASK31)).astype(object), initial=0)
+        )
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "__b": [int(g["__b"].iloc[0])],
+                "__num": [str(num)],  # exceeds int64 at scale; decimal string
+                "__den": [int(d.sum(dtype=np.int64))],
+                "__n": [len(t)],
+                "__first_ts": [int(t[0])],
+                "__last_ts": [int(t[-1])],
+                "__last_v": [int(v[-1])],
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__b")
+        n = int(g["__n"].sum())
+        if n < 2:
+            return pd.DataFrame({key: [], "n_events": [], "twap": []}).astype(
+                {key: g[key].dtype, "n_events": np.int64, "twap": np.float64}
+            )
+        num = sum(int(s) for s in g["__num"])
+        den = int(g["__den"].sum())
+        first_ts = g["__first_ts"].to_numpy().astype(np.int64)
+        last_ts = g["__last_ts"].to_numpy().astype(np.int64)
+        last_v = g["__last_v"].to_numpy().astype(np.int64)
+        for j in range(1, len(g)):  # cross-bucket intervals (≤ buckets per key)
+            dur = int(first_ts[j]) - int(last_ts[j - 1])
+            num += int(last_v[j - 1]) * dur
+            den += dur
+        twap = float(num) / float(den * 10**val_scale) if den else None
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], "n_events": np.array([n], np.int64),
+             "twap": np.array([twap], np.float64)}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .map_groups(local, batch_format="pandas")
+        .groupby(key)
+        .map_groups(fold, batch_format="pandas")
     )

@@ -1524,3 +1524,151 @@ def test_group_regression_matches_duckdb_bitexact(ray_session):
     assert got["slope"][~real].isna().all()
     # planted relationship recovered
     assert all(abs(s - 3.0) < 0.2 for s in got["slope"][real][got["k"][real] != 99])
+
+
+def test_twap_per_group_matches_duckdb_bitexact(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import twap_per_group
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    base = 1_700_000_000_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 37, n).astype("int64")),
+            # multi-day span so cross-bucket intervals exercise phase 2
+            "ts": pa.array(
+                base + rng.integers(0, 5 * 86_400_000_000, n).astype("int64"),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(rng.permutation(n).astype("int64")),
+            "value": pa.array(np.round(rng.uniform(0, 500, n), 2)),
+        }
+    )
+    got = (
+        twap_per_group(rd.from_arrow(t).repartition(6))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH e AS (SELECT user_id, epoch_us(ts) t, CAST(round(value*100) AS HUGEINT) v, "
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) tn FROM t) "
+        "SELECT user_id, count(*)::BIGINT + 1 AS n_events, "
+        "CAST(sum(v*(tn-t)) AS DOUBLE)/CAST(sum(tn-t)*100 AS DOUBLE) AS twap "
+        "FROM e WHERE tn IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)  # bit-exact doubles
+
+
+def test_twap_per_group_edge_cases(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import twap_per_group
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2, 2, 3, 3, 3], pa.int64()),
+            "ts": pa.array(
+                [0, 10, 10, 0, 2_000_000, 4_000_000], pa.timestamp("us")
+            ),
+            "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "value": pa.array([5.0, 3.0, 7.0, 10.0, 20.0, 99.0]),
+        }
+    )
+    rows = {r["user_id"]: r for r in twap_per_group(rd.from_arrow(t).repartition(3)).take_all()}
+    assert 1 not in rows  # single event: no interval, no row (SQL parity)
+    assert rows[2]["twap"] is None or np.isnan(rows[2]["twap"])  # all same ts: 0/0 → NULL
+    # user 3: 10.0 for 2s then 20.0 for 2s → 15.0 exactly
+    assert rows[3]["n_events"] == 3 and rows[3]["twap"] == 15.0
+
+
+def test_twap_per_group_hot_key_bounded_groups(ray_session):
+    """One user owning every event still works with a day-bucket phase 1:
+    per-group rows are bounded by the bucket span, and the result is
+    identical to a tiny-bucket run (bucket-boundary invariance)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import twap_per_group
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    t = pa.table(
+        {
+            "user_id": pa.array(np.zeros(n, dtype="int64")),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 10 * 86_400_000_000, n)).astype("int64"),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+        }
+    )
+    a = twap_per_group(rd.from_arrow(t).repartition(8)).take_all()
+    b = twap_per_group(
+        rd.from_arrow(t).repartition(8), bucket_us=3_600_000_000
+    ).take_all()
+    assert len(a) == len(b) == 1
+    assert a[0]["twap"] == b[0]["twap"] and a[0]["n_events"] == n
+
+
+def test_group_hhi_matches_duckdb_bitexact(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_hhi
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 23, n).astype("int64")),
+            "v": pa.array([f"t{x}" for x in rng.integers(0, 7, n) ** 2]),
+        }
+    )
+    got = (
+        group_hhi(rd.from_arrow(t).repartition(5), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH c AS (SELECT k, v, count(*)::HUGEINT c FROM t GROUP BY 1,2) "
+        "SELECT k, sum(c)::BIGINT n, count(*)::BIGINT n_distinct, "
+        "CAST(sum(c*c) AS DOUBLE)/CAST(sum(c)*sum(c) AS DOUBLE) hhi "
+        "FROM c GROUP BY k ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # single-value key ⇒ hhi exactly 1.0
+    one = group_hhi(
+        rd.from_arrow(pa.table({"k": pa.array([9, 9, 9], pa.int64()), "v": ["a", "a", "a"]})),
+        "k", "v",
+    ).take_all()
+    assert one[0]["hhi"] == 1.0 and one[0]["n_distinct"] == 1
+
+
+def test_ttr_batch_matches_duckdb_and_is_collision_free(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from parquetjs_ray.functions.text import ttr_batch
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)] + ["naïve", "héllo", ""]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 60)))
+        for _ in range(400)
+    ] + ["", "x", "a a a a"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    got = ttr_batch(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT doc_id, len(string_split(text,' '))::BIGINT n_words, "
+        "len(list_distinct(string_split(text,' ')))::BIGINT n_distinct_words, "
+        "CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/"
+        "CAST(len(string_split(text,' ')) AS DOUBLE) ttr FROM t ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

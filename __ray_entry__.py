@@ -1206,6 +1206,24 @@ def q_hhi_event_types_user(sf_dir: str):
     return group_hhi(ds, "user_id", "event_type")
 
 
+def q_chisq_event_mix_user(sf_dir: str):
+    """χ² divergence of each user's event-type mix from the corpus mix —
+    the distribution-drift / anomalous-source diagnostic: one tiny
+    domain-sized global aggregate, then the pair-combiner plan with a
+    per-key fold bounded by the type domain; every term is one float
+    division of exact Python ints folded in ascending-type order, so the
+    double matches the explicit SQL expression bit-for-bit
+    (``functions/groupops.py:group_chisq``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_chisq
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return group_chisq(ds, "user_id", "event_type")
+
+
 def q_ttr_docs(sf_dir: str):
     """Type-token ratio (lexical diversity) per document — zero-shuffle
     vectorized map: dictionary-encoded word ids (string equality, no
@@ -2410,7 +2428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_lineitem": q_regression_lineitem,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "embedding_near_dup": q_embedding_near_dup,
-        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ttr_docs": q_ttr_docs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "source_quantiles_cont": q_source_quantiles_cont,
         "collect_docs_per_source": q_collect_docs_per_source,
@@ -2451,7 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned by pytest either way) —
         "twap_events_user": q_twap_events_user,
         "hhi_event_types_user": q_hhi_event_types_user,
-        "ttr_docs": q_ttr_docs,
+        "chisq_event_mix_user": q_chisq_event_mix_user,
         # — flagship + family representatives (also r04-verified) —
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
@@ -2459,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "events_time_range_scan": q_events_time_range_scan,
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
         "orders_by_nation": q_orders_by_nation,
@@ -2996,6 +3015,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct, "
             "CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS hhi "
             "FROM c GROUP BY user_id"
+        ),
+        "chisq_event_mix_user": (
+            # terms in ascending event_type order, matching the engine's fold;
+            # HUGEINT holds (o*N - n*c)^2 to ~10^9 rows — the engine's
+            # Python-int fold is exact at any scale (see group_chisq docstring)
+            "WITH g AS (SELECT event_type, count(*)::HUGEINT AS c FROM events GROUP BY 1), "
+            "tot AS (SELECT sum(c) AS bign, "
+            + ", ".join(
+                f"max(CASE WHEN event_type='{t}' THEN c END) AS c_{t}"
+                for t in sorted(_EVENT_TYPES)
+            )
+            + " FROM g), "
+            "u AS (SELECT user_id, count(*)::HUGEINT AS n, "
+            + ", ".join(
+                f"count(*) FILTER (event_type='{t}')::HUGEINT AS o_{t}"
+                for t in sorted(_EVENT_TYPES)
+            )
+            + " FROM events GROUP BY 1) "
+            "SELECT user_id, n::BIGINT AS n, "
+            + " + ".join(
+                f"CAST((o_{t}*bign - n*c_{t})*(o_{t}*bign - n*c_{t}) AS DOUBLE)"
+                f"/CAST(n*c_{t}*bign AS DOUBLE)"
+                for t in sorted(_EVENT_TYPES)
+            )
+            + " AS chisq FROM u, tot"
         ),
         "ttr_docs": (
             "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words, "

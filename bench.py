@@ -266,6 +266,10 @@ def run_headline() -> dict:
                 "events_halves_intersect",  # distributed INTERSECT (row-hash shuffle)
                 "events_resampled_6h",  # gap-filled forward-fill resample
                 "moments_lineitem",  # overflow-proof exact second moments
+                "twap_events_user",  # two-phase exact time-weighted average
+                "hhi_event_types_user",  # pair-combiner concentration index
+                "chisq_event_mix_user",  # exact-int distribution-drift score
+                "ttr_docs",  # zero-shuffle lexical diversity
             ):
                 # min of 2 reps: a single timing is hostage to whatever
                 # else the box is doing (round-4's driver record showed

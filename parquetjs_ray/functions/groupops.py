@@ -35,6 +35,7 @@ __all__ = [
     "group_approx_distinct",
     "group_regression",
     "group_hhi",
+    "group_chisq",
 ]
 
 
@@ -705,31 +706,63 @@ def group_hhi(ds, key_col: str, val_col: str):
     duplication-concentration diagnostic (hhi = Σ(cᵢ/n)² ∈ (0, 1];
     1 = all rows share one value, 1/n_distinct = perfectly uniform).
 
-    Shape: per-batch (key, value) count combiner → ONE pair-keyed Sum
-    shuffle (volume = distinct pairs per batch, rows never move) → a
-    per-key fold over that pair residue. Σcᵢ² is folded in PYTHON INTS
-    (exact at any corpus size; cᵢ² outgrows int64 past ~3·10⁹ rows per
-    value) and ``hhi`` is exactly ONE float division of two exact
-    integers — both sides correctly rounded — so the double hash-matches
-    SQL ``CAST(sum(c*c) AS DOUBLE)/CAST(sum(c)*sum(c) AS DOUBLE)``
-    bit-for-bit. Per-key group size is bounded by the value DOMAIN
-    (distinct values per key), never the key's row count."""
+    Shape — rows never shuffle and NO per-key ``map_groups``: per-batch
+    (key, value) count combiner → one pair-keyed Sum shuffle (volume =
+    distinct pairs per batch) → a per-batch per-key partial over the
+    pair residue — each exact c² (Python ints; c² outgrows int64 past
+    ~3·10⁹ rows per value) split into three ≤31-bit limbs — → one
+    key-keyed Sum shuffle of the 5-int partials → a stateless finalize
+    reassembling Σc² in Python ints. Limb sums stay inside int64 up to
+    ~4·10⁹ blocks (≈10¹⁴ rows at 32k-row blocks). ``hhi`` is exactly ONE
+    float division of two exact integers — both sides correctly rounded
+    — so the double hash-matches SQL
+    ``CAST(sum(c*c) AS DOUBLE)/CAST(sum(c)*sum(c) AS DOUBLE)``
+    bit-for-bit."""
     from ray.data.aggregate import Sum
 
     def pair_counts(b: pa.Table) -> pa.Table:
         t = pa.table({key_col: b[key_col], val_col: b[val_col]})
         return t.group_by([key_col, val_col]).aggregate([([], "count_all")])
 
-    def fold(g: pa.Table) -> pa.Table:
-        cs = [int(c) for c in g["c"].to_pylist()]
-        n = sum(cs)
-        ssq = sum(c * c for c in cs)
+    def partials(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        sq = c * c  # exact PyInts
+        a = sq >> 124  # always 0 below 2^62 rows/value; loud guard otherwise
+        if a.any():
+            raise ValueError("per-value count exceeds 2^62 rows")
+        hi2 = sq >> 62
+        rem = sq - (hi2 << 62)
+        hi1 = rem >> 31
+        lo = rem - (hi1 << 31)
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "__n": b["c"],
+                "__nd": pa.array(np.ones(len(c), np.int64)),
+                "__sq2": pa.array(hi2.astype(np.int64)),
+                "__sq1": pa.array(hi1.astype(np.int64)),
+                "__sq0": pa.array(lo.astype(np.int64)),
+            }
+        )
+        return t.group_by([key_col]).aggregate(
+            [(c_, "sum") for c_ in ("__n", "__nd", "__sq2", "__sq1", "__sq0")]
+        )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["__n_sum"].to_pylist()
+        s2 = b["__sq2_sum"].to_pylist()
+        s1 = b["__sq1_sum"].to_pylist()
+        s0 = b["__sq0_sum"].to_pylist()
+        hhi = [
+            float((int(a2) << 62) + (int(a1) << 31) + int(a0)) / float(int(m) * int(m))
+            for m, a2, a1, a0 in zip(n, s2, s1, s0)
+        ]
         return pa.table(
             {
-                key_col: g[key_col].slice(0, 1),
-                "n": pa.array([n], pa.int64()),
-                "n_distinct": pa.array([len(cs)], pa.int64()),
-                "hhi": pa.array([float(ssq) / float(n * n)], pa.float64()),
+                key_col: b[key_col],
+                "n": b["__n_sum"],
+                "n_distinct": b["__nd_sum"],
+                "hhi": pa.array(hhi, pa.float64()),
             }
         )
 
@@ -738,6 +771,73 @@ def group_hhi(ds, key_col: str, val_col: str):
         .map_batches(pair_counts, batch_format="pyarrow")
         .groupby([key_col, val_col])
         .aggregate(Sum("count_all", alias_name="c"))
+        .map_batches(partials, batch_format="pyarrow")
         .groupby(key_col)
-        .map_groups(fold, batch_format="pyarrow")
+        .aggregate(
+            Sum("__n_sum", alias_name="__n_sum"),
+            Sum("__nd_sum", alias_name="__nd_sum"),
+            Sum("__sq2_sum", alias_name="__sq2_sum"),
+            Sum("__sq1_sum", alias_name="__sq1_sum"),
+            Sum("__sq0_sum", alias_name="__sq0_sum"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def group_chisq(ds, key_col: str, val_col: str):
+    """χ² divergence of each key's ``val_col`` distribution from the
+    CORPUS distribution → ``(key, n, chisq)`` — the distribution-drift /
+    anomalous-source diagnostic (0 = the key's mix matches the corpus).
+
+    Exact-integer formulation: with per-key observed counts o_t, key
+    total n, global counts c_t and corpus total N, each term
+    ``(o_t − n·c_t/N)²/(n·c_t/N)`` is rewritten as
+    ``(o_t·N − n·c_t)² / (n·c_t·N)`` — numerator and denominator are
+    EXACT Python ints (outgrow int64/HUGEINT at corpus scale; the SQL
+    oracle form holds to ~10^9 rows, the engine to any size), each term
+    is ONE float division, and terms fold in ASCENDING value order —
+    so the double hash-matches the explicit SQL expression bit-for-bit.
+
+    Shape: one domain-sized global aggregate (tiny, driver-held, shipped
+    in the task closure), then the :func:`group_hhi` pair-combiner plan —
+    per-batch (key, value) counts, one pair Sum shuffle, per-key fold
+    bounded by the value DOMAIN. Values absent for a key still
+    contribute their expected-count term, as χ² requires."""
+    from ray.data.aggregate import Sum
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col], val_col: b[val_col]})
+        return t.group_by([key_col, val_col]).aggregate([([], "count_all")])
+
+    pairs = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(pair_counts, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .materialize()  # reused by the global fold and the per-key fold
+    )
+
+    gl = (
+        pairs.groupby(val_col).aggregate(Sum("c", alias_name="n")).take_all()
+    )  # domain-sized: one row per distinct value in the corpus
+    global_counts = {r[val_col]: int(r["n"]) for r in gl}
+    domain = sorted(global_counts)  # deterministic term order
+    big_n = sum(global_counts.values())
+
+    def fold(g: pa.Table) -> pa.Table:
+        obs = dict(zip(g[val_col].to_pylist(), (int(c) for c in g["c"].to_pylist())))
+        n = sum(obs.values())
+        chisq = 0.0
+        for v in domain:  # ascending-value order on BOTH sides
+            ct = global_counts[v]
+            d = obs.get(v, 0) * big_n - n * ct
+            chisq += float(d * d) / float(n * ct * big_n)
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "chisq": pa.array([chisq], pa.float64()),
+            }
+        )
+
+    return pairs.groupby(key_col).map_groups(fold, batch_format="pyarrow")

@@ -776,7 +776,6 @@ def twap_per_group(
     val: str = "value",
     order_id: str = "event_id",
     val_scale: int = 2,
-    bucket_us: int = 86_400_000_000,
 ) -> rd.Dataset:
     """Time-weighted average per key → ``(key, n_events, twap)``: each
     event's value holds until the key's next event, so
@@ -787,24 +786,26 @@ def twap_per_group(
 
     EXACT at any corpus size: values are lifted to integers
     (``round(v·10^scale)``, verified exact per value — never silently
-    rounded), every v·Δt product is split into 31-bit halves whose
-    per-bucket sums fold in PYTHON INTS, and ``twap`` is exactly ONE
-    float division of two exact integers — so the double hash-matches
-    the SQL ``CAST(sum(v*(tn-t)) AS DOUBLE)/CAST(sum(tn-t)*10^s AS
-    DOUBLE)`` window expression bit-for-bit.
+    rounded), every v·Δt product is split into 31-bit halves summed in
+    PYTHON INTS per run, and ``twap`` is exactly ONE float division of
+    two exact integers — so the double hash-matches the SQL
+    ``CAST(sum(v*(tn-t)) AS DOUBLE)/CAST(sum(tn-t)*10^s AS DOUBLE)``
+    window expression bit-for-bit.
 
-    Hot-key-proof two-phase like :func:`lag_deltas`: intervals only
-    couple CONSECUTIVE events, so phase 1 resolves all intra-bucket
-    intervals inside ``groupby (key, ts // bucket_us)`` (group size
-    bounded by the bucket span) and emits ONE summary row per non-empty
-    (key, bucket) — (num, den, n, first/last ts, last value); phase 2
-    folds each key's bucket summaries (bounded by the time span, never
-    event volume) adding the cross-bucket intervals."""
-    import pyarrow.compute as pc
-
+    Shape: ONE range-partitioned global sort by (key, ts, order_id),
+    then a fully VECTORIZED per-block pass resolves every intra-block
+    interval and emits one summary row per (key, block-run) — kilobytes
+    per block, ~block_size× smaller than the input — and a per-key fold
+    over the summaries adds the run-to-run intervals (correct under ANY
+    block split: the interval chain is associative, so fold order by
+    (first_ts, first_id) reproduces the exact pair sum). Never a
+    per-(key, day) group: a hot key costs one summary row per block it
+    touches, never its event history in one task. (If ONE key owns most
+    of a 10^12-row corpus its summary list is still rows/block_size —
+    re-apply the same fold hierarchically in that regime.)"""
     _MASK31 = (1 << 31) - 1
 
-    def bucketize(batch: pa.Table) -> pa.Table:
+    def project(batch: pa.Table) -> pa.Table:
         epoch = batch[ts].cast(pa.int64())
         v = batch[val].combine_chunks().to_numpy(zero_copy_only=False)
         f = 10.0**val_scale
@@ -816,50 +817,78 @@ def twap_per_group(
         return pa.table(
             {
                 key: batch[key],
-                "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
                 "__ts": epoch,
                 "__id": batch[order_id].cast(pa.int64()),
                 "__v": pa.array(vi),
             }
         )
 
-    def local(g: pd.DataFrame) -> pd.DataFrame:
-        t = g["__ts"].to_numpy().astype(np.int64)
-        i = g["__id"].to_numpy().astype(np.int64)
-        v = g["__v"].to_numpy().astype(np.int64)
-        o = np.lexsort((i, t))
-        t, v = t[o], v[o]
-        d = t[1:] - t[:-1]  # ≤ bucket span each; Σ ≤ bucket span
+    def local(b: pa.Table) -> pa.Table:
+        # the block arrives globally sorted by (key, __ts, __id)
+        k = b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray) else b[key]
+        t = b["__ts"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b["__id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["__v"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    key: k,
+                    "__num": pa.array([], pa.string()),
+                    "__den": pa.array([], pa.int64()),
+                    "__n": pa.array([], pa.int64()),
+                    "__first_ts": pa.array([], pa.int64()),
+                    "__first_id": pa.array([], pa.int64()),
+                    "__last_ts": pa.array([], pa.int64()),
+                    "__last_v": pa.array([], pa.int64()),
+                }
+            )
+        codes = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [n]))
+        d = t[1:] - t[:-1]
         vh = v[:-1]
-        num = (int(np.add.reduce((vh * (d >> 31)).astype(object), initial=0)) << 31) + int(
-            np.add.reduce((vh * (d & _MASK31)).astype(object), initial=0)
-        )
-        return pd.DataFrame(
+        nums, dens = [], []
+        for s, e in zip(starts, ends):  # loop over RUNS (keys per block), not rows
+            if e - s >= 2:
+                dd, vv = d[s : e - 1], vh[s : e - 1]
+                num = (
+                    int(np.add.reduce((vv * (dd >> 31)).astype(object), initial=0)) << 31
+                ) + int(np.add.reduce((vv * (dd & _MASK31)).astype(object), initial=0))
+                den = int(np.add.reduce(dd.astype(object), initial=0))
+            else:
+                num, den = 0, 0
+            nums.append(str(num))
+            dens.append(den)
+        return pa.table(
             {
-                key: [g[key].iloc[0]],
-                "__b": [int(g["__b"].iloc[0])],
-                "__num": [str(num)],  # exceeds int64 at scale; decimal string
-                "__den": [int(d.sum(dtype=np.int64))],
-                "__n": [len(t)],
-                "__first_ts": [int(t[0])],
-                "__last_ts": [int(t[-1])],
-                "__last_v": [int(v[-1])],
+                key: k.take(pa.array(starts)),
+                "__num": pa.array(nums, pa.string()),
+                "__den": pa.array(dens, pa.int64()),
+                "__n": pa.array((ends - starts).astype(np.int64)),
+                "__first_ts": pa.array(t[starts]),
+                "__first_id": pa.array(i[starts]),
+                "__last_ts": pa.array(t[ends - 1]),
+                "__last_v": pa.array(v[ends - 1]),
             }
         )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("__b")
+        g = g.sort_values(["__first_ts", "__first_id"], kind="stable")
         n = int(g["__n"].sum())
         if n < 2:
             return pd.DataFrame({key: [], "n_events": [], "twap": []}).astype(
                 {key: g[key].dtype, "n_events": np.int64, "twap": np.float64}
             )
         num = sum(int(s) for s in g["__num"])
-        den = int(g["__den"].sum())
+        den = int(g["__den"].astype(object).sum())
         first_ts = g["__first_ts"].to_numpy().astype(np.int64)
         last_ts = g["__last_ts"].to_numpy().astype(np.int64)
         last_v = g["__last_v"].to_numpy().astype(np.int64)
-        for j in range(1, len(g)):  # cross-bucket intervals (≤ buckets per key)
+        for j in range(1, len(g)):  # run-to-run intervals (≤ blocks per key)
             dur = int(first_ts[j]) - int(last_ts[j - 1])
             num += int(last_v[j - 1]) * dur
             den += dur
@@ -870,9 +899,9 @@ def twap_per_group(
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby([key, "__b"])
-        .map_groups(local, batch_format="pandas")
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort([key, "__ts", "__id"])
+        .map_batches(local, batch_format="pyarrow")
         .groupby(key)
         .map_groups(fold, batch_format="pandas")
     )

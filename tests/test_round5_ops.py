@@ -1586,10 +1586,10 @@ def test_twap_per_group_edge_cases(ray_session):
     assert rows[3]["n_events"] == 3 and rows[3]["twap"] == 15.0
 
 
-def test_twap_per_group_hot_key_bounded_groups(ray_session):
-    """One user owning every event still works with a day-bucket phase 1:
-    per-group rows are bounded by the bucket span, and the result is
-    identical to a tiny-bucket run (bucket-boundary invariance)."""
+def test_twap_per_group_hot_key_block_split_invariant(ray_session):
+    """One user owning every event: phase 1 resolves intervals per BLOCK
+    of the global sort, so no task ever materializes the key's history,
+    and the exact result is invariant to where the block splits fall."""
     import ray.data as rd
 
     from parquetjs_ray.functions.windows import twap_per_group
@@ -1608,9 +1608,7 @@ def test_twap_per_group_hot_key_bounded_groups(ray_session):
         }
     )
     a = twap_per_group(rd.from_arrow(t).repartition(8)).take_all()
-    b = twap_per_group(
-        rd.from_arrow(t).repartition(8), bucket_us=3_600_000_000
-    ).take_all()
+    b = twap_per_group(rd.from_arrow(t).repartition(37)).take_all()
     assert len(a) == len(b) == 1
     assert a[0]["twap"] == b[0]["twap"] and a[0]["n_events"] == n
 
@@ -1672,3 +1670,49 @@ def test_ttr_batch_matches_duckdb_and_is_collision_free(ray_session):
         "CAST(len(string_split(text,' ')) AS DOUBLE) ttr FROM t ORDER BY doc_id"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_group_chisq_matches_duckdb_bitexact(ray_session):
+    """Randomized label mixes incl. keys missing domain values entirely
+    (their expected-count terms must still contribute)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_chisq
+
+    rng = np.random.default_rng(19)
+    n = 5000
+    types = ["a", "b", "c", "dd"]
+    # skewed per-key mixes; key 0 only ever emits 'a' (missing 3 domain values)
+    ks = rng.integers(0, 17, n).astype("int64")
+    vs = np.array(types, object)[rng.integers(0, 4, n)]
+    vs[ks == 0] = "a"
+    t = pa.table({"k": pa.array(ks), "v": pa.array(vs.tolist())})
+    got = (
+        group_chisq(rd.from_arrow(t).repartition(5), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    terms = " + ".join(
+        f"CAST((o_{x}*bign - n*c_{x})*(o_{x}*bign - n*c_{x}) AS DOUBLE)"
+        f"/CAST(n*c_{x}*bign AS DOUBLE)"
+        for x in sorted(types)
+    )
+    obs = ", ".join(
+        f"count(*) FILTER (v='{x}')::HUGEINT AS o_{x}" for x in sorted(types)
+    )
+    gcs = ", ".join(
+        f"max(CASE WHEN v='{x}' THEN c END) AS c_{x}" for x in sorted(types)
+    )
+    want = duckdb.sql(
+        f"WITH g AS (SELECT v, count(*)::HUGEINT c FROM t GROUP BY 1), "
+        f"tot AS (SELECT sum(c) AS bign, {gcs} FROM g), "
+        f"u AS (SELECT k, count(*)::HUGEINT n, {obs} FROM t GROUP BY 1) "
+        f"SELECT k, n::BIGINT AS n, {terms} AS chisq FROM u, tot ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # the all-'a' key diverges far more than any mixed key
+    row0 = got[got["k"] == 0]["chisq"].iloc[0]
+    assert row0 > got[got["k"] != 0]["chisq"].max()

@@ -1347,6 +1347,21 @@ def q_cube_docs(sf_dir: str):
     )
 
 
+def q_grouping_sets_docs(sf_dir: str):
+    """GROUP BY GROUPING SETS((source, lang), (lang), ()) — exactly the
+    requested sets (a non-prefix, non-cube selection) in ONE scan with
+    per-batch partials per set; ``lvl`` reproduces SQL GROUPING()
+    (``functions/groupops.py:grouping_sets_aggregate``)."""
+    from parquetjs_ray.functions.groupops import grouping_sets_aggregate
+
+    return grouping_sets_aggregate(
+        _docs(sf_dir).select_columns(["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        [("source", "lang"), ("lang",), ()],
+        value="n_chars",
+    )
+
+
 def q_unpivot_event_types(sf_dir: str):
     """PIVOT → UNPIVOT round trip: the wide per-user event-type counts
     melt back to sparse long rows, shuffle-free and vectorized —
@@ -2427,7 +2442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "regression_lineitem": q_regression_lineitem,
         "simhash_dedup_docs": q_simhash_dedup_docs,
-        "embedding_near_dup": q_embedding_near_dup,
+        "grouping_sets_docs": q_grouping_sets_docs,
         "ttr_docs": q_ttr_docs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "source_quantiles_cont": q_source_quantiles_cont,
@@ -2478,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_range_scan": q_events_time_range_scan,
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
         "orders_by_nation": q_orders_by_nation,
@@ -2899,6 +2915,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_v "
             "FROM documents GROUP BY CUBE(source, lang)"
+        ),
+        "grouping_sets_docs": (
+            "SELECT source, lang, "
+            "CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS lvl, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_v "
+            "FROM documents GROUP BY GROUPING SETS ((source, lang), (lang), ())"
         ),
         "unpivot_event_types": (
             "SELECT user_id, 'n_' || event_type AS event_col, "

@@ -36,6 +36,7 @@ __all__ = [
     "group_regression",
     "group_hhi",
     "group_chisq",
+    "grouping_sets_aggregate",
 ]
 
 
@@ -841,3 +842,70 @@ def group_chisq(ds, key_col: str, val_col: str):
         )
 
     return pairs.groupby(key_col).map_groups(fold, batch_format="pyarrow")
+
+
+def grouping_sets_aggregate(ds, keys: list[str], sets: list[tuple[str, ...]], *, value: str):
+    """Arbitrary ``GROUP BY GROUPING SETS(...)`` — COUNT and SUM(value)
+    at exactly the requested grouping sets (each a subset of ``keys``) —
+    in ONE pass over the data; the general form of
+    :func:`rollup_aggregate` (trailing prefixes) and
+    :func:`cube_aggregate` (all 2^k subsets).
+
+    Each batch emits in-batch partials for every requested set, so the
+    corpus is read once and the single shuffle carries ``len(sets) ×
+    distinct combos`` partial rows. Rolled-up key slots ride the shuffle
+    as a NUL-byte sentinel and come back as real NULLs; ``lvl``
+    reproduces the SQL ``GROUPING(keys...)`` bitmask (last key =
+    least-significant bit), so a DuckDB ``GROUP BY GROUPING SETS``
+    reproduces the output bit-for-bit. Duplicate sets are rejected
+    (SQL would emit duplicate rows; this engine keys the shuffle on
+    ``lvl`` so they would silently merge instead — loud beats wrong).
+
+    ``keys`` must be string columns; ``value`` an integer column.
+    Output: ``keys..., lvl, n, sum_v``."""
+    from ray.data.aggregate import Sum
+
+    nk = len(keys)
+    masks = []
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} references unknown keys {unknown}")
+        masks.append(sum(1 << (nk - 1 - i) for i, k in enumerate(keys) if k not in s))
+    if len(set(masks)) != len(masks):
+        raise ValueError("duplicate grouping sets")
+
+    def partials(b: pa.Table) -> pa.Table:
+        outs = []
+        for mask in masks:
+            cols = {}
+            for i, k in enumerate(keys):
+                if mask & (1 << (nk - 1 - i)):
+                    cols[k] = pa.array(
+                        np.full(b.num_rows, _ROLLUP_SENTINEL, object), pa.string()
+                    )
+                else:
+                    cols[k] = b[k]
+            t = pa.table({**cols, "__v": b[value].cast(pa.int64())})
+            g = t.group_by(keys).aggregate([("__v", "sum"), ([], "count_all")])
+            g = g.append_column("__lvl", pa.array(np.full(g.num_rows, mask, np.int64)))
+            outs.append(g.select(keys + ["__lvl", "__v_sum", "count_all"]))
+        return pa.concat_tables(outs)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(keys + ["__lvl"])
+        .aggregate(Sum("count_all", alias_name="n"), Sum("__v_sum", alias_name="sum_v"))
+    )
+
+    def unsentinel(b: pa.Table) -> pa.Table:
+        for k in keys:
+            col = pc.if_else(
+                pc.equal(b[k], _ROLLUP_SENTINEL), pa.scalar(None, pa.string()), b[k]
+            )
+            b = b.set_column(b.schema.get_field_index(k), k, col)
+        return b.select(keys + ["__lvl", "n", "sum_v"]).rename_columns(
+            keys + ["lvl", "n", "sum_v"]
+        )
+
+    return agg.map_batches(unsentinel, batch_format="pyarrow")

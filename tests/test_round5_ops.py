@@ -1716,3 +1716,43 @@ def test_group_chisq_matches_duckdb_bitexact(ray_session):
     # the all-'a' key diverges far more than any mixed key
     row0 = got[got["k"] == 0]["chisq"].iloc[0]
     assert row0 > got[got["k"] != 0]["chisq"].max()
+
+
+def test_grouping_sets_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import grouping_sets_aggregate
+
+    t = _docs_table(1800, 4, 30)
+    got = (
+        grouping_sets_aggregate(
+            rd.from_arrow(t).repartition(5),
+            ["source"],
+            [("source",), ()],
+            value="n_chars",
+        )
+        .to_pandas()
+        .sort_values(["lvl", "source"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT source, CAST(grouping(source) AS BIGINT) lvl, "
+        "CAST(count(*) AS BIGINT) n, CAST(sum(n_chars) AS BIGINT) sum_v "
+        "FROM t GROUP BY GROUPING SETS ((source), ()) ORDER BY lvl, source"
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_exact=True)
+
+
+def test_grouping_sets_rejects_bad_sets(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import grouping_sets_aggregate
+
+    t = _docs_table(10)
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="unknown keys"):
+        grouping_sets_aggregate(ds, ["source"], [("nope",)], value="n_chars")
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_aggregate(ds, ["source"], [("source",), ("source",)], value="n_chars")

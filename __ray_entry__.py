@@ -1347,6 +1347,21 @@ def q_cube_docs(sf_dir: str):
     )
 
 
+def q_vocab_coverage_docs(sf_dir: str):
+    """Smallest vocabulary covering ≥99.9% of corpus token mass
+    (tokenizer-vocab truncation): word-count combiner shuffle, kilobyte
+    per-cnt histogram folded on the driver, stateless keep above the
+    boundary class + a top-k combiner inside it — never a global sort,
+    all-integer semantics → SQL-window hash-exact
+    (``functions/df.py:vocab_coverage``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.df import vocab_coverage
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return vocab_coverage(ds, 999, 1000)
+
+
 def q_grouping_sets_docs(sf_dir: str):
     """GROUP BY GROUPING SETS((source, lang), (lang), ()) — exactly the
     requested sets (a non-prefix, non-cube selection) in ONE scan with
@@ -2441,7 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — r03-verified but absent from CORRECTNESS_r04 —
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "regression_lineitem": q_regression_lineitem,
-        "simhash_dedup_docs": q_simhash_dedup_docs,
+        "vocab_coverage_docs": q_vocab_coverage_docs,
         "grouping_sets_docs": q_grouping_sets_docs,
         "ttr_docs": q_ttr_docs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
@@ -2494,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ——— position 51+: unchanged, hash-exact in CORRECTNESS_r03/r04 ———
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
+        "simhash_dedup_docs": q_simhash_dedup_docs,
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
         "orders_by_nation": q_orders_by_nation,
@@ -2915,6 +2931,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_v "
             "FROM documents GROUP BY CUBE(source, lang)"
+        ),
+        "vocab_coverage_docs": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), "
+            "c AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1), "
+            "t AS (SELECT sum(cnt)::HUGEINT AS total FROM c) "
+            "SELECT word, cnt FROM c, t "
+            "QUALIFY (sum(cnt) OVER (ORDER BY cnt DESC, word) - cnt)::HUGEINT "
+            "< (total * 999) // 1000"
         ),
         "grouping_sets_docs": (
             "SELECT source, lang, "

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-__all__ = ["doc_distinct_words", "df_score", "bm25_topk"]
+__all__ = ["doc_distinct_words", "df_score", "bm25_topk", "vocab_coverage"]
 
 
 def doc_distinct_words(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -206,3 +206,95 @@ def bm25_topk(
         .groupby("__one")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def vocab_coverage(
+    ds: rd.Dataset,
+    coverage_num: int,
+    coverage_den: int,
+    *,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """The smallest vocabulary covering ≥ ``coverage_num/coverage_den``
+    of the corpus' token mass → ``(word, cnt)`` — tokenizer-vocab
+    truncation / OOV-budget planning. Exact SQL semantics: keep words in
+    ``(cnt DESC, word ASC)`` order while the EXCLUSIVE running mass is
+    still below ``floor(total·num/den)`` (all integer arithmetic, so the
+    result hash-matches the SQL window form bit-for-bit).
+
+    No global sort, no corpus-sized driver state — the two-phase
+    histogram trick of :func:`~parquetjs_ray.functions.order.global_order`
+    with the twist that ordering BY the count itself makes every tie
+    class a cnt class:
+
+    1. word counts ride the standard per-batch combiner → one
+       ``groupby(word)`` Sum shuffle (vocabulary-sized);
+    2. a per-cnt histogram (cnt → n_words, tiny: distinct count VALUES,
+       ~√corpus under Zipf) folds on the driver in cnt-descending order
+       to locate the single BOUNDARY class c* and how many of its words
+       ``k`` fit (every word of a class with cum_before < threshold and
+       class end ≤ threshold keeps statelessly);
+    3. classes above c* filter statelessly; the boundary class takes its
+       first ``k`` words in word order via the
+       :func:`~parquetjs_ray.functions.groupops.group_top_k` combiner
+       (≤ k words per batch ever shuffle).
+    """
+    from ray.data.aggregate import Sum
+
+    from .groupops import group_top_k
+
+    if not (0 < coverage_num <= coverage_den):
+        raise ValueError("coverage must be in (0, 1]")
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        text = batch[text_col].combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        t = pa.table({"word": flat})
+        return t.group_by(["word"]).aggregate([([], "count_all")])
+
+    vocab = (
+        ds.map_batches(word_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("count_all", alias_name="cnt"))
+        .materialize()  # reused by the histogram and both keep paths
+    )
+
+    def cnt_hist(b: pa.Table) -> pa.Table:
+        return pa.table({"cnt": b["cnt"]}).group_by(["cnt"]).aggregate(
+            [([], "count_all")]
+        )
+
+    hist = (
+        vocab.map_batches(cnt_hist, batch_format="pyarrow")
+        .groupby("cnt")
+        .aggregate(Sum("count_all", alias_name="n_words"))
+        .take_all()
+    )  # distinct count values — kilobytes under any realistic Zipf corpus
+    hist.sort(key=lambda r: -int(r["cnt"]))
+    total = sum(int(r["cnt"]) * int(r["n_words"]) for r in hist)
+    threshold = (total * coverage_num) // coverage_den
+
+    cum = 0
+    c_star, k_star = None, 0
+    for r in hist:
+        c, nw = int(r["cnt"]), int(r["n_words"])
+        if cum + c * nw >= threshold:  # boundary class: take ceil((threshold-cum)/c) words
+            need = threshold - cum
+            c_star = c
+            k_star = -(-need // c) if need > 0 else 0
+            break
+        cum += c * nw
+    if c_star is None:  # coverage == 1 with exact-total threshold: keep all
+        return vocab
+
+    whole = vocab.filter(expr=f"cnt > {c_star}")
+    if k_star == 0:
+        return whole
+    boundary = vocab.filter(expr=f"cnt == {c_star}").map_batches(
+        lambda b: b.append_column("__one", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    head = group_top_k(
+        boundary, "__one", "word", k_star, tiebreak_col="word", descending=False
+    ).map_batches(lambda b: b.drop_columns(["__one"]), batch_format="pyarrow")
+    return whole.union(head)

@@ -1756,3 +1756,38 @@ def test_grouping_sets_rejects_bad_sets(ray_session):
         grouping_sets_aggregate(ds, ["source"], [("nope",)], value="n_chars")
     with pytest.raises(ValueError, match="duplicate"):
         grouping_sets_aggregate(ds, ["source"], [("source",), ("source",)], value="n_chars")
+
+
+def test_vocab_coverage_matches_duckdb(ray_session):
+    """Randomized Zipf-ish vocabulary with a forced multi-word tie class
+    at the boundary; plus the coverage=1 (keep-all) edge."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.df import vocab_coverage
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    # Zipf-ish: word i appears ~1200/(i+1) times; many 1-count ties at the tail
+    words = []
+    for i, w in enumerate(vocab):
+        words += [w] * max(1, 1200 // (i + 1))
+    rng.shuffle(words)
+    texts = [" ".join(words[i::40]) for i in range(40)]  # 40 docs partition the bag
+    t = pa.table({"text": texts})
+    for num, den in ((8, 10), (999, 1000), (1, 1), (1, 10**9)):
+        got = vocab_coverage(rd.from_arrow(t).repartition(7), num, den).to_pandas()
+        want = duckdb.sql(
+            "WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM t), "
+            "c AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1), "
+            "tt AS (SELECT sum(cnt)::HUGEINT AS total FROM c) "
+            "SELECT word, cnt FROM c, tt "
+            "QUALIFY (sum(cnt) OVER (ORDER BY cnt DESC, word) - cnt)::HUGEINT "
+            f"< (total * {num}) // {den} ORDER BY word"
+        ).df()
+        if len(want) == 0:
+            assert len(got) == 0  # tiny-coverage edge: empty on both sides
+            continue
+        got = got.sort_values("word").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1969,6 +1969,26 @@ def q_regression_lineitem(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def q_corr_lineitem(sf_dir: str):
+    """Per-group covariance + Pearson correlation from the exact big-int
+    moments: cov is one float division of exact ints; corr adds one
+    double multiply and ONE sqrt — all correctly-rounded IEEE ops on
+    both sides (sqrt is exactly rounded, unlike log/pow), so the doubles
+    hash-match the SQL expression bit-for-bit
+    (``functions/groupops.py:group_corr``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_corr
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return group_corr(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice", x_scale=0, y_scale=2
+    ).sort("l_returnflag")
+
+
 def q_moments_lineitem(sf_dir: str):
     """Exact second moments (covariance/correlation sufficient stats)
     per l_returnflag over quantity × price-in-cents: per-(key,batch)
@@ -2454,7 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — semantics changed this session —
         "dedup_incremental_docs": q_dedup_incremental_docs,
         # — r03-verified but absent from CORRECTNESS_r04 —
-        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "corr_lineitem": q_corr_lineitem,
         "regression_lineitem": q_regression_lineitem,
         "vocab_coverage_docs": q_vocab_coverage_docs,
         "grouping_sets_docs": q_grouping_sets_docs,
@@ -2510,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_dedup_docs": q_simhash_dedup_docs,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
         "orders_by_nation": q_orders_by_nation,
@@ -3213,6 +3234,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n*sx2 - sx*sx = 0 THEN NULL ELSE "
             " (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sx2 - sx*sx AS DOUBLE)) "
             "  * CAST(sx AS DOUBLE)) / n END AS intercept "
+            "FROM m ORDER BY l_returnflag"
+        ),
+        "corr_lineitem": (
+            "WITH t AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x, "
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), "
+            "m AS (SELECT l_returnflag, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy, "
+            " sum(x*y) AS sxy, sum(x*x) AS sx2, sum(y*y) AS sy2 FROM t GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS cov_pop, "
+            "CASE WHEN n*sx2 - sx*sx = 0 OR n*sy2 - sy*sy = 0 THEN NULL ELSE "
+            " CAST(n*sxy - sx*sy AS DOUBLE) / "
+            " sqrt(CAST(n*sx2 - sx*sx AS DOUBLE) * CAST(n*sy2 - sy*sy AS DOUBLE)) END AS corr "
             "FROM m ORDER BY l_returnflag"
         ),
         "moments_lineitem": (

@@ -37,6 +37,7 @@ __all__ = [
     "group_hhi",
     "group_chisq",
     "grouping_sets_aggregate",
+    "group_corr",
 ]
 
 
@@ -909,3 +910,56 @@ def grouping_sets_aggregate(ds, keys: list[str], sets: list[tuple[str, ...]], *,
         )
 
     return agg.map_batches(unsentinel, batch_format="pyarrow")
+
+
+def group_corr(
+    ds,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 0,
+    y_scale: int = 0,
+):
+    """Per-group population covariance and Pearson correlation, SQL-exact:
+    ``(key, n, cov_pop, corr)`` with cov in SCALED integer units (undo
+    with 10^(x_scale+y_scale); corr is scale-invariant).
+
+    Derived from :func:`group_moments`' exact big-int sums.
+    ``cov_pop = double(nΣxy − ΣxΣy)/double(n²)`` is one float division
+    of exact ints; ``corr`` additionally multiplies the two exact
+    variance terms as doubles and takes ONE square root — every step
+    (int→double conversion, ×, sqrt, ÷) is a single correctly-rounded
+    IEEE-754 operation on both sides (sqrt IS exactly rounded, unlike
+    log/pow), so the doubles hash-match the same SQL expression
+    bit-for-bit. ``corr`` is NULL when either variance is zero."""
+    import math
+
+    def derive(t: pa.Table) -> pa.Table:
+        ns = t["n"].to_pylist()
+        sx = [int(s) for s in t["sum_x"].to_pylist()]
+        sy = [int(s) for s in t["sum_y"].to_pylist()]
+        sxy = [int(s) for s in t["sum_xy"].to_pylist()]
+        sx2 = [int(s) for s in t["sum_x2"].to_pylist()]
+        sy2 = [int(s) for s in t["sum_y2"].to_pylist()]
+        covs, corrs = [], []
+        for n, a, b, ab, a2, b2 in zip(ns, sx, sy, sxy, sx2, sy2):
+            num = n * ab - a * b
+            covs.append(float(num) / float(n * n))
+            vx, vy = n * a2 - a * a, n * b2 - b * b
+            if vx == 0 or vy == 0:
+                corrs.append(None)
+            else:
+                corrs.append(float(num) / math.sqrt(float(vx) * float(vy)))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "n": t["n"],
+                "cov_pop": pa.array(covs, pa.float64()),
+                "corr": pa.array(corrs, pa.float64()),
+            }
+        )
+
+    return group_moments(
+        ds, key_col, x_col, y_col, x_scale=x_scale, y_scale=y_scale
+    ).map_batches(derive, batch_format="pyarrow")

@@ -1791,3 +1791,41 @@ def test_vocab_coverage_matches_duckdb(ray_session):
             continue
         got = got.sort_values("word").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_group_corr_matches_duckdb_bitexact(ray_session):
+    """Pearson r + population covariance bit-equal to SQL (sqrt is a
+    correctly-rounded IEEE op), incl. a zero-variance group → NULL corr."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_corr
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    k = rng.integers(0, 7, n).astype("int64")
+    x = rng.integers(-500, 500, n).astype("int64")
+    y = (3 * x + rng.integers(-40, 40, n)).astype("float64") / 100.0  # 2-decimal, corr≈1
+    x = x.astype("float64")
+    k[:50] = 99  # degenerate group: constant x → NULL corr
+    x[:50] = 7.0
+    t = pa.table({"k": pa.array(k), "x": pa.array(x), "y": pa.array(np.round(y, 2))})
+    got = (
+        group_corr(rd.from_arrow(t).repartition(6), "k", "x", "y", x_scale=0, y_scale=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH s AS (SELECT k, CAST(round(x) AS BIGINT) x, CAST(round(y*100) AS BIGINT) y FROM t), "
+        "m AS (SELECT k, count(*)::BIGINT n, sum(x) sx, sum(y) sy, sum(x*y) sxy, "
+        " sum(x*x) sx2, sum(y*y) sy2 FROM s GROUP BY k) "
+        "SELECT k, n, CAST(n*sxy - sx*sy AS DOUBLE)/CAST(n*n AS DOUBLE) AS cov_pop, "
+        "CASE WHEN n*sx2-sx*sx = 0 OR n*sy2-sy*sy = 0 THEN NULL ELSE "
+        " CAST(n*sxy - sx*sy AS DOUBLE)/sqrt(CAST(n*sx2-sx*sx AS DOUBLE)*CAST(n*sy2-sy*sy AS DOUBLE)) END AS corr "
+        "FROM m ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert np.isnan(got[got["k"] == 99]["corr"].iloc[0])
+    assert got[got["k"] != 99]["corr"].min() > 0.99

@@ -1242,6 +1242,25 @@ def q_ttr_docs(sf_dir: str):
 
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
+# Ground-truth near-dup clusters (no LSH): all-pairs exact 5-gram Jaccard
+# >= 0.8 (integer compare, matching the pipeline's thr_milli arithmetic)
+# then transitive closure — shared by the minhash_dedup_docs and
+# dedup_keep_best_docs oracles.
+_MINHASH_CLUSTERS_CTE = (
+    "WITH RECURSIVE pos AS ("
+    " SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS i FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c "
+    " FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id), "
+    "pairs AS (SELECT i.a, i.b FROM inter i "
+    " JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id "
+    " WHERE 1000 * i.c >= 800 * (sa.n + sb.n - i.c)), "
+    "edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs), "
+    "reach AS (SELECT u, v FROM edges "
+    " UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+)
+
 
 def q_pivot_event_types(sf_dir: str):
     """Wide pivot aggregate (one count column per event type + n_other
@@ -1607,6 +1626,19 @@ def q_minhash_dedup_docs(sf_dir: str):
     from parquetjs_ray.functions.dedup import minhash_dedup
 
     return minhash_dedup(_docs(sf_dir), jaccard_threshold=0.8)
+
+
+def q_dedup_keep_best_docs(sf_dir: str):
+    """End-to-end near-dup curation ACTION: MinHash-LSH clusters → keep
+    the highest-quality (longest, ties → smallest id) doc per cluster,
+    unclustered docs survive via the Bloom-prefiltered anti semi-join;
+    winners reduce through the arg-extreme combiner — the cluster table
+    is never broadcast (``functions/dedup.py:dedup_keep_best``)."""
+    from parquetjs_ray.functions.dedup import dedup_keep_best, minhash_dedup
+
+    docs = _docs(sf_dir)
+    clusters = minhash_dedup(docs, jaccard_threshold=0.8)
+    return dedup_keep_best(docs, clusters)
 
 
 def q_simhash_docs(sf_dir: str):
@@ -2495,7 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dup_clusters": q_fuzzy_dup_clusters,
         "events_halves_intersect": q_events_halves_intersect,
         "events_halves_except_all": q_events_halves_except_all,
-        "audio_features": q_audio_features,
+        "dedup_keep_best_docs": q_dedup_keep_best_docs,
         "corpus_clean_encode": q_corpus_clean_encode,
         # — new this round (round 5) —
         "pivot_event_types": q_pivot_event_types,
@@ -2535,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_dedup_docs": q_simhash_dedup_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "audio_features": q_audio_features,
         "source_quantiles": q_source_quantiles,
         "top_words": q_top_words,
         "orders_by_nation": q_orders_by_nation,
@@ -3140,19 +3173,21 @@ def oracle_sql() -> dict[str, str]:
             # exact 5-gram Jaccard >= 0.8 (integer compare, matching the
             # pipeline's thr_milli arithmetic) then transitive closure;
             # matching it requires the LSH candidate stage to reach recall 1
-            "WITH RECURSIVE pos AS ("
-            " SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS i FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos), "
-            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c "
-            " FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id), "
-            "pairs AS (SELECT i.a, i.b FROM inter i "
-            " JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id "
-            " WHERE 1000 * i.c >= 800 * (sa.n + sb.n - i.c)), "
-            "edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs), "
-            "reach AS (SELECT u, v FROM edges "
-            " UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
-            "SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"
+            _MINHASH_CLUSTERS_CTE
+            + "SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u"
+        ),
+        "dedup_keep_best_docs": (
+            # same ground-truth clusters, then the keep policy: argmax
+            # n_chars (ties -> smallest doc_id) per cluster, plus every
+            # unclustered doc
+            _MINHASH_CLUSTERS_CTE
+            + ", cl AS (SELECT u AS doc_id, least(u, min(v)) AS cid FROM reach GROUP BY u), "
+            "win AS (SELECT doc_id FROM (SELECT cl.doc_id, row_number() OVER "
+            " (PARTITION BY cid ORDER BY d.n_chars DESC, cl.doc_id) AS rn "
+            " FROM cl JOIN documents d USING (doc_id)) WHERE rn = 1) "
+            "SELECT d.doc_id, d.n_chars FROM documents d "
+            "LEFT JOIN cl ON d.doc_id = cl.doc_id "
+            "WHERE cl.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM win)"
         ),
         "embedding_near_dup": (
             "SELECT x.vec_id AS a, y.vec_id AS b FROM embeddings x JOIN embeddings y "

@@ -42,6 +42,7 @@ __all__ = [
     "embedding_near_dup",
     "embedding_near_dup_exact",
     "fuzzy_dup_pairs",
+    "dedup_keep_best",
 ]
 
 _U = np.uint64
@@ -1419,3 +1420,50 @@ def fuzzy_dup_pairs(
         .groupby("__b")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+def dedup_keep_best(
+    docs: rd.Dataset,
+    clusters: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "n_chars",
+) -> rd.Dataset:
+    """The dedup ACTION a curation pipeline takes over near-dup clusters
+    (from :func:`minhash_dedup` / :func:`simhash_dedup` /
+    :func:`fuzzy_dup_pairs`+components): per cluster keep the single row
+    with the HIGHEST ``quality_col`` (ties → smallest ``id_col``); rows
+    in no cluster survive untouched. → ``(id_col, quality_col)``.
+
+    Scale shapes, never a broadcast of the cluster table (duplicates can
+    be a large fraction of a crawl): the assignment joins to the corpus
+    through the hash-bucketed :func:`~parquetjs_ray.functions.joins.equi_join`;
+    winners reduce via the :func:`~parquetjs_ray.functions.groupops.group_argextreme`
+    combiner (≤ 1 candidate row per (cluster, batch) moves); unclustered
+    survivors anti-join through the Bloom-prefiltered
+    :func:`~parquetjs_ray.functions.joins.semi_join`."""
+    from .groupops import group_argextreme
+    from .joins import equi_join, semi_join
+
+    if isinstance(clusters, pa.Table):  # e.g. minhash_dedup's result table
+        clusters = rd.from_arrow(clusters.select([id_col, cluster_col]))
+    proj = docs.select_columns([id_col, quality_col])
+    clustered = equi_join(
+        proj,
+        clusters,
+        left_on=id_col,
+        right_on=id_col,
+        left_cols=[id_col, quality_col],
+        right_cols=[cluster_col],
+    )
+    winners = group_argextreme(clustered, cluster_col, quality_col, id_col).map_batches(
+        lambda b: pa.table(
+            {id_col: b["max_" + id_col], quality_col: b["max_" + quality_col]}
+        ),
+        batch_format="pyarrow",
+    )
+    survivors = semi_join(
+        proj, clusters, left_on=id_col, right_on=id_col, anti=True
+    )
+    return survivors.union(winners)

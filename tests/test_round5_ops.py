@@ -1829,3 +1829,28 @@ def test_group_corr_matches_duckdb_bitexact(ray_session):
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     assert np.isnan(got[got["k"] == 99]["corr"].iloc[0])
     assert got[got["k"] != 99]["corr"].min() > 0.99
+
+
+def test_dedup_keep_best_keeps_longest_per_cluster(ray_session):
+    """Planted mirror clusters: exactly one survivor per cluster (the
+    longest, ties → smallest id), unclustered docs untouched."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import dedup_keep_best
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "n_chars": pa.array([10, 30, 30, 5, 99, 7, 7], pa.int64()),
+        }
+    )
+    # clusters: {1,2,3} (max 30 tied between 2,3 → keep 2), {6,7} (tie → 6)
+    clusters = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 6, 7], pa.int64()),
+            "cluster_id": pa.array([1, 1, 1, 6, 6], pa.int64()),
+        }
+    )
+    got = dedup_keep_best(rd.from_arrow(docs).repartition(3), clusters)
+    kept = sorted(r["doc_id"] for r in got.take_all())
+    assert kept == [2, 4, 5, 6]

@@ -1628,6 +1628,16 @@ def q_minhash_dedup_docs(sf_dir: str):
     return minhash_dedup(_docs(sf_dir), jaccard_threshold=0.8)
 
 
+def q_collocations_docs(sf_dir: str):
+    """Top-20 PMI-ranked collocations (exact integer pmi_milli — floor
+    division of big ints on both sides, no float log anywhere); two
+    combiner-before-shuffle scans + fingerprint-keyed bucketed joins
+    (``functions/lm.py:collocations_topk``)."""
+    from parquetjs_ray.functions.lm import collocations_topk
+
+    return collocations_topk(_docs(sf_dir), k=20, min_count=5)
+
+
 def q_dedup_keep_best_docs(sf_dir: str):
     """End-to-end near-dup curation ACTION: MinHash-LSH clusters → keep
     the highest-quality (longest, ties → smallest id) doc per cluster,
@@ -2557,6 +2567,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_event_types_user": q_hhi_event_types_user,
         "chisq_event_mix_user": q_chisq_event_mix_user,
         # — flagship + family representatives (also r04-verified) —
+        # — tail: every entry below carries an r03/r04 hash-exact row, a
+        #   no_oracle row, or (collocations_docs, added after the 50-slot
+        #   gate filled) a pytest + local-contract pin —
+        "collocations_docs": q_collocations_docs,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3429,6 +3443,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "collocations_docs": (
+            # exact-integer PMI: rank order == the rational c_xy*N/(c_x*c_y)
+            # order; pmi_milli = floor(1000*c_xy*N/(c_x*c_y)) in HUGEINT //
+            # on this side, Python big-int // on the Ray side — bit-identical
+            "WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents), "
+            "tot AS (SELECT CAST(sum(len(ws)) AS HUGEINT) AS n FROM w), "
+            "uni AS (SELECT word, CAST(count(*) AS HUGEINT) AS c FROM "
+            " (SELECT unnest(ws) AS word FROM w) GROUP BY word), "
+            "bi0 AS (SELECT ws, unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i FROM w), "
+            "bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS HUGEINT) AS cnt "
+            " FROM bi0 GROUP BY 1, 2), "
+            "sc AS (SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, "
+            " CAST((1000 * cnt * (SELECT n FROM tot)) // (u1.c * u2.c) AS BIGINT) AS pmi_milli "
+            " FROM bi JOIN uni u1 ON bi.w1 = u1.word JOIN uni u2 ON bi.w2 = u2.word "
+            " WHERE cnt >= 5) "
+            "SELECT w1, w2, cnt, pmi_milli FROM sc "
+            "ORDER BY pmi_milli DESC, w1, w2 LIMIT 20"
         ),
         "events_agg_pushdown": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

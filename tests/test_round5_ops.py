@@ -1854,3 +1854,65 @@ def test_dedup_keep_best_keeps_longest_per_cluster(ray_session):
     got = dedup_keep_best(rd.from_arrow(docs).repartition(3), clusters)
     kept = sorted(r["doc_id"] for r in got.take_all())
     assert kept == [2, 4, 5, 6]
+
+
+def test_collocations_topk_matches_duckdb_bitexact(ray_session):
+    """PMI-ranked collocations: planted strong pair + filler; pmi_milli
+    floor division bit-identical to DuckDB HUGEINT //, LIMIT semantics,
+    consecutive-space empty words, repartition invariance."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.lm import collocations_topk
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(300):
+        ws = list(rng.choice(words, size=12))
+        if i % 3 == 0:
+            ws[4:6] = ["san", "francisco"]  # planted collocation
+        if i % 50 == 0:
+            ws.append("")  # trailing space -> empty word
+        texts.append(" ".join(ws))
+    docs = pa.table({"doc_id": pa.array(range(300), pa.int64()), "text": texts})
+
+    got = (
+        collocations_topk(rd.from_arrow(docs).repartition(5), k=10, min_count=3)
+        .to_pandas()
+        .sort_values(["pmi_milli", "w1", "w2"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        "WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents), "
+        "tot AS (SELECT CAST(sum(len(ws)) AS HUGEINT) AS n FROM w), "
+        "uni AS (SELECT word, CAST(count(*) AS HUGEINT) AS c FROM "
+        " (SELECT unnest(ws) AS word FROM w) GROUP BY word), "
+        "bi0 AS (SELECT ws, unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i FROM w), "
+        "bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS HUGEINT) AS cnt "
+        " FROM bi0 GROUP BY 1, 2), "
+        "sc AS (SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, "
+        " CAST((1000 * cnt * (SELECT n FROM tot)) // (u1.c * u2.c) AS BIGINT) AS pmi_milli "
+        " FROM bi JOIN uni u1 ON bi.w1 = u1.word JOIN uni u2 ON bi.w2 = u2.word "
+        " WHERE cnt >= 3) "
+        "SELECT w1, w2, cnt, pmi_milli FROM sc ORDER BY pmi_milli DESC, w1, w2 LIMIT 10"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"cnt": "int64", "pmi_milli": "int64"}),
+        want.astype({"cnt": "int64", "pmi_milli": "int64"}),
+        check_exact=True,
+    )
+    # the planted pair dominates PMI
+    assert got.iloc[0]["w1"] == "san" and got.iloc[0]["w2"] == "francisco"
+
+    # repartition invariance: different layout, identical result
+    got2 = (
+        collocations_topk(rd.from_arrow(docs).repartition(1), k=10, min_count=3)
+        .to_pandas()
+        .sort_values(["pmi_milli", "w1", "w2"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2, check_exact=True)

@@ -1628,6 +1628,23 @@ def q_minhash_dedup_docs(sf_dir: str):
     return minhash_dedup(_docs(sf_dir), jaccard_threshold=0.8)
 
 
+def q_cohort_retention_events(sf_dir: str):
+    """Daily cohort-retention triangle: cohort = day of a user's first
+    event, n_keys = users of that cohort active again `period` days
+    later. Events collapse to distinct (user, day) pairs per batch
+    before anything shuffles (``functions/windows.py:cohort_retention``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import cohort_retention
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return cohort_retention(ev, bucket_us=86_400_000_000)
+
+
 def q_collocations_docs(sf_dir: str):
     """Top-20 PMI-ranked collocations (exact integer pmi_milli — floor
     division of big ints on both sides, no float log anywhere); two
@@ -2571,6 +2588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   no_oracle row, or (collocations_docs, added after the 50-slot
         #   gate filled) a pytest + local-contract pin —
         "collocations_docs": q_collocations_docs,
+        "cohort_retention_events": q_cohort_retention_events,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3443,6 +3461,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "cohort_retention_events": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            " CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d FROM events), "
+            "c AS (SELECT user_id, min(d) AS cohort FROM p GROUP BY user_id) "
+            "SELECT c.cohort, p.d - c.cohort AS period, "
+            "CAST(count(*) AS BIGINT) AS n_keys "
+            "FROM p JOIN c USING (user_id) GROUP BY 1, 2"
         ),
         "collocations_docs": (
             # exact-integer PMI: rank order == the rational c_xy*N/(c_x*c_y)

@@ -31,6 +31,7 @@ __all__ = [
     "ohlc_downsample",
     "resample_ffill",
     "twap_per_group",
+    "cohort_retention",
 ]
 
 
@@ -904,4 +905,60 @@ def twap_per_group(
         .map_batches(local, batch_format="pyarrow")
         .groupby(key)
         .map_groups(fold, batch_format="pandas")
+    )
+
+
+def cohort_retention(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    bucket_us: int = 604_800_000_000,  # one week
+) -> rd.Dataset:
+    """Cohort retention matrix — for each acquisition cohort (the time
+    bucket of a key's FIRST event), how many keys are active again
+    ``period`` buckets later → ``(cohort, period, n_keys)`` with
+    ``period = 0`` the cohort size itself. The classic churn/retention
+    triangle; over a crawl corpus the same shape answers "of the domains
+    first seen in week W, how many still contribute in week W+k".
+
+    All-integer (bucket = epoch_us // bucket_us, periods are bucket
+    differences, outputs are counts) → hash-exact against SQL.
+
+    Scale shapes: the event stream collapses per batch to distinct
+    (key, bucket) pairs (combiner), then ONE pair-sized groupby(key)
+    cogroup assigns each key's cohort = min(bucket) — the group holds
+    one key's DISTINCT buckets only (bounded by the calendar, never by
+    that key's event count — a hot key with 10⁹ events still yields ≤
+    #buckets rows), and a final (cohort, period) Sum folds kilobyte
+    partials. Events never shuffle; only distinct pairs do."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        b = pc.divide(epoch, bucket_us).cast(pa.int64())  # ts ≥ 0
+        t = pa.table({key: batch[key], "__b": b})
+        return t.group_by([key, "__b"]).aggregate([])  # distinct pairs
+
+    def assign(group: pa.Table) -> pa.Table:
+        b = group["__b"].to_numpy(zero_copy_only=False)
+        period = b - b.min()
+        return pa.table(
+            {
+                "cohort": pa.array(np.full(len(b), b.min(), np.int64)),
+                "period": pa.array(period.astype(np.int64)),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns([key, ts])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .aggregate(Count(alias_name="__c"))  # global distinct (key, bucket)
+        .groupby(key)
+        .map_groups(assign, batch_format="pyarrow")
+        .groupby(["cohort", "period"])
+        .aggregate(Sum("n", alias_name="n_keys"))
     )

@@ -1916,3 +1916,51 @@ def test_collocations_topk_matches_duckdb_bitexact(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2, check_exact=True)
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    """Staggered cohorts with gaps + a hot key: exact parity with the
+    DISTINCT-pair/min-cohort SQL, invariant to partitioning."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import cohort_retention
+
+    W = 1000  # bucket width (us)
+    rows = []
+    # user 1: first in bucket 0, returns 0,2,5 (gap at 1,3,4)
+    for b in (0, 2, 5):
+        rows.append((1, b * W + 7))
+    # user 2: same cohort, returns 0,1
+    for b in (0, 1):
+        rows.append((2, b * W + 3))
+    # user 3: cohort 2, active 2 only
+    rows.append((3, 2 * W + 1))
+    # user 4 is HOT: 10_000 events all inside buckets 1 and 3
+    for i in range(10_000):
+        rows.append((4, (1 if i % 2 else 3) * W + (i % W)))
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    got = (
+        cohort_retention(rd.from_arrow(ev).repartition(7), bucket_us=W)
+        .to_pandas()
+        .sort_values(["cohort", "period"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        f"WITH p AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // {W} AS BIGINT) AS d "
+        " FROM events), "
+        "c AS (SELECT user_id, min(d) AS cohort FROM p GROUP BY user_id) "
+        "SELECT c.cohort, p.d - c.cohort AS period, CAST(count(*) AS BIGINT) AS n_keys "
+        "FROM p JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"), check_exact=True)
+    # the hot key contributed exactly two pair rows (cohort 1, periods 0 and 2)
+    assert got[(got.cohort == 1) & (got.period == 2)]["n_keys"].iloc[0] == 1

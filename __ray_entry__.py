@@ -1645,6 +1645,24 @@ def q_cohort_retention_events(sf_dir: str):
     return cohort_retention(ev, bucket_us=86_400_000_000)
 
 
+def q_event_transitions(sf_dir: str):
+    """Corpus-wide Markov transition matrix over per-user event
+    sequences (hot-key-proof two-phase; interior transitions collapse to
+    label²-bounded pair-count partials before anything shuffles —
+    ``functions/windows.py:transition_counts``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import transition_counts
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ev)
+
+
 def q_collocations_docs(sf_dir: str):
     """Top-20 PMI-ranked collocations (exact integer pmi_milli — floor
     division of big ints on both sides, no float log anywhere); two
@@ -2589,6 +2607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   gate filled) a pytest + local-contract pin —
         "collocations_docs": q_collocations_docs,
         "cohort_retention_events": q_cohort_retention_events,
+        "event_transitions": q_event_transitions,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3461,6 +3480,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "event_transitions": (
+            "WITH s AS (SELECT user_id, event_type, lead(event_type) OVER "
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type AS prev_type, nxt AS next_type, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
         ),
         "cohort_retention_events": (
             "WITH p AS (SELECT DISTINCT user_id, "

@@ -32,6 +32,7 @@ __all__ = [
     "resample_ffill",
     "twap_per_group",
     "cohort_retention",
+    "transition_counts",
 ]
 
 
@@ -961,4 +962,134 @@ def cohort_retention(
         .map_groups(assign, batch_format="pyarrow")
         .groupby(["cohort", "period"])
         .aggregate(Sum("n", alias_name="n_keys"))
+    )
+
+
+def transition_counts(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    label: str = "event_type",
+    bucket_us: int = 86_400_000_000,
+) -> rd.Dataset:
+    """Corpus-wide Markov transition matrix over per-key event sequences:
+    for every pair of CONSECUTIVE events of the same key (ordered by
+    ``ts``, ties by ``order_id``), count (label → next label) →
+    ``(prev_type, next_type, n)``. The sequence-mining primitive behind
+    behavioral models, anomaly detection and curriculum statistics; over
+    a crawl it is "which document kind follows which within a domain".
+
+    All counts → hash-exact vs the SQL ``lead()`` window. Hot-key-proof
+    two-phase like :func:`lag_deltas` (a transition couples consecutive
+    events only): groups hold one key's events inside ONE time bucket;
+    interior transitions collapse to per-group pair-count PARTIALS
+    (label²-bounded, not row-bounded) plus one summary row carrying the
+    bucket's first/last label; a per-key pass over summary rows (one per
+    non-empty bucket, calendar-bounded) resolves cross-bucket
+    transitions; a final (prev, next) Sum folds kilobyte partials."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        return pa.table(
+            {
+                key: batch[key],
+                "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
+                "__ts": epoch,
+                "__id": batch[order_id].cast(pa.int64()),
+                "__lab": batch[label],
+            }
+        )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["__ts"].to_numpy().astype(np.int64)
+        i = g["__id"].to_numpy().astype(np.int64)
+        o = np.lexsort((i, t))
+        lab = g["__lab"].to_numpy()[o]
+        if len(lab) > 1:
+            pairs = pd.DataFrame({"prev_type": lab[:-1], "next_type": lab[1:]})
+            part = pairs.groupby(["prev_type", "next_type"], sort=False).size().reset_index(name="n")
+            part["n"] = part["n"].astype(np.int64)
+        else:
+            part = pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=object),
+                    "next_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        part["__summary"] = False
+        part["__b"] = np.int64(0)
+        part[key] = g[key].iloc[0]
+        summary = pd.DataFrame(
+            {
+                "prev_type": [lab[0]],   # bucket's FIRST label
+                "next_type": [lab[-1]],  # bucket's LAST label
+                "n": [np.int64(0)],
+                "__summary": [True],
+                "__b": [np.int64(g["__b"].iloc[0])],
+                key: [g[key].iloc[0]],
+            }
+        )
+        return pd.concat((part, summary), ignore_index=True)
+
+    phase1 = (
+        ds.select_columns([key, ts, order_id, label])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .map_groups(local, batch_format="pandas")
+        .materialize()
+    )
+
+    interior = phase1.map_batches(
+        lambda b: b.filter(pc.invert(b["__summary"])).select(
+            ["prev_type", "next_type", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__b")
+        first = g["prev_type"].to_numpy()  # first label per bucket
+        last = g["next_type"].to_numpy()   # last label per bucket
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=object),
+                    "next_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "prev_type": last[:-1],
+                "next_type": first[1:],
+                "n": np.ones(len(g) - 1, np.int64),
+            }
+        )
+
+    boundary = (
+        phase1.map_batches(
+            lambda b: b.filter(b["__summary"]).select(
+                [key, "__b", "prev_type", "next_type"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(key)
+        .map_groups(cross, batch_format="pandas")
+        # normalize to Arrow blocks: the union feeds an Aggregate whose
+        # boundary sampler requires ONE block type across both branches
+        .map_batches(
+            lambda t: t.select(["prev_type", "next_type", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    return (
+        interior.union(boundary)
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
     )

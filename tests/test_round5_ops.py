@@ -1964,3 +1964,52 @@ def test_cohort_retention_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"), check_exact=True)
     # the hot key contributed exactly two pair rows (cohort 1, periods 0 and 2)
     assert got[(got.cohort == 1) & (got.period == 2)]["n_keys"].iloc[0] == 1
+
+
+def test_transition_counts_matches_duckdb(ray_session):
+    """Hot key whose chain crosses many bucket boundaries + ts ties
+    broken by event_id: exact parity with the SQL lead() window."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import transition_counts
+
+    W = 100  # tiny bucket so chains cross boundaries constantly
+    rng = np.random.default_rng(11)
+    labels = np.array(["a", "b", "c"])
+    rows = []
+    eid = 0
+    # hot user 1: 3000 events spread over 30 buckets
+    for i in range(3000):
+        rows.append((1, i, eid, labels[rng.integers(3)])); eid += 1
+    # user 2: ts TIES (all same ts) -> order decided purely by event_id
+    for i in range(10):
+        rows.append((2, 500, eid, labels[i % 3])); eid += 1
+    # user 3: single event -> no transitions
+    rows.append((3, 7, eid, "a")); eid += 1
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    got = (
+        transition_counts(rd.from_arrow(ev).repartition(6), bucket_us=W)
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    got["n"] = got["n"].astype("int64")
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH s AS (SELECT user_id, event_type, lead(event_type) OVER "
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+        "SELECT event_type AS prev_type, nxt AS next_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert got["n"].sum() == 2999 + 9  # per-key (len-1) totals

@@ -1663,6 +1663,23 @@ def q_event_transitions(sf_dir: str):
     return transition_counts(ev)
 
 
+def q_user_paths_topk(sf_dir: str):
+    """Top-20 most common first-5-event journeys across users (per-batch
+    earliest-n combiner bounds the shuffle at n rows per key per block;
+    vectorized bucketed path fold — ``functions/windows.py:path_topk``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import path_topk
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return path_topk(ev, n_steps=5, k=20)
+
+
 def q_collocations_docs(sf_dir: str):
     """Top-20 PMI-ranked collocations (exact integer pmi_milli — floor
     division of big ints on both sides, no float log anywhere); two
@@ -2608,6 +2625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_docs": q_collocations_docs,
         "cohort_retention_events": q_cohort_retention_events,
         "event_transitions": q_event_transitions,
+        "user_paths_topk": q_user_paths_topk,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3487,6 +3505,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "user_paths_topk": (
+            "WITH r AS (SELECT user_id, event_type, row_number() OVER "
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path "
+            " FROM r WHERE rn <= 5 GROUP BY user_id) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p GROUP BY path "
+            "ORDER BY n_keys DESC, path LIMIT 20"
         ),
         "cohort_retention_events": (
             "WITH p AS (SELECT DISTINCT user_id, "

@@ -33,6 +33,7 @@ __all__ = [
     "twap_per_group",
     "cohort_retention",
     "transition_counts",
+    "path_topk",
 ]
 
 
@@ -1092,4 +1093,103 @@ def transition_counts(
         interior.union(boundary)
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _earliest_per_key(
+    batch: pa.Table, key: str, ts: str, order_id: str, n_steps: int
+) -> pa.Table:
+    """Keep the first ``n_steps`` rows of each key run, ordered by
+    (ts, order_id) — vectorized sort + run-rank trick, no per-key loop."""
+    if batch.num_rows == 0:
+        return batch
+    ordered = batch.sort_by(
+        [(key, "ascending"), (ts, "ascending"), (order_id, "ascending")]
+    )
+    keys = ordered.column(key)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    codes = keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    n = len(codes)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=new_run[1:])
+    run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+    keep = (np.arange(n) - run_start) < n_steps
+    return ordered.filter(pa.array(keep))
+
+
+def path_topk(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    label: str = "event_type",
+    n_steps: int = 5,
+    k: int = 20,
+    sep: str = ">",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Top-k most common "journeys": each key's EARLIEST ``n_steps``
+    labels (ordered by ``ts``, ties by ``order_id``) joined into one path
+    string, counted corpus-wide → ``(path, n_keys)``, the ``k`` most
+    frequent (ties by path ascending). The sequence-mining report behind
+    onboarding-funnel and user-journey analytics; over a crawl it is
+    "which first-five page kinds do domains serve".
+
+    Hash-exact vs the SQL ``row_number() ≤ n`` + ordered ``string_agg``
+    replica. Scale shape: a per-batch combiner keeps ≤ ``n_steps`` rows
+    per key per block BEFORE any exchange (the shuffle carries at most
+    ``n_steps`` label rows per key per block, never a key's history);
+    keys are then hash-bucketed into ``num_buckets`` cogroups — never
+    one group per key — where the exact earliest-n and the path join
+    both run vectorized (Arrow sort + run ranks + ``binary_join`` over a
+    run-offset ListArray, no per-key Python); the final exchange is the
+    path-sized count shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .dedup import _mix64
+
+    def earliest(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch[key].cast(pa.int64()),
+                "__ts": batch[ts].cast(pa.int64()),
+                "__id": batch[order_id].cast(pa.int64()),
+                "__lab": batch[label],
+            }
+        )
+        return _earliest_per_key(t, key, "__ts", "__id", n_steps)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (_mix64(u) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__bk", pa.array(bk, pa.int64()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = _earliest_per_key(g, key, "__ts", "__id", n_steps)
+        codes = g[key].combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        n = len(codes)
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1]))
+        )
+        offsets = np.concatenate((starts, [n])).astype(np.int32)
+        labs = g["__lab"].combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), labs)
+        paths = pc.binary_join(lists, sep)
+        return pa.table({"path": paths})
+
+    return (
+        ds.select_columns([key, ts, order_id, label])
+        .map_batches(earliest, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Count(alias_name="n_keys"))
+        .sort(["n_keys", "path"], descending=[True, False])
+        .limit(k)
     )

@@ -2013,3 +2013,59 @@ def test_transition_counts_matches_duckdb(ray_session):
     ).df()
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     assert got["n"].sum() == 2999 + 9  # per-key (len-1) totals
+
+
+def test_path_topk_matches_duckdb(ray_session):
+    """Top-k earliest-5 journeys: hot key (its path is just its first 5
+    events regardless of history size), ts ties broken by event_id,
+    short keys (< n_steps events) keep their shorter path, and the
+    result is block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import path_topk
+
+    rng = np.random.default_rng(17)
+    labels = np.array(["view", "click", "buy"])
+    rows = []
+    eid = 0
+    # 200 normal users, 6-12 events each
+    for u in range(200):
+        for i in range(int(rng.integers(6, 13))):
+            rows.append((u, int(rng.integers(0, 10_000)), eid, labels[rng.integers(3)])); eid += 1
+    # hot user 9000: 5000 events — only the first 5 matter
+    for i in range(5000):
+        rows.append((9000, i, eid, labels[i % 3])); eid += 1
+    # user 9001: ts all tied -> order decided by event_id alone
+    for i in range(7):
+        rows.append((9001, 42, eid, labels[(i * 2) % 3])); eid += 1
+    # user 9002: fewer than n_steps events -> short path
+    rows.append((9002, 1, eid, "buy")); eid += 1
+    rows.append((9002, 2, eid, "view")); eid += 1
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH r AS (SELECT user_id, event_type, row_number() OVER "
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+        "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path "
+        " FROM r WHERE rn <= 5 GROUP BY user_id) "
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p GROUP BY path "
+        "ORDER BY n_keys DESC, path LIMIT 20"
+    ).df()
+    for parts in (3, 11):
+        got = (
+            path_topk(rd.from_arrow(ev).repartition(parts), n_steps=5, k=20, num_buckets=8)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        got["n_keys"] = got["n_keys"].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

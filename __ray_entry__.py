@@ -784,6 +784,16 @@ def q_df_score_docs(sf_dir: str):
     return df_score(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_tfidf_top_terms_docs(sf_dir: str):
+    """Keyword extraction: top-3 tf-idf terms per doc with integer-exact
+    scoring (idf_milli = (1000·N)//df, score = tf·idf_milli — big-int
+    floor on both sides, no float log); df pass + broadcast vocabulary,
+    the scoring pass is shuffle-free (``functions/df.py:tfidf_top_terms``)."""
+    from parquetjs_ray.functions.df import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
 def q_top_docs_per_source(sf_dir: str):
     """Per-group top-k (3 longest docs per source) via the combiner-
     before-shuffle group_top_k operator — only k rows per (key, batch)
@@ -2626,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": q_cohort_retention_events,
         "event_transitions": q_event_transitions,
         "user_paths_topk": q_user_paths_topk,
+        "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3505,6 +3516,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "tfidf_top_terms_docs": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "u AS (SELECT doc_id, unnest(w) AS word FROM t), "
+            "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf "
+            " FROM u GROUP BY 1, 2), "
+            "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM u GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.word, tf.tf, "
+            " tf.tf * ((1000 * (SELECT n FROM n)) // df.df) AS score_milli "
+            " FROM tf JOIN df USING (word)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            " ORDER BY score_milli DESC, word) AS rn FROM s) "
+            "SELECT doc_id, word, tf, CAST(score_milli AS BIGINT) AS score_milli "
+            "FROM r WHERE rn <= 3"
         ),
         "user_paths_topk": (
             "WITH r AS (SELECT user_id, event_type, row_number() OVER "

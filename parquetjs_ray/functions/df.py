@@ -28,7 +28,13 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-__all__ = ["doc_distinct_words", "df_score", "bm25_topk", "vocab_coverage"]
+__all__ = [
+    "doc_distinct_words",
+    "df_score",
+    "bm25_topk",
+    "vocab_coverage",
+    "tfidf_top_terms",
+]
 
 
 def doc_distinct_words(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -298,3 +304,109 @@ def vocab_coverage(
         boundary, "__one", "word", k_star, tiebreak_col="word", descending=False
     ).map_batches(lambda b: b.drop_columns(["__one"]), batch_format="pyarrow")
     return whole.union(head)
+
+
+def _doc_term_counts(batch: pa.Table, *, text_col: str):
+    """→ (doc row index per distinct (doc, word) pair, distinct words,
+    per-doc term frequencies) for one batch — the tf companion of
+    :func:`doc_distinct_words`: one split, one (doc, word) sort, run
+    lengths instead of run dedup."""
+    text = batch[text_col]
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    toks = pc.split_pattern(text, " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    words = toks.values
+    order = pc.sort_indices(
+        pa.table({"d": pa.array(doc_of), "w": words}),
+        sort_keys=[("d", "ascending"), ("w", "ascending")],
+    ).to_numpy(zero_copy_only=False)
+    w_sorted = words.take(pa.array(order))
+    d_sorted = doc_of[order]
+    n = len(w_sorted)
+    new_run = np.ones(n, dtype=bool)
+    if n > 1:
+        same_word = pc.equal(w_sorted.slice(1), w_sorted.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_run[1:] = ~(same_word & (d_sorted[1:] == d_sorted[:-1]))
+    starts = np.flatnonzero(new_run)
+    tf = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
+    return d_sorted[starts], w_sorted.take(pa.array(starts)), tf
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    scale: int = 1000,
+) -> rd.Dataset:
+    """Keyword extraction: the ``k`` strongest tf-idf terms per document
+    → ``(id_col, word, tf, score_milli)``. Integer-exact scoring so the
+    SQL replica matches hash-exactly (no float log anywhere):
+    ``idf_milli = (scale·N) // df`` and ``score_milli = tf · idf_milli``
+    — both big-int floor arithmetic, rank ties broken by word ascending.
+    Valid while ``scale·N·tf_max < 2^63`` (at 10^12 docs and scale=1000
+    that allows tf up to ~9000, and the same bound applies to the SQL
+    side's BIGINT).
+
+    Scale shape: pass 1 is the df pass (per-batch distinct-word
+    combiner → one vocabulary-sized ``groupby(word)``); the vocabulary
+    broadcasts ONCE via ``ray.put`` (lex-sorted, with a precomputed
+    idf_milli array); pass 2 is shuffle-free — each batch computes its
+    docs' tf runs, scores with one ``index_in`` lookup, and keeps the
+    top-k per doc with the run-rank trick (order by score desc, word's
+    lexicographic ordinal asc). Documents never leave their block."""
+    from ray.data.aggregate import Sum
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        _, words = doc_distinct_words(batch, id_col=id_col, text_col=text_col)
+        vc = words.value_counts()
+        return pa.table(
+            {"word": vc.field("values"), "partial": vc.field("counts").cast(pa.int64())}
+        )
+
+    n_docs = ds.count()
+    df_rows = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="df"))
+        .take_all()
+    )  # vocabulary-sized: small by construction
+    df_rows.sort(key=lambda r: r["word"])  # lexicographic ordinal = tie-break order
+    vocab = pa.array([r["word"] for r in df_rows], pa.string())
+    idf_milli = np.array(
+        [(scale * n_docs) // r["df"] for r in df_rows], dtype=np.int64
+    )
+    bundle_ref = ray.put((vocab, idf_milli))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        voc, idf = ray.get(bundle_ref)  # zero-copy from plasma per task
+        doc_idx, words, tf = _doc_term_counts(batch, text_col=text_col)
+        ordinal = pc.index_in(words, voc).to_numpy(zero_copy_only=False)
+        score = tf * idf[ordinal]
+        order = np.lexsort((ordinal, -score, doc_idx))
+        d_sorted = doc_idx[order]
+        n = len(order)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = d_sorted[1:] != d_sorted[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        keep = order[(np.arange(n) - run_start) < k]
+        ids = batch[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_idx[keep])),
+                "word": words.take(pa.array(keep)),
+                "tf": pa.array(tf[keep]),
+                "score_milli": pa.array(score[keep]),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        topk, batch_format="pyarrow"
+    )

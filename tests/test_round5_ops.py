@@ -2069,3 +2069,51 @@ def test_path_topk_matches_duckdb(ray_session):
         )
         got["n_keys"] = got["n_keys"].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_tfidf_top_terms_matches_duckdb(ray_session):
+    """Integer-exact tf-idf keyword extraction: randomized zipf-ish docs,
+    repeated words (tf > 1), k larger than some docs' vocab, block-split
+    invariant, hash-exact vs the SQL replica."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.df import tfidf_top_terms
+
+    rng = np.random.default_rng(29)
+    words = np.array([f"w{i}" for i in range(40)])
+    texts, ids = [], []
+    for d in range(300):
+        n = int(rng.integers(1, 30))
+        # zipf-ish pick so common words get high df and high tf
+        picks = words[np.minimum(rng.zipf(1.6, n) - 1, 39)]
+        texts.append(" ".join(picks))
+        ids.append(d)
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "u AS (SELECT doc_id, unnest(w) AS word FROM t), "
+        "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM u GROUP BY 1, 2), "
+        "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM u GROUP BY 1), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "s AS (SELECT tf.doc_id, tf.word, tf.tf, "
+        " tf.tf * ((1000 * (SELECT n FROM n)) // df.df) AS score_milli "
+        " FROM tf JOIN df USING (word)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        " ORDER BY score_milli DESC, word) AS rn FROM s) "
+        "SELECT doc_id, word, tf, CAST(score_milli AS BIGINT) AS score_milli "
+        "FROM r WHERE rn <= 3 ORDER BY doc_id, word"
+    ).df()
+    for parts in (1, 7):
+        got = (
+            tfidf_top_terms(rd.from_arrow(docs).repartition(parts), k=3)
+            .to_pandas()
+            .sort_values(["doc_id", "word"])
+            .reset_index(drop=True)
+        )
+        for c in ("tf", "score_milli"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -794,6 +794,25 @@ def q_tfidf_top_terms_docs(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+def q_weighted_median_price(sf_dir: str):
+    """Exact lower weighted median of l_extendedprice (cents) weighted by
+    l_quantity per return flag — integer histogram walk, hot-key-proof
+    (``functions/quantiles.py:weighted_median_per_group``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import weighted_median_per_group
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return weighted_median_per_group(
+        li, key="l_returnflag", value="l_extendedprice", weight="l_quantity"
+    )
+
+
 def q_top_docs_per_source(sf_dir: str):
     """Per-group top-k (3 longest docs per source) via the combiner-
     before-shuffle group_top_k operator — only k rows per (key, batch)
@@ -2637,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "user_paths_topk": q_user_paths_topk,
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
+        "weighted_median_price": q_weighted_median_price,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3516,6 +3536,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "weighted_median_price": (
+            "WITH w AS (SELECT l_returnflag, "
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+            " CAST(l_quantity AS BIGINT) AS wt FROM lineitem), "
+            "c AS (SELECT l_returnflag, v, sum(wt) AS wv FROM w GROUP BY 1, 2), "
+            "cum AS (SELECT l_returnflag, v, "
+            " sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+            " sum(wv) OVER (PARTITION BY l_returnflag) AS tot FROM c) "
+            "SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_scaled, "
+            "CAST(min(tot) AS BIGINT) AS total_weight "
+            "FROM cum WHERE 2 * cw >= tot GROUP BY l_returnflag"
         ),
         "tfidf_top_terms_docs": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "

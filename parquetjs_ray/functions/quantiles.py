@@ -25,6 +25,7 @@ import ray.data as rd
 
 __all__ = [
     "grouped_quantiles",
+    "weighted_median_per_group",
     "ntile_per_group",
     "rank_per_group",
     "winsorize_per_group",
@@ -88,6 +89,61 @@ def grouped_quantiles(
         ds.map_batches(combine, batch_format="pyarrow")
         .groupby([key, value])
         .aggregate(Sum("count_all", alias_name="count"))
+        .groupby(key)
+        .map_groups(from_hist, batch_format="pandas")
+    )
+
+
+def weighted_median_per_group(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    value: str,
+    weight: str,
+    scale: int = 100,
+) -> rd.Dataset:
+    """Exact LOWER weighted median per key → ``(key, wmedian_scaled,
+    total_weight)``: the smallest scaled value ``v`` whose cumulative
+    weight reaches half the group's total (``2·cum(v) ≥ total`` — pure
+    integer comparison, no float halves).
+
+    ``value`` is a decimal-valued float column made exact by
+    ``round(value·scale)`` (half-away-from-zero, matching SQL
+    ``round()``); ``weight`` must be integral-valued (the cast is safe —
+    a fractional weight fails loudly). Hot-key-proof via the module's
+    histogram shape: the shuffle carries per-batch ``(key, scaled value)
+    → Σweight`` partials, and the per-key group is bounded by the
+    DISTINCT VALUE RANGE of the measure (price points), never the key's
+    row count."""
+    from ray.data.aggregate import Sum
+
+    def combine(batch: pa.Table) -> pa.Table:
+        v = pc.round(
+            pc.multiply(batch[value], pa.scalar(float(scale))),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        w = batch[weight].cast(pa.int64())  # safe cast: fractional -> error
+        t = pa.table({key: batch[key], "__v": v, "__w": w})
+        return t.group_by([key, "__v"]).aggregate([("__w", "sum")])
+
+    def from_hist(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["__v"].to_numpy()
+        w = g["__w"].to_numpy()
+        order = np.argsort(v)
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        pick = int(v[np.searchsorted(2 * cum, tot)])
+        return pd.DataFrame(
+            [{key: g[key].iloc[0], "wmedian_scaled": pick, "total_weight": tot}]
+        )
+
+    return (
+        ds.select_columns([key, value, weight])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby([key, "__v"])
+        .aggregate(Sum("__w_sum", alias_name="__w"))
         .groupby(key)
         .map_groups(from_hist, batch_format="pandas")
     )

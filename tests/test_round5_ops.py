@@ -2117,3 +2117,74 @@ def test_tfidf_top_terms_matches_duckdb(ray_session):
         for c in ("tf", "score_milli"):
             got[c] = got[c].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_weighted_median_matches_duckdb(ray_session):
+    """Exact lower weighted median: hot key (one group owns 80% of rows),
+    .5-cent values (half-away-from-zero rounding parity), weight ties at
+    the exact half-total boundary, block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import weighted_median_per_group
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    g = np.where(rng.random(n) < 0.8, "hot", rng.choice(["a", "b"], n))
+    # prices with .005 endings so rounding mode matters
+    price = np.round(rng.uniform(1, 100, n), 2) + rng.choice([0.0, 0.005], n)
+    qty = rng.integers(1, 50, n).astype("float64")
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(g),
+            "l_extendedprice": pa.array(price),
+            "l_quantity": pa.array(qty),
+        }
+    )
+    con = duckdb.connect()
+    con.register("lineitem", t)
+    want = con.execute(
+        "WITH w AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+        " CAST(l_quantity AS BIGINT) AS wt FROM lineitem), "
+        "c AS (SELECT l_returnflag, v, sum(wt) AS wv FROM w GROUP BY 1, 2), "
+        "cum AS (SELECT l_returnflag, v, "
+        " sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+        " sum(wv) OVER (PARTITION BY l_returnflag) AS tot FROM c) "
+        "SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_scaled, "
+        "CAST(min(tot) AS BIGINT) AS total_weight "
+        "FROM cum WHERE 2 * cw >= tot GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).df()
+    for parts in (1, 9):
+        got = (
+            weighted_median_per_group(
+                rd.from_arrow(t).repartition(parts),
+                key="l_returnflag",
+                value="l_extendedprice",
+                weight="l_quantity",
+            )
+            .to_pandas()
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+        )
+        for c in ("wmedian_scaled", "total_weight"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_weighted_median_rejects_fractional_weight(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import weighted_median_per_group
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a"]),
+            "v": pa.array([1.0, 2.0]),
+            "w": pa.array([1.5, 2.0]),  # fractional weight must fail loudly
+        }
+    )
+    with pytest.raises(Exception):
+        weighted_median_per_group(
+            rd.from_arrow(t), key="k", value="v", weight="w"
+        ).take_all()

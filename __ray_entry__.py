@@ -1709,6 +1709,25 @@ def q_user_paths_topk(sf_dir: str):
     return path_topk(ev, n_steps=5, k=20)
 
 
+def q_conversion_latency_events(sf_dir: str):
+    """View→purchase time-to-conversion report (one row: counts + exact
+    discrete latency quantiles in floor-seconds). Hot-key-proof two-phase
+    last-view carry like running_totals; the final quantile walks a
+    time-range-bounded histogram
+    (``functions/windows.py:conversion_latency``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import conversion_latency
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return conversion_latency(ev)
+
+
 def q_collocations_docs(sf_dir: str):
     """Top-20 PMI-ranked collocations (exact integer pmi_milli — floor
     division of big ints on both sides, no float log anywhere); two
@@ -2657,6 +2676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths_topk": q_user_paths_topk,
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
         "weighted_median_price": q_weighted_median_price,
+        "conversion_latency_events": q_conversion_latency_events,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3536,6 +3556,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "conversion_latency_events": (
+            "WITH s AS (SELECT user_id, ts, event_id, event_type, "
+            " max(CASE WHEN event_type = 'view' THEN ts END) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id "
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv "
+            " FROM events WHERE event_type IN ('view', 'purchase')), "
+            "l AS (SELECT CASE WHEN lv IS NULL THEN -1 "
+            " ELSE (epoch_us(ts) - epoch_us(lv)) // 1000000 END AS lat_s "
+            " FROM s WHERE event_type = 'purchase') "
+            "SELECT CAST(count(*) AS BIGINT) AS n_to, "
+            "CAST(count(*) FILTER (lat_s >= 0) AS BIGINT) AS n_converted, "
+            "CAST(quantile_disc(lat_s, 0.5) FILTER (lat_s >= 0) AS BIGINT) AS p50_lat_s, "
+            "CAST(quantile_disc(lat_s, 0.9) FILTER (lat_s >= 0) AS BIGINT) AS p90_lat_s "
+            "FROM l"
         ),
         "weighted_median_price": (
             "WITH w AS (SELECT l_returnflag, "

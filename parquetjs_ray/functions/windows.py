@@ -34,6 +34,7 @@ __all__ = [
     "cohort_retention",
     "transition_counts",
     "path_topk",
+    "conversion_latency",
 ]
 
 
@@ -1093,6 +1094,141 @@ def transition_counts(
         interior.union(boundary)
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def conversion_latency(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    label: str = "event_type",
+    from_label: str = "view",
+    to_label: str = "purchase",
+    bucket_us: int = 86_400_000_000,
+    quantiles: dict[str, float] | None = None,
+) -> rd.Dataset:
+    """Time-to-conversion report: for every ``to_label`` event, the
+    latency since the same key's most recent ``from_label`` event (in
+    (ts, order_id) order — the ``max(CASE WHEN …) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` window), summarized into
+    ONE row: ``(n_to, n_converted, <quantile cols>)``, discrete
+    quantiles over floor-seconds latency (exact integers end to end).
+
+    Hot-key-proof two-phase like :func:`running_totals`: bucket groups
+    hold one key's events inside ONE time bucket; the carry-in (last
+    ``from_label`` ts of all earlier buckets) is an exclusive prefix MAX
+    over per-bucket summaries (a group there is bucket-count-bounded);
+    the final quantile walk runs over the (lat_s → count) histogram,
+    bounded by the corpus TIME RANGE in seconds, never its row count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    if quantiles is None:
+        quantiles = {"p50_lat_s": 0.5, "p90_lat_s": 0.9}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        lab = batch[label]
+        keep = pc.or_(pc.equal(lab, from_label), pc.equal(lab, to_label))
+        b = batch.filter(keep)
+        epoch = b[ts].cast(pa.int64())
+        is_from = pc.equal(b[label], from_label)
+        return pa.table(
+            {
+                key: b[key],
+                "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
+                "__ts": epoch,  # ≥ 0; -1 marks carry rows below
+                "__id": b[order_id].cast(pa.int64()),
+                # last-from tracker: the event's ts if it IS a from, else -1
+                "__vt": pc.if_else(is_from, epoch, pa.scalar(-1, pa.int64())),
+            }
+        )
+
+    events = ds.select_columns([key, ts, order_id, label]).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+    summaries = events.groupby([key, "__b"]).aggregate(
+        Max("__vt", alias_name="__vmax")
+    )
+
+    def prefix(g: pa.Table) -> pa.Table:
+        b = g["__b"].to_numpy(zero_copy_only=False)
+        vm = g["__vmax"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(b, kind="stable")
+        vm = vm[o]
+        # EXCLUSIVE prefix max: carry into bucket i = max of buckets < i
+        carry = np.concatenate(([-1], np.maximum.accumulate(vm)[:-1]))
+        oa = pa.array(o)
+        n = len(b)
+        return pa.table(
+            {
+                key: pc.take(g[key], oa),
+                "__b": pc.take(g["__b"], oa),
+                "__ts": pa.array(np.full(n, -1, np.int64)),
+                "__id": pa.array(np.zeros(n, np.int64)),
+                "__vt": pa.array(carry),
+            }
+        )
+
+    carries = summaries.groupby(key).map_groups(prefix, batch_format="pyarrow")
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        tcol = g["__ts"].to_numpy().astype(np.int64)
+        is_carry = tcol < 0
+        carry = int(g.loc[is_carry, "__vt"].iloc[0]) if is_carry.any() else -1
+        ev = g[~is_carry]
+        t = ev["__ts"].to_numpy().astype(np.int64)
+        i = ev["__id"].to_numpy().astype(np.int64)
+        vt = ev["__vt"].to_numpy().astype(np.int64)
+        o = np.lexsort((i, t))
+        t, vt = t[o], vt[o]
+        last_from = np.maximum.accumulate(np.concatenate(([carry], vt)))[1:]
+        is_to = vt < 0  # a kept event is either from_label (vt=ts) or to_label
+        lv = last_from[is_to]
+        tt = t[is_to]
+        lat_s = np.where(lv >= 0, (tt - lv) // 1_000_000, -1)
+        return pd.DataFrame({"lat_s": lat_s.astype(np.int64)})
+
+    lats = (
+        events.union(carries).groupby([key, "__b"]).map_groups(local, batch_format="pandas")
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch["lat_s"].combine_chunks()
+        vc = v.value_counts()
+        return pa.table(
+            {
+                "lat_s": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+                "__g": pa.array(np.zeros(len(vc), np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["lat_s"].to_numpy().astype(np.int64)
+        c = g["cnt"].to_numpy().astype(np.int64)
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        conv = v >= 0
+        n_to = int(c.sum())
+        n_conv = int(c[conv].sum())
+        row = {"n_to": n_to, "n_converted": n_conv}
+        cum = np.cumsum(c[conv])
+        for name, q in quantiles.items():
+            if n_conv == 0:
+                row[name] = None
+            else:
+                target = max(1, int(np.ceil(q * n_conv)))
+                row[name] = int(v[conv][np.searchsorted(cum, target)])
+        return pd.DataFrame([row])
+
+    return (
+        lats.map_batches(hist, batch_format="pyarrow")
+        .groupby(["__g", "lat_s"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("__g")
+        .map_groups(final, batch_format="pandas")
     )
 
 

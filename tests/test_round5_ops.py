@@ -2188,3 +2188,67 @@ def test_weighted_median_rejects_fractional_weight(ray_session):
         weighted_median_per_group(
             rd.from_arrow(t), key="k", value="v", weight="w"
         ).take_all()
+
+
+def test_conversion_latency_matches_duckdb(ray_session):
+    """Last-view-before-purchase across bucket boundaries: hot user whose
+    view/purchase chain spans many tiny buckets, purchases with NO prior
+    view (unconverted), view and purchase tied on ts (event_id decides),
+    block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import conversion_latency
+
+    W = 1000  # 1 ms buckets -> constant boundary crossings
+    rng = np.random.default_rng(41)
+    labels = np.array(["view", "purchase", "click"])
+    rows = []
+    eid = 0
+    # hot user: 4000 mixed events over a wide span
+    for i in range(4000):
+        rows.append((1, int(rng.integers(0, 500_000)), eid, labels[rng.integers(3)])); eid += 1
+    # user 2: purchase BEFORE any view, then view, then purchase
+    rows.append((2, 100, eid, "purchase")); eid += 1
+    rows.append((2, 200, eid, "view")); eid += 1
+    rows.append((2, 5_000_700, eid, "purchase")); eid += 1
+    # user 3: view and purchase at the SAME ts — event_id order decides
+    rows.append((3, 777, eid, "view")); eid += 1
+    rows.append((3, 777, eid, "purchase")); eid += 1  # view first -> lat 0
+    rows.append((4, 888, eid, "purchase")); eid += 1
+    rows.append((4, 888, eid, "view")); eid += 1  # purchase first -> no view
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH s AS (SELECT user_id, ts, event_id, event_type, "
+        " max(CASE WHEN event_type = 'view' THEN ts END) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id "
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv "
+        " FROM events WHERE event_type IN ('view', 'purchase')), "
+        "l AS (SELECT CASE WHEN lv IS NULL THEN -1 "
+        " ELSE (epoch_us(ts) - epoch_us(lv)) // 1000000 END AS lat_s "
+        " FROM s WHERE event_type = 'purchase') "
+        "SELECT CAST(count(*) AS BIGINT) AS n_to, "
+        "CAST(count(*) FILTER (lat_s >= 0) AS BIGINT) AS n_converted, "
+        "CAST(quantile_disc(lat_s, 0.5) FILTER (lat_s >= 0) AS BIGINT) AS p50_lat_s, "
+        "CAST(quantile_disc(lat_s, 0.9) FILTER (lat_s >= 0) AS BIGINT) AS p90_lat_s "
+        "FROM l"
+    ).df()
+    for parts in (2, 13):
+        got = (
+            conversion_latency(rd.from_arrow(ev).repartition(parts), bucket_us=W)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        for c in got.columns:
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

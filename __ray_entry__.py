@@ -1728,6 +1728,22 @@ def q_conversion_latency_events(sf_dir: str):
     return conversion_latency(ev)
 
 
+def q_event_rate_changes(sf_dir: str):
+    """Day-over-day volume-change detector per event type (exact integer
+    ratio_milli, SQL lag() parity; per-key group bounded by the calendar
+    — ``functions/windows.py:rate_change``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import rate_change
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    return rate_change(ev)
+
+
 def q_collocations_docs(sf_dir: str):
     """Top-20 PMI-ranked collocations (exact integer pmi_milli — floor
     division of big ints on both sides, no float log anywhere); two
@@ -2677,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
         "weighted_median_price": q_weighted_median_price,
         "conversion_latency_events": q_conversion_latency_events,
+        "event_rate_changes": q_event_rate_changes,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3556,6 +3573,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "event_rate_changes": (
+            "WITH c AS (SELECT event_type, "
+            " CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS bucket, "
+            " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "l AS (SELECT event_type, bucket, n, "
+            " lag(n) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_n FROM c) "
+            "SELECT event_type, bucket, n, CAST(prev_n AS BIGINT) AS prev_n, "
+            "CAST((1000 * n) // prev_n AS BIGINT) AS ratio_milli "
+            "FROM l WHERE prev_n IS NOT NULL"
         ),
         "conversion_latency_events": (
             "WITH s AS (SELECT user_id, ts, event_id, event_type, "

@@ -35,6 +35,7 @@ __all__ = [
     "transition_counts",
     "path_topk",
     "conversion_latency",
+    "rate_change",
 ]
 
 
@@ -1094,6 +1095,74 @@ def transition_counts(
         interior.union(boundary)
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def rate_change(
+    ds: rd.Dataset,
+    *,
+    key: str = "event_type",
+    ts: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    scale: int = 1000,
+) -> rd.Dataset:
+    """Bucket-over-bucket volume change per key — the rate-spike /
+    drop detector over an event log: per (key, time bucket) counts, each
+    compared to the key's PREVIOUS non-empty bucket (SQL ``lag()``
+    semantics) as an exact integer ratio →
+    ``(key, bucket, n, prev_n, ratio_milli)`` with
+    ``ratio_milli = (scale·n) // prev_n`` (big-int floor, no floats).
+    First bucket per key is omitted (no predecessor), matching the SQL
+    ``WHERE prev IS NOT NULL`` replica hash-exactly.
+
+    Scale shape: the shuffle carries per-batch (key, bucket) count
+    partials only; the per-key lag group is bounded by the CALENDAR
+    (number of non-empty buckets), never the key's row count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        t = pa.table(
+            {key: batch[key], "__b": pc.divide(epoch, bucket_us).cast(pa.int64())}
+        )
+        return t.group_by([key, "__b"]).aggregate([([], "count_all")])
+
+    def lag_ratio(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["__b"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        o = np.argsort(b, kind="stable")
+        b, n = b[o], n[o]
+        if len(b) < 2:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "prev_n": pd.Series([], dtype="int64"),
+                    "ratio_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        ratio = np.array(
+            [(scale * int(c)) // int(p) for c, p in zip(n[1:], n[:-1])], np.int64
+        )
+        return pd.DataFrame(
+            {
+                key: g[key].iloc[:1].repeat(len(b) - 1).to_numpy(),
+                "bucket": b[1:],
+                "n": n[1:],
+                "prev_n": n[:-1],
+                "ratio_milli": ratio,
+            }
+        )
+
+    return (
+        ds.select_columns([key, ts])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .groupby(key)
+        .map_groups(lag_ratio, batch_format="pandas")
     )
 
 

@@ -2252,3 +2252,53 @@ def test_conversion_latency_matches_duckdb(ray_session):
         for c in got.columns:
             got[c] = got[c].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_rate_change_matches_duckdb(ray_session):
+    """Lag-over-non-empty-buckets semantics (gaps skip to the previous
+    EXISTING bucket), single-bucket keys drop out, block-split
+    invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import rate_change
+
+    rng = np.random.default_rng(43)
+    W = 1000
+    rows = []
+    # key a: buckets 0, 1, 5 (gap) with varying volume
+    for b, cnt in ((0, 10), (1, 25), (5, 4)):
+        for _ in range(cnt):
+            rows.append(("a", b * W + int(rng.integers(W))))
+    # key b: one bucket only -> no output rows
+    for _ in range(7):
+        rows.append(("b", 3 * W + int(rng.integers(W))))
+    ev = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH c AS (SELECT event_type, "
+        " CAST(epoch_us(ts) // 1000 AS BIGINT) AS bucket, "
+        " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "l AS (SELECT event_type, bucket, n, "
+        " lag(n) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_n FROM c) "
+        "SELECT event_type, bucket, n, CAST(prev_n AS BIGINT) AS prev_n, "
+        "CAST((1000 * n) // prev_n AS BIGINT) AS ratio_milli "
+        "FROM l WHERE prev_n IS NOT NULL ORDER BY event_type, bucket"
+    ).df()
+    for parts in (1, 6):
+        got = (
+            rate_change(rd.from_arrow(ev).repartition(parts), bucket_us=W)
+            .to_pandas()
+            .sort_values(["event_type", "bucket"])
+            .reset_index(drop=True)
+        )
+        for c in ("bucket", "n", "prev_n", "ratio_milli"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1744,6 +1744,22 @@ def q_event_rate_changes(sf_dir: str):
     return rate_change(ev)
 
 
+def q_user_streaks(sf_dir: str):
+    """Longest consecutive-active-day streak per user (gaps-and-islands;
+    distinct (key, day) combiner, calendar-bounded per-key fold —
+    ``functions/windows.py:longest_streak``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import longest_streak
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return longest_streak(ev)
+
+
 def q_collocations_docs(sf_dir: str):
     """Top-20 PMI-ranked collocations (exact integer pmi_milli — floor
     division of big ints on both sides, no float log anywhere); two
@@ -2694,6 +2710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": q_weighted_median_price,
         "conversion_latency_events": q_conversion_latency_events,
         "event_rate_changes": q_event_rate_changes,
+        "user_streaks": q_user_streaks,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3573,6 +3590,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "user_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            " CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+            "i AS (SELECT user_id, day, day - dense_rank() OVER "
+            " (PARTITION BY user_id ORDER BY day) AS island FROM d), "
+            "s AS (SELECT user_id, island, count(*) AS run FROM i GROUP BY 1, 2) "
+            "SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active, "
+            "CAST(max(run) AS BIGINT) AS longest_streak FROM s GROUP BY user_id"
         ),
         "event_rate_changes": (
             "WITH c AS (SELECT event_type, "

@@ -36,6 +36,7 @@ __all__ = [
     "path_topk",
     "conversion_latency",
     "rate_change",
+    "longest_streak",
 ]
 
 
@@ -1163,6 +1164,57 @@ def rate_change(
         .aggregate(Sum("count_all", alias_name="n"))
         .groupby(key)
         .map_groups(lag_ratio, batch_format="pandas")
+    )
+
+
+def longest_streak(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    bucket_us: int = 86_400_000_000,
+) -> rd.Dataset:
+    """Longest run of CONSECUTIVE active buckets (days) per key → ``(key,
+    n_active, longest_streak)`` — the gaps-and-islands engagement metric
+    (SQL: distinct (key, day), the ``day − dense_rank()`` island trick,
+    max island size).
+
+    Scale shape: per-batch distinct (key, bucket) combiner → one
+    pair-sized exchange deduplicating buckets → per-key fold over the
+    key's DISTINCT active buckets, bounded by the calendar, never the
+    key's event volume. The fold is one sort + one diff per group."""
+    import pyarrow.compute as pc
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        t = pa.table(
+            {key: batch[key], "__b": pc.divide(epoch, bucket_us).cast(pa.int64())}
+        )
+        # per-batch dedup: one row per (key, bucket) per block
+        return t.group_by([key, "__b"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        b = np.unique(g["__b"].to_numpy().astype(np.int64))
+        if len(b) == 1:
+            longest = 1
+        else:
+            # island boundaries where the gap exceeds one bucket
+            breaks = np.flatnonzero(np.diff(b) != 1)
+            edges = np.concatenate(([0], breaks + 1, [len(b)]))
+            longest = int(np.max(np.diff(edges)))
+        return pd.DataFrame(
+            [{key: g[key].iloc[0], "n_active": len(b), "longest_streak": longest}]
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.select_columns([key, ts])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .aggregate(Count(alias_name="__c"))  # dedup exchange; count unused
+        .groupby(key)
+        .map_groups(fold, batch_format="pandas")
     )
 
 

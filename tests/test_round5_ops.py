@@ -2302,3 +2302,57 @@ def test_rate_change_matches_duckdb(ray_session):
         for c in ("bucket", "n", "prev_n", "ratio_milli"):
             got[c] = got[c].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_longest_streak_matches_duckdb(ray_session):
+    """Gaps-and-islands: multi-island keys, single-day keys, a hot key
+    active every day, duplicate events within a day (distinct-day
+    semantics), block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import longest_streak
+
+    W = 1000
+    rng = np.random.default_rng(47)
+    rows = []
+    # key 1: islands {0,1,2}, {5}, {8,9} -> longest 3, n_active 6
+    for d in (0, 1, 2, 5, 8, 9):
+        for _ in range(int(rng.integers(1, 4))):  # dup events same day
+            rows.append((1, d * W + int(rng.integers(W))))
+    # key 2: single day
+    rows.append((2, 7 * W + 3))
+    # key 3 (hot): every day 0..99, many events each
+    for d in range(100):
+        for _ in range(5):
+            rows.append((3, d * W + int(rng.integers(W))))
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH d AS (SELECT DISTINCT user_id, "
+        " CAST(epoch_us(ts) // 1000 AS BIGINT) AS day FROM events), "
+        "i AS (SELECT user_id, day, day - dense_rank() OVER "
+        " (PARTITION BY user_id ORDER BY day) AS island FROM d), "
+        "s AS (SELECT user_id, island, count(*) AS run FROM i GROUP BY 1, 2) "
+        "SELECT user_id, CAST(sum(run) AS BIGINT) AS n_active, "
+        "CAST(max(run) AS BIGINT) AS longest_streak FROM s GROUP BY user_id "
+        "ORDER BY user_id"
+    ).df()
+    for parts in (1, 8):
+        got = (
+            longest_streak(rd.from_arrow(ev).repartition(parts), bucket_us=W)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        for c in ("n_active", "longest_streak"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert want.loc[want.user_id == 3, "longest_streak"].iloc[0] == 100

@@ -1760,6 +1760,94 @@ def q_user_streaks(sf_dir: str):
     return longest_streak(ev)
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Star-schema rollup (TPC-H Q5 shape): lineitem ⨝ orders ⨝ customer
+    ⨝ nation → revenue per nation, EXACT integer arithmetic throughout
+    (revenue_e4 = round(price·100) · round((1−discount)·100), both 2-dec
+    decimals, so the sum is order-independent and hash-exact vs SQL).
+
+    Scale plan: revenue pre-aggregates per orderkey INSIDE each lineitem
+    batch before anything moves; the two fact-side joins are the
+    hash-bucketed large-large ``equi_join`` (orderkey, then custkey, the
+    second over a custkey-aggregated left side); only the 25-row nation
+    dimension is a closure-captured lookup."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        price_c = pc.round(
+            pc.multiply(b["l_extendedprice"], pa.scalar(100.0)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        disc_c = pc.round(
+            pc.multiply(
+                pc.subtract(pa.scalar(1.0), b["l_discount"]), pa.scalar(100.0)
+            ),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": pc.multiply(price_c, disc_c),
+            }
+        )
+        # combiner: one row per orderkey per batch before the join shuffle
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]).rename_columns(
+            ["l_orderkey", "rev"]
+        )
+
+    li_agg = li.map_batches(rev_partial, batch_format="pyarrow")
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    by_cust = (
+        equi_join(
+            li_agg, od, left_on="l_orderkey", right_on="o_orderkey",
+            left_cols=["rev"], right_cols=["o_custkey"],
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    cu = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    by_nation = (
+        equi_join(
+            by_cust, cu, left_on="o_custkey", right_on="c_custkey",
+            left_cols=["rev"], right_cols=["c_nationkey"],
+        )
+        .groupby("c_nationkey")
+        .aggregate(Sum("rev", alias_name="revenue_e4"))
+    )
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in rd.read_parquet(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        ).take_all()
+    }  # 25 rows — closure-captured dimension
+
+    def label(b: pa.Table) -> pa.Table:
+        keys = b["c_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in keys], pa.string()),
+                "revenue_e4": b["revenue_e4"],
+            }
+        )
+
+    return by_nation.map_batches(label, batch_format="pyarrow")
+
+
 def q_collocations_docs(sf_dir: str):
     """Top-20 PMI-ranked collocations (exact integer pmi_milli — floor
     division of big ints on both sides, no float log anywhere); two
@@ -2711,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency_events": q_conversion_latency_events,
         "event_rate_changes": q_event_rate_changes,
         "user_streaks": q_user_streaks,
+        "revenue_by_nation": q_revenue_by_nation,
         "encode_roundtrip_tokens": q_encode_roundtrip_tokens,
         "encode_roundtrip_fruits": q_encode_roundtrip_fruits,
         "encode_roundtrip_embeddings": q_encode_roundtrip_embeddings,
@@ -3590,6 +3679,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, CAST(sum("
+            " CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            " CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
         ),
         "user_streaks": (
             "WITH d AS (SELECT DISTINCT user_id, "

@@ -2356,3 +2356,30 @@ def test_longest_streak_matches_duckdb(ray_session):
             got[c] = got[c].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
     assert want.loc[want.user_id == 3, "longest_streak"].iloc[0] == 100
+
+
+def test_revenue_by_nation_matches_duckdb(ray_session):
+    """Star-join rollup at sf0.001: exact integer revenue
+    (price-cents x discount-percent products summed as int64)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as mod
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        mod.q_revenue_by_nation(sf)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    got["revenue_e4"] = got["revenue_e4"].astype("int64")
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.execute(
+        mod.oracle_sql()["revenue_by_nation"] + " ORDER BY n_name"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1810,21 +1810,28 @@ def q_revenue_by_nation(sf_dir: str):
     od = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
     )
+    cu = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    # bucket counts from parquet METADATA row counts (16 B/row projected):
+    # auto_num_buckets would count() the lazily-transformed join inputs,
+    # re-executing the upstream pipeline once per join (joins.py:202)
+    li_rows, od_rows, cu_rows = li.count(), od.count(), cu.count()
+    # same [16, 4096] clamp as auto_num_buckets (parallelism floor)
+    nb1 = min(4096, max(16, ((li_rows + od_rows) * 16) // (64 << 20) + 1))
+    nb2 = min(4096, max(16, ((od_rows + cu_rows) * 16) // (64 << 20) + 1))
     by_cust = (
         equi_join(
             li_agg, od, left_on="l_orderkey", right_on="o_orderkey",
-            left_cols=["rev"], right_cols=["o_custkey"],
+            left_cols=["rev"], right_cols=["o_custkey"], num_buckets=int(nb1),
         )
         .groupby("o_custkey")
         .aggregate(Sum("rev", alias_name="rev"))
     )
-    cu = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
     by_nation = (
         equi_join(
             by_cust, cu, left_on="o_custkey", right_on="c_custkey",
-            left_cols=["rev"], right_cols=["c_nationkey"],
+            left_cols=["rev"], right_cols=["c_nationkey"], num_buckets=int(nb2),
         )
         .groupby("c_nationkey")
         .aggregate(Sum("rev", alias_name="revenue_e4"))

@@ -270,6 +270,10 @@ def run_headline() -> dict:
                 "hhi_event_types_user",  # pair-combiner concentration index
                 "chisq_event_mix_user",  # exact-int distribution-drift score
                 "ttr_docs",  # zero-shuffle lexical diversity
+                "revenue_by_nation",  # 4-table star-join rollup (2x equi_join)
+                "conversion_latency_events",  # two-phase last-view carry + quantiles
+                "user_paths_topk",  # earliest-n journey mining (bounded combiner)
+                "tfidf_top_terms_docs",  # integer tf-idf keyword extraction
             ):
                 # min of 2 reps: a single timing is hostage to whatever
                 # else the box is doing (round-4's driver record showed

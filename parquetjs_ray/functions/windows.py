@@ -1180,10 +1180,16 @@ def longest_streak(
     max island size).
 
     Scale shape: per-batch distinct (key, bucket) combiner → one
-    pair-sized exchange deduplicating buckets → per-key fold over the
-    key's DISTINCT active buckets, bounded by the calendar, never the
-    key's event volume. The fold is one sort + one diff per group."""
+    pair-sized exchange deduplicating buckets → the per-key fold runs
+    over HASH-BUCKETED cogroups (many keys per group — one Python call
+    per bucket, not per key), each a single vectorized islands pass over
+    rows bounded by keys × calendar, never event volume."""
     import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .dedup import _mix64
+
+    num_buckets = 256
 
     def bucketize(batch: pa.Table) -> pa.Table:
         epoch = batch[ts].cast(pa.int64())
@@ -1193,27 +1199,43 @@ def longest_streak(
         # per-batch dedup: one row per (key, bucket) per block
         return t.group_by([key, "__b"]).aggregate([])
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        b = np.unique(g["__b"].to_numpy().astype(np.int64))
-        if len(b) == 1:
-            longest = 1
-        else:
-            # island boundaries where the gap exceeds one bucket
-            breaks = np.flatnonzero(np.diff(b) != 1)
-            edges = np.concatenate(([0], breaks + 1, [len(b)]))
-            longest = int(np.max(np.diff(edges)))
-        return pd.DataFrame(
-            [{key: g[key].iloc[0], "n_active": len(b), "longest_streak": longest}]
-        )
+    def add_bk(b: pa.Table) -> pa.Table:
+        u = b[key].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (_mix64(u) % np.uint64(num_buckets)).astype(np.int64)
+        return b.append_column("__bk", pa.array(bk, pa.int64()))
 
-    from ray.data.aggregate import Count
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # one key-hash bucket: sorted (key, day) rows, single islands pass
+        k = g[key].to_numpy()
+        b = g["__b"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, k))
+        k, b = k[o], b[o]
+        n = len(k)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        new_island = new_key.copy()
+        new_island[1:] |= np.diff(b) != 1
+        island_id = np.cumsum(new_island) - 1
+        island_len = np.bincount(island_id)
+        island_key = k[new_island]  # key of each island, in island order
+        s = pd.Series(island_len).groupby(island_key, sort=False)
+        out = pd.DataFrame(
+            {
+                key: pd.unique(island_key),
+                "n_active": s.sum().to_numpy().astype(np.int64),
+                "longest_streak": s.max().to_numpy().astype(np.int64),
+            }
+        )
+        return out
 
     return (
         ds.select_columns([key, ts])
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby([key, "__b"])
         .aggregate(Count(alias_name="__c"))  # dedup exchange; count unused
-        .groupby(key)
+        .map_batches(add_bk, batch_format="pyarrow")
+        .groupby("__bk")
         .map_groups(fold, batch_format="pandas")
     )
 
@@ -1237,17 +1259,25 @@ def conversion_latency(
     ONE row: ``(n_to, n_converted, <quantile cols>)``, discrete
     quantiles over floor-seconds latency (exact integers end to end).
 
-    Hot-key-proof two-phase like :func:`running_totals`: bucket groups
-    hold one key's events inside ONE time bucket; the carry-in (last
-    ``from_label`` ts of all earlier buckets) is an exclusive prefix MAX
-    over per-bucket summaries (a group there is bucket-count-bounded);
-    the final quantile walk runs over the (lat_s → count) histogram,
-    bounded by the corpus TIME RANGE in seconds, never its row count."""
+    Hot-key-proof two-phase like :func:`running_totals`, with every
+    per-key pass running over HASH-BUCKETED cogroups (many keys per
+    group, C-level segmented scans inside — never one Python call per
+    (key, bucket), which a key-cardinality-sized corpus turns into the
+    tiny-group trap): the carry-in (last ``from_label`` ts of all
+    earlier buckets) is an exclusive prefix MAX over per-(key, bucket)
+    summaries; one cogroup holds one key-hash bucket inside ONE time
+    bucket, so a hot key still materializes at most its single-bucket
+    volume; the final quantile walk runs over the (lat_s → count)
+    histogram, bounded by the corpus TIME RANGE in seconds, never its
+    row count."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Sum
 
+    from .dedup import _mix64
+
     if quantiles is None:
         quantiles = {"p50_lat_s": 0.5, "p90_lat_s": 0.9}
+    num_key_buckets = 256
 
     def bucketize(batch: pa.Table) -> pa.Table:
         lab = batch[label]
@@ -1255,9 +1285,12 @@ def conversion_latency(
         b = batch.filter(keep)
         epoch = b[ts].cast(pa.int64())
         is_from = pc.equal(b[label], from_label)
+        u = b[key].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (_mix64(u) % np.uint64(num_key_buckets)).astype(np.int64)
         return pa.table(
             {
                 key: b[key],
+                "__bk": pa.array(bk, pa.int64()),
                 "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
                 "__ts": epoch,  # ≥ 0; -1 marks carry rows below
                 "__id": b[order_id].cast(pa.int64()),
@@ -1274,45 +1307,77 @@ def conversion_latency(
     )
 
     def prefix(g: pa.Table) -> pa.Table:
-        b = g["__b"].to_numpy(zero_copy_only=False)
-        vm = g["__vmax"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.argsort(b, kind="stable")
-        vm = vm[o]
-        # EXCLUSIVE prefix max: carry into bucket i = max of buckets < i
-        carry = np.concatenate(([-1], np.maximum.accumulate(vm)[:-1]))
-        oa = pa.array(o)
-        n = len(b)
+        # one key-hash bucket's (key, time-bucket) summaries: segmented
+        # EXCLUSIVE prefix max per key, one C-level pass for all keys
+        s = g.sort_by([(key, "ascending"), ("__b", "ascending")])
+        k = s[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vm = s["__vmax"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        inc = (
+            pd.Series(vm).groupby(k, sort=False).cummax().to_numpy().astype(np.int64)
+        )
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        np.not_equal(k[1:], k[:-1], out=new_seg[1:])
+        carry = np.concatenate(([-1], inc[:-1]))
+        carry[new_seg] = -1  # first bucket of each key has no predecessor
         return pa.table(
             {
-                key: pc.take(g[key], oa),
-                "__b": pc.take(g["__b"], oa),
+                key: s[key],
+                "__bk": s["__bk"],
+                "__b": s["__b"],
                 "__ts": pa.array(np.full(n, -1, np.int64)),
                 "__id": pa.array(np.zeros(n, np.int64)),
                 "__vt": pa.array(carry),
             }
         )
 
-    carries = summaries.groupby(key).map_groups(prefix, batch_format="pyarrow")
+    carries = (
+        summaries.map_batches(
+            lambda b: b.append_column(
+                "__bk",
+                pa.array(
+                    (
+                        _mix64(
+                            b[key]
+                            .cast(pa.int64())
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.uint64)
+                        )
+                        % np.uint64(num_key_buckets)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__bk")
+        .map_groups(prefix, batch_format="pyarrow")
+    )
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
-        tcol = g["__ts"].to_numpy().astype(np.int64)
-        is_carry = tcol < 0
-        carry = int(g.loc[is_carry, "__vt"].iloc[0]) if is_carry.any() else -1
-        ev = g[~is_carry]
-        t = ev["__ts"].to_numpy().astype(np.int64)
-        i = ev["__id"].to_numpy().astype(np.int64)
-        vt = ev["__vt"].to_numpy().astype(np.int64)
-        o = np.lexsort((i, t))
-        t, vt = t[o], vt[o]
-        last_from = np.maximum.accumulate(np.concatenate(([carry], vt)))[1:]
-        is_to = vt < 0  # a kept event is either from_label (vt=ts) or to_label
+        # one (key-hash bucket, time bucket) cogroup: carry rows sort
+        # FIRST within each key (__ts=-1), then one C-level per-key
+        # cummax resolves every event's last-from timestamp
+        t = g["__ts"].to_numpy().astype(np.int64)
+        i = g["__id"].to_numpy().astype(np.int64)
+        k = g[key].to_numpy()
+        vt = g["__vt"].to_numpy().astype(np.int64)
+        o = np.lexsort((i, t, k))  # carries (__ts=-1) lead their key
+        t, vt, k = t[o], vt[o], k[o]
+        last_from = (
+            pd.Series(vt).groupby(k, sort=False).cummax().to_numpy().astype(np.int64)
+        )
+        is_to = (vt < 0) & (t >= 0)  # real events that are not from_label
         lv = last_from[is_to]
         tt = t[is_to]
         lat_s = np.where(lv >= 0, (tt - lv) // 1_000_000, -1)
         return pd.DataFrame({"lat_s": lat_s.astype(np.int64)})
 
     lats = (
-        events.union(carries).groupby([key, "__b"]).map_groups(local, batch_format="pandas")
+        events.union(carries)
+        .groupby(["__bk", "__b"])
+        .map_groups(local, batch_format="pandas")
     )
 
     def hist(batch: pa.Table) -> pa.Table:

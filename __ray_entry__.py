@@ -1760,6 +1760,24 @@ def q_user_streaks(sf_dir: str):
     return longest_streak(ev)
 
 
+def q_profile_events(sf_dir: str):
+    """One-pass DESCRIBE report over the events table's int/string
+    columns (exact distinct, native-typed min/max serialized to strings;
+    distinct-value-bounded shuffle —
+    ``functions/profile.py:profile_columns``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.profile import profile_columns
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    return profile_columns(ev, ["event_id", "user_id", "event_type"])
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Star-schema rollup (TPC-H Q5 shape): lineitem ⨝ orders ⨝ customer
     ⨝ nation → revenue per nation, EXACT integer arithmetic throughout
@@ -2814,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": q_weighted_median_price,
         "event_rate_changes": q_event_rate_changes,
         "user_streaks": q_user_streaks,
+        "profile_events": q_profile_events,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3698,6 +3717,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "profile_events": (
+            "SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            " CAST(count(*) - count(event_id) AS BIGINT) AS n_null, "
+            " CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct, "
+            " CAST(min(event_id) AS VARCHAR) AS min_str, "
+            " CAST(max(event_id) AS VARCHAR) AS max_str FROM events "
+            "UNION ALL "
+            "SELECT 'user_id', CAST(count(*) AS BIGINT), "
+            " CAST(count(*) - count(user_id) AS BIGINT), "
+            " CAST(count(DISTINCT user_id) AS BIGINT), "
+            " CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events "
+            "UNION ALL "
+            "SELECT 'event_type', CAST(count(*) AS BIGINT), "
+            " CAST(count(*) - count(event_type) AS BIGINT), "
+            " CAST(count(DISTINCT event_type) AS BIGINT), "
+            " min(event_type), max(event_type) FROM events"
         ),
         "revenue_by_nation": (
             "SELECT n_name, CAST(sum("

@@ -1,0 +1,146 @@
+"""One-pass column profiling (the DESCRIBE report): per column → row
+count, null count, exact distinct count, min, max.
+
+The profiling pass every ingestion pipeline runs before choosing codecs,
+partition keys and dedup strategies — here as a first-class operator so
+the report is itself oracle-checkable.
+
+Scale shape: ONE scan; each batch emits per-column DISTINCT value
+partials (an Arrow ``value_counts`` per column — one row per distinct
+value per batch, never one per occurrence) plus a null-count partial;
+the shuffle is bounded by Σ per-column cardinality. The per-column fold
+is likewise cardinality-bounded. For columns whose cardinality is
+row-sized this is the exact path by design (the report's
+``n_distinct`` is exact); profile high-cardinality columns with
+:func:`~parquetjs_ray.functions.groupops.group_approx_distinct` when an
+estimate suffices.
+
+min/max compare in the column's NATIVE type (numeric for ints, UTF-8
+lexicographic for strings) and serialize to decimal strings at the end,
+so the report hash-matches SQL ``CAST(min(col) AS VARCHAR)`` exactly.
+Supported column types: integers and strings (floats' VARCHAR
+formatting is engine-specific, so they are rejected loudly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
+    """→ one row per profiled column: ``(col_name, n_rows, n_null,
+    n_distinct, min_str, max_str)`` (min/max of the non-null values as
+    decimal/verbatim strings; NULL when the column is all-null)."""
+    schema = ds.schema()
+    for c in columns:
+        t = schema.types[schema.names.index(c)]
+        if not (
+            pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t)
+        ):
+            raise TypeError(
+                f"profile_columns supports integer and string columns; {c!r} is {t}"
+            )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols, vals, nums, cnts, nulls = [], [], [], [], []
+        for c in columns:
+            col = batch[c]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            n_null = col.null_count
+            nn = col.drop_null()
+            vc = nn.value_counts()
+            v = vc.field("values")
+            cnt = vc.field("counts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(v.type):
+                num = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                sv = v.cast(pa.string())
+            else:
+                num = np.zeros(len(v), np.int64)
+                sv = v.cast(pa.string())
+            cols.append(np.repeat(np.array([c], object), len(v)))
+            vals.append(sv)
+            nums.append(num)
+            cnts.append(cnt)
+            nul = [np.zeros(len(v), np.int64)]
+            if n_null:
+                # null partial: is_null=1 sentinel row (never a null
+                # group key — Ray's sort-based shuffle need not order them)
+                cols.append(np.array([c], object))
+                vals.append(pa.array([""], pa.string()))
+                nums.append(np.zeros(1, np.int64))
+                cnts.append(np.array([n_null], np.int64))
+                nul.append(np.ones(1, np.int64))
+            nulls.extend(nul)
+        return pa.table(
+            {
+                "col_name": pa.array(np.concatenate(cols), pa.string()),
+                "val": pa.concat_arrays(
+                    [
+                        v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                        for v in vals
+                    ]
+                ),
+                "is_null": pa.array(np.concatenate(nulls), pa.int64()),
+                "num": pa.array(np.concatenate(nums), pa.int64()),
+                "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    is_int = {
+        c: pa.types.is_integer(schema.types[schema.names.index(c)]) for c in columns
+    }
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["col_name"].iloc[0]
+        null_mask = g["is_null"].to_numpy() == 1
+        n_null = int(g.loc[null_mask, "cnt"].sum())
+        nn = g[~null_mask]
+        n_rows = int(g["cnt"].sum())
+        if len(nn) == 0:
+            return pd.DataFrame(
+                [
+                    {
+                        "col_name": c,
+                        "n_rows": n_rows,
+                        "n_null": n_null,
+                        "n_distinct": 0,
+                        "min_str": None,
+                        "max_str": None,
+                    }
+                ]
+            )
+        if is_int[c]:
+            num = nn["num"].to_numpy()
+            lo, hi = str(int(num.min())), str(int(num.max()))
+        else:
+            sv = nn["val"].to_numpy()
+            lo, hi = min(sv), max(sv)
+        return pd.DataFrame(
+            [
+                {
+                    "col_name": c,
+                    "n_rows": n_rows,
+                    "n_null": n_null,
+                    "n_distinct": int(len(nn)),
+                    "min_str": lo,
+                    "max_str": hi,
+                }
+            ]
+        )
+
+    return (
+        ds.select_columns(list(columns))
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["col_name", "val", "is_null"])
+        .aggregate(Sum("cnt", alias_name="cnt"), Max("num", alias_name="num"))
+        .groupby("col_name")
+        .map_groups(fold, batch_format="pandas")
+    )

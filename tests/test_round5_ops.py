@@ -2383,3 +2383,53 @@ def test_revenue_by_nation_matches_duckdb(ray_session):
         mod.oracle_sql()["revenue_by_nation"] + " ORDER BY n_name"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_profile_columns_matches_duckdb(ray_session):
+    """DESCRIBE report: nulls, exact distinct, native-typed min/max
+    (negative ints whose string form would mis-sort lexicographically,
+    empty-string values vs null sentinels), block-split invariant, loud
+    rejection of float columns."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.profile import profile_columns
+
+    rng = np.random.default_rng(53)
+    n = 5000
+    ids = rng.integers(-1_000_000, 1_000_000, n)  # negatives: "-9" < "10" numeric, not lexicographic
+    ids_arr = pa.array(
+        [None if rng.random() < 0.05 else int(v) for v in ids], pa.int64()
+    )
+    labels = pa.array(
+        [
+            None if rng.random() < 0.1 else ("" if rng.random() < 0.1 else f"t{rng.integers(5)}")
+            for _ in range(n)
+        ],
+        pa.string(),
+    )
+    t = pa.table({"k": ids_arr, "lab": labels, "f": pa.array(np.ones(n))})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT 'k' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        " CAST(count(*) - count(k) AS BIGINT) AS n_null, "
+        " CAST(count(DISTINCT k) AS BIGINT) AS n_distinct, "
+        " CAST(min(k) AS VARCHAR) AS min_str, CAST(max(k) AS VARCHAR) AS max_str FROM t "
+        "UNION ALL SELECT 'lab', CAST(count(*) AS BIGINT), "
+        " CAST(count(*) - count(lab) AS BIGINT), CAST(count(DISTINCT lab) AS BIGINT), "
+        " min(lab), max(lab) FROM t ORDER BY col_name"
+    ).df()
+    for parts in (1, 7):
+        got = (
+            profile_columns(rd.from_arrow(t).repartition(parts), ["k", "lab"])
+            .to_pandas()
+            .sort_values("col_name")
+            .reset_index(drop=True)
+        )
+        for c in ("n_rows", "n_null", "n_distinct"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    with pytest.raises(TypeError):
+        profile_columns(rd.from_arrow(t), ["f"])

@@ -1778,6 +1778,22 @@ def q_profile_events(sf_dir: str):
     return profile_columns(ev, ["event_id", "user_id", "event_type"])
 
 
+def q_rolling_active_users(sf_dir: str):
+    """Trailing-7-day distinct active users per active day (distinct
+    (key, day) combiner → windowed replication filtered to active
+    anchors → dedup exchange — ``functions/windows.py:rolling_distinct``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import rolling_distinct
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return rolling_distinct(ev)
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Star-schema rollup (TPC-H Q5 shape): lineitem ⨝ orders ⨝ customer
     ⨝ nation → revenue per nation, EXACT integer arithmetic throughout
@@ -2833,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rate_changes": q_event_rate_changes,
         "user_streaks": q_user_streaks,
         "profile_events": q_profile_events,
+        "rolling_active_users": q_rolling_active_users,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3717,6 +3734,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "rolling_active_users": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            " CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d FROM events), "
+            "days AS (SELECT DISTINCT d FROM p) "
+            "SELECT days.d AS bucket, CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_distinct "
+            "FROM days JOIN p ON p.d BETWEEN days.d - 6 AND days.d GROUP BY days.d"
         ),
         "profile_events": (
             "SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "

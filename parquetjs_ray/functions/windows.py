@@ -37,6 +37,7 @@ __all__ = [
     "conversion_latency",
     "rate_change",
     "longest_streak",
+    "rolling_distinct",
 ]
 
 
@@ -376,6 +377,74 @@ def sliding_counts(
         ds.map_batches(expand, batch_format="pyarrow")
         .groupby([key, "win_start_us"])
         .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def rolling_distinct(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    window_buckets: int = 7,
+) -> rd.Dataset:
+    """Rolling DISTINCT count — e.g. trailing-7-day active users per day:
+    for every ACTIVE bucket ``d`` (one with ≥1 event), the number of
+    distinct keys seen in buckets ``(d−window+1 … d)`` →
+    ``(bucket, n_distinct)``. The active-user metric
+    :func:`sliding_counts` (plain counts) cannot express — distinct does
+    not decompose into per-bucket sums.
+
+    Scale shape: events collapse to distinct (key, bucket) pairs per
+    batch BEFORE anything shuffles; each pair replicates to the ≤
+    ``window_buckets`` trailing windows it serves (filtered against the
+    broadcast ACTIVE-bucket set, calendar-bounded); one (bucket, key)
+    dedup exchange of those pairs (≤ window × pairs rows, never event
+    volume) feeds a per-bucket count. Hash-exact vs the SQL range-join
+    + ``count(DISTINCT)`` replica."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        t = pa.table(
+            {key: batch[key], "__b": pc.divide(epoch, bucket_us).cast(pa.int64())}
+        )
+        return t.group_by([key, "__b"]).aggregate([])
+
+    dpairs = (
+        ds.select_columns([key, ts])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .aggregate(Count(alias_name="__c"))  # dedup exchange; count unused
+        .materialize()  # reused: active-bucket probe + the expansion pass
+    )
+    active = np.array(
+        sorted(
+            r["__b"]
+            for r in dpairs.groupby("__b")
+            .aggregate(Count(alias_name="__n"))
+            .take_all()
+        ),
+        dtype=np.int64,
+    )  # calendar-bounded (one int per non-empty bucket; driver holds buckets, never pairs)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        b = batch["__b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch[key].to_numpy(zero_copy_only=False)
+        wins = (b[:, None] + np.arange(window_buckets)[None, :]).reshape(-1)
+        kk = np.repeat(k, window_buckets)
+        keep = np.isin(wins, active)  # only windows anchored at ACTIVE buckets
+        return pa.table(
+            {key: pa.array(kk[keep]), "bucket": pa.array(wins[keep], pa.int64())}
+        )
+
+    return (
+        dpairs.map_batches(expand, batch_format="pyarrow")
+        .groupby(["bucket", key])
+        .aggregate(Count(alias_name="__c"))  # dedup (bucket, key)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_distinct"))
     )
 
 

@@ -2433,3 +2433,53 @@ def test_profile_columns_matches_duckdb(ray_session):
         pd.testing.assert_frame_equal(got, want, check_exact=True)
     with pytest.raises(TypeError):
         profile_columns(rd.from_arrow(t), ["f"])
+
+
+def test_rolling_distinct_matches_duckdb(ray_session):
+    """Trailing-window distinct: gaps in the calendar (windows anchor
+    only at ACTIVE buckets), users spanning multiple buckets counted
+    once per window, hot user everywhere, block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import rolling_distinct
+
+    W = 1000
+    rng = np.random.default_rng(59)
+    rows = []
+    # sparse calendar: buckets 0,1,2, 10, 12, 13 active
+    for d in (0, 1, 2, 10, 12, 13):
+        for u in rng.integers(0, 40, 30):
+            rows.append((int(u), d * W + int(rng.integers(W))))
+    # hot user 999 active in every bucket
+    for d in (0, 1, 2, 10, 12, 13):
+        rows.append((999, d * W + 5))
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH p AS (SELECT DISTINCT user_id, "
+        " CAST(epoch_us(ts) // 1000 AS BIGINT) AS d FROM events), "
+        "days AS (SELECT DISTINCT d FROM p) "
+        "SELECT days.d AS bucket, CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_distinct "
+        "FROM days JOIN p ON p.d BETWEEN days.d - 2 AND days.d "
+        "GROUP BY days.d ORDER BY days.d"
+    ).df()
+    for parts in (1, 6):
+        got = (
+            rolling_distinct(
+                rd.from_arrow(ev).repartition(parts), bucket_us=W, window_buckets=3
+            )
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        for c in ("bucket", "n_distinct"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1794,6 +1794,39 @@ def q_rolling_active_users(sf_dir: str):
     return rolling_distinct(ev)
 
 
+def q_daily_value_bands(sf_dir: str):
+    """Per-day exact p50/p90 bands of the (cent-scaled) value column —
+    the time-series quantile report, composed from the hot-key-proof
+    histogram quantiles with the day as the key
+    (``functions/quantiles.py:grouped_quantiles``)."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import grouped_quantiles
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        cents = pc.round(
+            pc.multiply(b["value"], pa.scalar(100.0)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({"day": day, "v_cents": cents})
+
+    return grouped_quantiles(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        {"p50_cents": 0.5, "p90_cents": 0.9},
+        key="day",
+        value="v_cents",
+    )
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Star-schema rollup (TPC-H Q5 shape): lineitem ⨝ orders ⨝ customer
     ⨝ nation → revenue per nation, EXACT integer arithmetic throughout
@@ -2850,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": q_user_streaks,
         "profile_events": q_profile_events,
         "rolling_active_users": q_rolling_active_users,
+        "daily_value_bands": q_daily_value_bands,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3734,6 +3768,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "daily_value_bands": (
+            "WITH v AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            " CAST(round(value * 100) AS BIGINT) AS c FROM events) "
+            "SELECT day, CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cents, "
+            "CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_cents FROM v GROUP BY day"
         ),
         "rolling_active_users": (
             "WITH p AS (SELECT DISTINCT user_id, "

@@ -1794,6 +1794,23 @@ def q_rolling_active_users(sf_dir: str):
     return rolling_distinct(ev)
 
 
+def q_state_durations_events(sf_dir: str):
+    """Dwell time per event-type state (each event holds until the key's
+    next event — the lead() window), hash-bucketed two-phase attribution
+    (``functions/windows.py:state_durations``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import state_durations
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return state_durations(ev)
+
+
 def q_daily_value_bands(sf_dir: str):
     """Per-day exact p50/p90 bands of the (cent-scaled) value column —
     the time-series quantile report, composed from the hot-key-proof
@@ -2884,6 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": q_profile_events,
         "rolling_active_users": q_rolling_active_users,
         "daily_value_bands": q_daily_value_bands,
+        "state_durations_events": q_state_durations_events,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3768,6 +3786,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "state_durations_events": (
+            "WITH s AS (SELECT user_id, event_type, ts, lead(ts) OVER "
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS nts FROM events) "
+            "SELECT event_type, "
+            "CAST(sum(epoch_us(nts) - epoch_us(ts)) AS BIGINT) AS total_us, "
+            "CAST(count(*) AS BIGINT) AS n_intervals "
+            "FROM s WHERE nts IS NOT NULL GROUP BY event_type"
         ),
         "daily_value_bands": (
             "WITH v AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "

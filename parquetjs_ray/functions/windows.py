@@ -38,6 +38,7 @@ __all__ = [
     "rate_change",
     "longest_streak",
     "rolling_distinct",
+    "state_durations",
 ]
 
 
@@ -1165,6 +1166,195 @@ def transition_counts(
         interior.union(boundary)
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def state_durations(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    label: str = "event_type",
+    bucket_us: int = 86_400_000_000,
+) -> rd.Dataset:
+    """Dwell time per state: each event "holds" its label until the same
+    key's NEXT event (the ``lead(ts)`` window); total held time and
+    interval count per label → ``(label, total_us, n_intervals)``. The
+    time-in-state report behind engagement/dwell analytics; over a crawl
+    it is "how long does a domain stay in each document kind".
+
+    All integers → hash-exact vs the SQL ``lead()`` replica. Two-phase
+    like :func:`transition_counts`, but with BOTH passes running over
+    key-hash-bucketed cogroups (never one Python call per (key, bucket)
+    — see :func:`conversion_latency`): intra-bucket intervals collapse
+    to label-bounded partials inside (key-hash, time-bucket) cogroups;
+    one summary row per (key, bucket) carries (first_ts, last_ts,
+    last_label); the cross-bucket pass attributes each boundary interval
+    to the earlier bucket's last label; a final label Sum folds
+    kilobyte partials."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _mix64
+
+    num_key_buckets = 256
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        u = (
+            batch[key]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        bk = (_mix64(u) % np.uint64(num_key_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                key: batch[key],
+                "__bk": pa.array(bk, pa.int64()),
+                "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
+                "__ts": epoch,
+                "__id": batch[order_id].cast(pa.int64()),
+                "__lab": batch[label],
+            }
+        )
+
+    events = ds.select_columns([key, ts, order_id, label]).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        # one (key-hash, time-bucket) cogroup: segmented per-key interval
+        # sums + one summary row per key, all C-level
+        k = g[key].to_numpy()
+        t = g["__ts"].to_numpy().astype(np.int64)
+        i = g["__id"].to_numpy().astype(np.int64)
+        lab = g["__lab"].to_numpy()
+        o = np.lexsort((i, t, k))
+        k, t, lab = k[o], t[o], lab[o]
+        n = len(k)
+        same_key_next = np.zeros(n, dtype=bool)
+        same_key_next[:-1] = k[1:] == k[:-1]
+        dur = np.zeros(n, np.int64)
+        dur[:-1] = t[1:] - t[:-1]
+        dur[~same_key_next] = 0
+        part = (
+            pd.DataFrame({"lab": lab, "dur": dur, "one": same_key_next.astype(np.int64)})
+            .groupby("lab", sort=False)
+            .sum()
+            .reset_index()
+        )
+        part = part[(part["dur"] > 0) | (part["one"] > 0)]
+        out_part = pd.DataFrame(
+            {
+                "__lab": part["lab"],
+                "total_us": part["dur"].astype(np.int64),
+                "n_intervals": part["one"].astype(np.int64),
+                "__summary": False,
+                key: np.zeros(len(part), dtype=k.dtype) if len(k) else [],
+                "__bk": np.int64(0),
+                "__b": np.int64(0),
+                "__first": np.int64(0),
+                "__last": np.int64(0),
+            }
+        )
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_key)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        summ = pd.DataFrame(
+            {
+                "__lab": lab[ends],  # bucket's LAST label per key
+                "total_us": np.zeros(len(starts), np.int64),
+                "n_intervals": np.zeros(len(starts), np.int64),
+                "__summary": True,
+                key: k[starts],
+                "__bk": np.int64(g["__bk"].iloc[0]),
+                "__b": np.int64(g["__b"].iloc[0]),
+                "__first": t[starts],
+                "__last": t[ends],
+            }
+        )
+        return pd.concat((out_part, summ), ignore_index=True)
+
+    phase1 = (
+        events.groupby(["__bk", "__b"])
+        .map_groups(local, batch_format="pandas")
+        .materialize()
+    )
+
+    interior = phase1.map_batches(
+        lambda b: b.filter(pc.invert(b["__summary"])).select(
+            ["__lab", "total_us", "n_intervals"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        # one key-hash bucket's (key, bucket) summaries: boundary interval
+        # = next bucket's first_ts − this bucket's last_ts, same key
+        k = g[key].to_numpy()
+        b = g["__b"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, k))
+        k, b = k[o], b[o]
+        first = g["__first"].to_numpy().astype(np.int64)[o]
+        last = g["__last"].to_numpy().astype(np.int64)[o]
+        lab = g["__lab"].to_numpy()[o]
+        n = len(k)
+        same_key_next = np.zeros(n, dtype=bool)
+        same_key_next[:-1] = k[1:] == k[:-1]
+        dur = np.zeros(n, np.int64)
+        dur[:-1] = first[1:] - last[:-1]
+        dur[~same_key_next] = 0
+        keep = same_key_next
+        part = (
+            pd.DataFrame(
+                {
+                    "lab": lab[keep],
+                    "dur": dur[keep],
+                    "one": np.ones(int(keep.sum()), np.int64),
+                }
+            )
+            .groupby("lab", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "__lab": part["lab"],
+                "total_us": part["dur"].astype(np.int64),
+                "n_intervals": part["one"].astype(np.int64),
+            }
+        )
+
+    boundary = (
+        phase1.map_batches(
+            lambda b: b.filter(b["__summary"]).select(
+                [key, "__bk", "__b", "__lab", "__first", "__last"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__bk")
+        .map_groups(cross, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["__lab", "total_us", "n_intervals"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    return (
+        interior.union(boundary)
+        .groupby("__lab")
+        .aggregate(
+            Sum("total_us", alias_name="total_us"),
+            Sum("n_intervals", alias_name="n_intervals"),
+        )
+        .map_batches(
+            lambda t: t.rename_columns([label, "total_us", "n_intervals"]),
+            batch_format="pyarrow",
+        )
     )
 
 

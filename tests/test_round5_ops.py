@@ -2483,3 +2483,55 @@ def test_rolling_distinct_matches_duckdb(ray_session):
         for c in ("bucket", "n_distinct"):
             got[c] = got[c].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_state_durations_matches_duckdb(ray_session):
+    """lead()-window dwell attribution: hot key crossing many tiny
+    buckets (boundary intervals dominate), same-ts ties ordered by
+    event_id, zero-duration intervals counted, single-event keys
+    contribute nothing, block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import state_durations
+
+    W = 500
+    rng = np.random.default_rng(61)
+    labels = np.array(["a", "b", "c"])
+    rows = []
+    eid = 0
+    for i in range(3000):  # hot user spans ~240 buckets
+        rows.append((1, int(rng.integers(0, 120_000)), eid, labels[rng.integers(3)])); eid += 1
+    for i in range(6):  # ties: same ts, order by event_id
+        rows.append((2, 777, eid, labels[i % 3])); eid += 1
+    rows.append((3, 9, eid, "a")); eid += 1  # single event: no interval
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH s AS (SELECT user_id, event_type, ts, lead(ts) OVER "
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS nts FROM events) "
+        "SELECT event_type, "
+        "CAST(sum(epoch_us(nts) - epoch_us(ts)) AS BIGINT) AS total_us, "
+        "CAST(count(*) AS BIGINT) AS n_intervals "
+        "FROM s WHERE nts IS NOT NULL GROUP BY event_type ORDER BY event_type"
+    ).df()
+    for parts in (2, 9):
+        got = (
+            state_durations(rd.from_arrow(ev).repartition(parts), bucket_us=W)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        for c in ("total_us", "n_intervals"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert want["n_intervals"].sum() == 2999 + 5

@@ -1811,6 +1811,23 @@ def q_state_durations_events(sf_dir: str):
     return state_durations(ev)
 
 
+def q_gap_quantiles_events(sf_dir: str):
+    """Inter-arrival cadence per event type: exact discrete p50/p90 of
+    same-user gaps in floor-seconds, attributed to the earlier event's
+    type (``functions/windows.py:gap_quantiles``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import gap_quantiles
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return gap_quantiles(ev)
+
+
 def q_daily_value_bands(sf_dir: str):
     """Per-day exact p50/p90 bands of the (cent-scaled) value column —
     the time-series quantile report, composed from the hot-key-proof
@@ -2902,6 +2919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": q_rolling_active_users,
         "daily_value_bands": q_daily_value_bands,
         "state_durations_events": q_state_durations_events,
+        "gap_quantiles_events": q_gap_quantiles_events,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3786,6 +3804,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS prev_type, nxt AS next_type, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "gap_quantiles_events": (
+            "WITH s AS (SELECT user_id, event_type, ts, lead(ts) OVER "
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS nts FROM events), "
+            "g AS (SELECT event_type, "
+            " (epoch_us(nts) - epoch_us(ts)) // 1000000 AS gap "
+            " FROM s WHERE nts IS NOT NULL) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, "
+            "CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap, "
+            "CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap "
+            "FROM g GROUP BY event_type"
         ),
         "state_durations_events": (
             "WITH s AS (SELECT user_id, event_type, ts, lead(ts) OVER "

@@ -39,6 +39,7 @@ __all__ = [
     "longest_streak",
     "rolling_distinct",
     "state_durations",
+    "gap_quantiles",
 ]
 
 
@@ -1355,6 +1356,166 @@ def state_durations(
             lambda t: t.rename_columns([label, "total_us", "n_intervals"]),
             batch_format="pyarrow",
         )
+    )
+
+
+def gap_quantiles(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_id: str = "event_id",
+    label: str = "event_type",
+    bucket_us: int = 86_400_000_000,
+    gap_unit_us: int = 1_000_000,
+    quantiles: dict[str, float] | None = None,
+) -> rd.Dataset:
+    """Inter-arrival-gap distribution per label: for every pair of
+    consecutive same-key events, the gap (floor-``gap_unit_us`` units)
+    attributed to the EARLIER event's label, folded to exact discrete
+    quantiles per label → ``(label, n_intervals, <quantile cols>)``.
+    The burstiness/cadence diagnostic (median seconds between a user's
+    events by activity kind; recrawl cadence per domain over a crawl).
+
+    Same two-phase interval extraction as :func:`state_durations`
+    (key-hash-bucketed cogroups, C-level segmented scans), but intervals
+    collapse to (label, gap-unit) HISTOGRAM partials — bounded by labels
+    × the time range in gap units — and the final per-label walk is the
+    exact ``quantile_disc`` pick (1-based ceil(q·n)), matching SQL
+    hash-exactly."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _mix64
+
+    if quantiles is None:
+        quantiles = {"p50_gap": 0.5, "p90_gap": 0.9}
+    num_key_buckets = 256
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        u = (
+            batch[key]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        bk = (_mix64(u) % np.uint64(num_key_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                key: batch[key],
+                "__bk": pa.array(bk, pa.int64()),
+                "__b": pc.divide(epoch, bucket_us).cast(pa.int64()),
+                "__ts": epoch,
+                "__id": batch[order_id].cast(pa.int64()),
+                "__lab": batch[label],
+            }
+        )
+
+    events = ds.select_columns([key, ts, order_id, label]).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+
+    def hist_frame(lab: np.ndarray, gap: np.ndarray) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"__lab": lab, "gap": gap, "n": np.ones(len(lab), np.int64)})
+            .groupby(["__lab", "gap"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy()
+        t = g["__ts"].to_numpy().astype(np.int64)
+        i = g["__id"].to_numpy().astype(np.int64)
+        lab = g["__lab"].to_numpy()
+        o = np.lexsort((i, t, k))
+        k, t, lab = k[o], t[o], lab[o]
+        n = len(k)
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = k[1:] == k[:-1]
+        gap = np.zeros(n, np.int64)
+        gap[:-1] = (t[1:] - t[:-1]) // gap_unit_us
+        part = hist_frame(lab[same], gap[same])
+        part["__summary"] = False
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_key)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        summ = pd.DataFrame(
+            {
+                "__lab": lab[ends],
+                "gap": t[ends],  # carries last_ts; 'n' column carries first_ts
+                "n": t[starts],
+                "__summary": True,
+            }
+        )
+        part2 = pd.concat((part, summ), ignore_index=True)
+        part2[key] = np.concatenate(
+            (np.zeros(len(part), dtype=k.dtype), k[starts])
+        ) if n else np.array([], dtype=k.dtype)
+        part2["__bk"] = np.int64(g["__bk"].iloc[0])
+        part2["__b"] = np.int64(g["__b"].iloc[0])
+        return part2
+
+    phase1 = (
+        events.groupby(["__bk", "__b"])
+        .map_groups(local, batch_format="pandas")
+        .materialize()
+    )
+
+    interior = phase1.map_batches(
+        lambda b: b.filter(pc.invert(b["__summary"])).select(["__lab", "gap", "n"]),
+        batch_format="pyarrow",
+    )
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy()
+        b = g["__b"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, k))
+        k, b = k[o], b[o]
+        last = g["gap"].to_numpy().astype(np.int64)[o]  # last_ts per (key,bucket)
+        first = g["n"].to_numpy().astype(np.int64)[o]  # first_ts per (key,bucket)
+        lab = g["__lab"].to_numpy()[o]
+        n = len(k)
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = k[1:] == k[:-1]
+        gap = np.zeros(n, np.int64)
+        gap[:-1] = (first[1:] - last[:-1]) // gap_unit_us
+        return hist_frame(lab[same], gap[same])
+
+    boundary = (
+        phase1.map_batches(
+            lambda b: b.filter(b["__summary"]).select([key, "__bk", "__b", "__lab", "gap", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("__bk")
+        .map_groups(cross, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["__lab", "gap", "n"]), batch_format="pyarrow"
+        )
+    )
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["gap"].to_numpy().astype(np.int64)
+        c = g["n"].to_numpy().astype(np.int64)
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        cum = np.cumsum(c)
+        tot = int(cum[-1])
+        row = {label: g["__lab"].iloc[0], "n_intervals": tot}
+        for name, q in quantiles.items():
+            target = max(1, int(np.ceil(q * tot)))
+            row[name] = int(v[np.searchsorted(cum, target)])
+        return pd.DataFrame([row])
+
+    return (
+        interior.union(boundary)
+        .groupby(["__lab", "gap"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("__lab")
+        .map_groups(walk, batch_format="pandas")
     )
 
 

@@ -2535,3 +2535,58 @@ def test_state_durations_matches_duckdb(ray_session):
             got[c] = got[c].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
     assert want["n_intervals"].sum() == 2999 + 5
+
+
+def test_gap_quantiles_matches_duckdb(ray_session):
+    """Inter-arrival quantiles: hot key across bucket boundaries,
+    same-ts ties (zero gaps), block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import gap_quantiles
+
+    W = 500
+    rng = np.random.default_rng(67)
+    labels = np.array(["a", "b"])
+    rows = []
+    eid = 0
+    for i in range(2500):
+        rows.append((1, int(rng.integers(0, 80_000)), eid, labels[rng.integers(2)])); eid += 1
+    for u in range(2, 50):
+        for i in range(int(rng.integers(2, 8))):
+            rows.append((u, int(rng.integers(0, 80_000)), eid, labels[rng.integers(2)])); eid += 1
+    for i in range(4):  # ties -> zero gaps
+        rows.append((99, 555, eid, "a")); eid += 1
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH s AS (SELECT user_id, event_type, ts, lead(ts) OVER "
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS nts FROM events), "
+        "g AS (SELECT event_type, (epoch_us(nts) - epoch_us(ts)) // 7 AS gap "
+        " FROM s WHERE nts IS NOT NULL) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, "
+        "CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap, "
+        "CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap "
+        "FROM g GROUP BY event_type ORDER BY event_type"
+    ).df()
+    for parts in (2, 8):
+        got = (
+            gap_quantiles(
+                rd.from_arrow(ev).repartition(parts), bucket_us=W, gap_unit_us=7
+            )
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        for c in ("n_intervals", "p50_gap", "p90_gap"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -517,6 +517,39 @@ def q_shared_ngram_docs(sf_dir: str):
     return shared_ngram_stats(ds, n=8)
 
 
+def q_ngram_novelty_docs(sf_dir: str):
+    """Per-doc NOVELTY score: the milli-fraction of a doc's distinct
+    word 5-grams that occur in NO other document (the inverse of the
+    duplicated-span statistic — high novelty = fresh content, low =
+    boilerplate/mirror). Pure composition: shared_ngram_stats (one text
+    pass + gram-count shuffle + semi-join back) + one stateless integer
+    map; novelty_milli = (1000·(n_grams − n_shared)) // n_grams."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.spans import shared_ngram_stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    stats = shared_ngram_stats(ds, n=5)
+
+    def score(b: pa.Table) -> pa.Table:
+        n_grams = b["n_grams"].cast(pa.int64())
+        uniq = pc.subtract(n_grams, b["n_shared"].cast(pa.int64()))
+        nov = pc.divide(pc.multiply(uniq, pa.scalar(1000, pa.int64())), n_grams)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_grams": n_grams,
+                "n_unique": uniq,
+                "novelty_milli": nov,
+            }
+        )
+
+    return stats.map_batches(score, batch_format="pyarrow")
+
+
 def q_remove_spans_docs(sf_dir: str):
     """BOILERPLATE SPAN REMOVAL: cut every word position covered by a
     word 6-gram that occurs in ≥2 distinct documents (the action
@@ -2920,6 +2953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_bands": q_daily_value_bands,
         "state_durations_events": q_state_durations_events,
         "gap_quantiles_events": q_gap_quantiles_events,
+        "ngram_novelty_docs": q_ngram_novelty_docs,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3171,6 +3205,18 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_sample_hash_ctes()}, "
             "s AS (SELECT doc_id, x FROM h5 ORDER BY x LIMIT 100) "
             "SELECT row_number() OVER (ORDER BY x) AS pos, doc_id FROM s"
+        ),
+        "ngram_novelty_docs": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "p AS (SELECT doc_id, w, "
+            "      unnest(generate_series(1, greatest(len(w)-4, 0))) AS i FROM w), "
+            "dg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g FROM p), "
+            "gc AS (SELECT g, count(*) AS nd FROM dg GROUP BY g), "
+            "s AS (SELECT dg.doc_id, count(*) AS n_grams, "
+            " sum(CASE WHEN gc.nd = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique "
+            " FROM dg JOIN gc USING (g) GROUP BY dg.doc_id) "
+            "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_unique, "
+            "CAST((1000 * n_unique) // n_grams AS BIGINT) AS novelty_milli FROM s"
         ),
         "shared_ngram_docs": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "

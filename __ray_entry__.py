@@ -1844,6 +1844,31 @@ def q_state_durations_events(sf_dir: str):
     return state_durations(ev)
 
 
+def q_session_depth_histogram(sf_dir: str):
+    """Engagement-depth distribution: events-per-session histogram over
+    the hot-key-proof two-phase sessionizer (composition:
+    ``functions/windows.py:session_windows`` → one Count shuffle)."""
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from parquetjs_ray.functions.windows import session_windows
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return (
+        session_windows(ev)
+        # normalize to Arrow blocks: the two-phase sessionizer emits a mix
+        # of pandas (merged-chain) and Arrow (interior) blocks, and the
+        # Aggregate boundary sampler requires ONE block type
+        .map_batches(lambda t: t.select(["n_events"]), batch_format="pyarrow")
+        .groupby("n_events")
+        .aggregate(Count(alias_name="n_sessions"))
+    )
+
+
 def q_gap_quantiles_events(sf_dir: str):
     """Inter-arrival cadence per event type: exact discrete p50/p90 of
     same-user gaps in floor-seconds, attributed to the earlier event's
@@ -2954,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "state_durations_events": q_state_durations_events,
         "gap_quantiles_events": q_gap_quantiles_events,
         "ngram_novelty_docs": q_ngram_novelty_docs,
+        "session_depth_histogram": q_session_depth_histogram,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3342,6 +3368,17 @@ def oracle_sql() -> dict[str, str]:
         "events_by_segment": (
             "SELECT c_mktsegment, count(*) AS n_events FROM events e "
             "JOIN customer c ON e.user_id = c.c_custkey GROUP BY c_mktsegment"
+        ),
+        "session_depth_histogram": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+            " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+            "      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s "
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))), "
+            "s AS (SELECT user_id, t, sum(new_s) OVER (PARTITION BY user_id ORDER BY t "
+            "      ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "sess AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid) "
+            "SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM sess GROUP BY n_events"
         ),
         "session_windows_events": (
             "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "

@@ -1986,6 +1986,10 @@ def q_revenue_by_nation(sf_dir: str):
         )
         .groupby("o_custkey")
         .aggregate(Sum("rev", alias_name="rev"))
+        # materialize the custkey-aggregated side (bounded by customer
+        # count): equi_join probes .schema() on both inputs, which would
+        # otherwise execute the whole join+aggregate pipeline TWICE
+        .materialize()
     )
     by_nation = (
         equi_join(

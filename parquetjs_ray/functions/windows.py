@@ -1719,8 +1719,13 @@ def conversion_latency(
             }
         )
 
-    events = ds.select_columns([key, ts, order_id, label]).map_batches(
-        bucketize, batch_format="pyarrow"
+    events = (
+        ds.select_columns([key, ts, order_id, label])
+        .map_batches(bucketize, batch_format="pyarrow")
+        # consumed twice (summaries pass + the carry union): materialize
+        # the filtered 5-int-column stream once instead of re-reading and
+        # re-bucketizing the corpus
+        .materialize()
     )
     summaries = events.groupby([key, "__b"]).aggregate(
         Max("__vt", alias_name="__vmax")

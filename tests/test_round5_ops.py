@@ -2590,3 +2590,91 @@ def test_gap_quantiles_matches_duckdb(ray_session):
         for c in ("n_intervals", "p50_gap", "p90_gap"):
             got[c] = got[c].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_final_session_ops_randomized_parity(ray_session, seed):
+    """Randomized-input parity sweep for the three order-sensitive
+    final-session operators (conversion latency, journey mining, gap
+    quantiles): random event logs with duplicate timestamps and random
+    bucket widths — every quantity must match DuckDB exactly."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import (
+        conversion_latency,
+        gap_quantiles,
+        path_topk,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    users = rng.integers(0, 50, n)
+    ts = rng.integers(0, 50_000, n)  # dense -> many exact ties
+    labels = np.array(["view", "purchase", "click"])[rng.integers(0, 3, n)]
+    ev = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": pa.array(rng.permutation(n).astype("int64")),
+            "event_type": pa.array(labels),
+        }
+    )
+    W = int(rng.integers(100, 5000))
+    con = duckdb.connect()
+    con.register("events", ev)
+    ds = rd.from_arrow(ev).repartition(int(rng.integers(2, 10)))
+
+    got = conversion_latency(ds, bucket_us=W).to_pandas()
+    want = con.execute(
+        "WITH s AS (SELECT user_id, ts, event_id, event_type, "
+        " max(CASE WHEN event_type = 'view' THEN ts END) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id "
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv "
+        " FROM events WHERE event_type IN ('view', 'purchase')), "
+        "l AS (SELECT CASE WHEN lv IS NULL THEN -1 "
+        " ELSE (epoch_us(ts) - epoch_us(lv)) // 1000000 END AS lat_s "
+        " FROM s WHERE event_type = 'purchase') "
+        "SELECT CAST(count(*) AS BIGINT) AS n_to, "
+        "CAST(count(*) FILTER (lat_s >= 0) AS BIGINT) AS n_converted, "
+        "CAST(quantile_disc(lat_s, 0.5) FILTER (lat_s >= 0) AS BIGINT) AS p50_lat_s, "
+        "CAST(quantile_disc(lat_s, 0.9) FILTER (lat_s >= 0) AS BIGINT) AS p90_lat_s FROM l"
+    ).df()
+    for c in got.columns:
+        got[c] = got[c].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_exact=True)
+
+    k = int(rng.integers(3, 8))
+    got = path_topk(ds, n_steps=k, k=15, num_buckets=16).to_pandas()
+    want = con.execute(
+        "WITH r AS (SELECT user_id, event_type, row_number() OVER "
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+        f"p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path "
+        f" FROM r WHERE rn <= {k} GROUP BY user_id) "
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p GROUP BY path "
+        "ORDER BY n_keys DESC, path LIMIT 15"
+    ).df()
+    got["n_keys"] = got["n_keys"].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_exact=True)
+
+    unit = int(rng.integers(3, 50))
+    got = (
+        gap_quantiles(ds, bucket_us=W, gap_unit_us=unit)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        "WITH s AS (SELECT user_id, event_type, ts, lead(ts) OVER "
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS nts FROM events), "
+        f"g AS (SELECT event_type, (epoch_us(nts) - epoch_us(ts)) // {unit} AS gap "
+        " FROM s WHERE nts IS NOT NULL) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, "
+        "CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap, "
+        "CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap "
+        "FROM g GROUP BY event_type ORDER BY event_type"
+    ).df()
+    for c in ("n_intervals", "p50_gap", "p90_gap"):
+        got[c] = got[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -1844,6 +1844,30 @@ def q_state_durations_events(sf_dir: str):
     return state_durations(ev)
 
 
+def q_price_iqr_weighted(sf_dir: str):
+    """Quantity-weighted price spread per return flag: exact lower
+    weighted p25/p75 via rational (num, den) integer comparisons —
+    no float q anywhere
+    (``functions/quantiles.py:weighted_quantiles_per_group``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import weighted_quantiles_per_group
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return weighted_quantiles_per_group(
+        li,
+        {"p25_cents": (1, 4), "p75_cents": (3, 4)},
+        key="l_returnflag",
+        value="l_extendedprice",
+        weight="l_quantity",
+    )
+
+
 def q_session_depth_histogram(sf_dir: str):
     """Engagement-depth distribution: events-per-session histogram over
     the hot-key-proof two-phase sessionizer (composition:
@@ -2984,6 +3008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_quantiles_events": q_gap_quantiles_events,
         "ngram_novelty_docs": q_ngram_novelty_docs,
         "session_depth_histogram": q_session_depth_histogram,
+        "price_iqr_weighted": q_price_iqr_weighted,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3983,6 +4008,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_disc(lat_s, 0.5) FILTER (lat_s >= 0) AS BIGINT) AS p50_lat_s, "
             "CAST(quantile_disc(lat_s, 0.9) FILTER (lat_s >= 0) AS BIGINT) AS p90_lat_s "
             "FROM l"
+        ),
+        "price_iqr_weighted": (
+            "WITH w AS (SELECT l_returnflag, "
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+            " CAST(l_quantity AS BIGINT) AS wt FROM lineitem), "
+            "c AS (SELECT l_returnflag, v, sum(wt) AS wv FROM w GROUP BY 1, 2), "
+            "cum AS (SELECT l_returnflag, v, "
+            " sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+            " sum(wv) OVER (PARTITION BY l_returnflag) AS tot FROM c) "
+            "SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS total_weight, "
+            "CAST(min(CASE WHEN 4 * cw >= tot THEN v END) AS BIGINT) AS p25_cents, "
+            "CAST(min(CASE WHEN 4 * cw >= 3 * tot THEN v END) AS BIGINT) AS p75_cents "
+            "FROM cum GROUP BY l_returnflag"
         ),
         "weighted_median_price": (
             "WITH w AS (SELECT l_returnflag, "

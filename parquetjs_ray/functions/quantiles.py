@@ -26,6 +26,7 @@ import ray.data as rd
 __all__ = [
     "grouped_quantiles",
     "weighted_median_per_group",
+    "weighted_quantiles_per_group",
     "ntile_per_group",
     "rank_per_group",
     "winsorize_per_group",
@@ -138,6 +139,60 @@ def weighted_median_per_group(
         return pd.DataFrame(
             [{key: g[key].iloc[0], "wmedian_scaled": pick, "total_weight": tot}]
         )
+
+    return (
+        ds.select_columns([key, value, weight])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby([key, "__v"])
+        .aggregate(Sum("__w_sum", alias_name="__w"))
+        .groupby(key)
+        .map_groups(from_hist, batch_format="pandas")
+    )
+
+
+def weighted_quantiles_per_group(
+    ds: rd.Dataset,
+    quantiles: dict[str, tuple[int, int]],
+    *,
+    key: str,
+    value: str,
+    weight: str,
+    scale: int = 100,
+) -> rd.Dataset:
+    """Exact lower weighted quantiles per key, the general form of
+    :func:`weighted_median_per_group`: ``quantiles`` maps output column
+    → a RATIONAL q as ``(num, den)`` (e.g. ``{"p25": (1, 4)}``), and
+    each pick is the smallest scaled value whose cumulative weight
+    satisfies ``den·cum ≥ num·total`` — pure integer comparisons, no
+    float q anywhere, so the SQL window replica matches hash-exactly.
+    Same histogram scale shape: per-batch (key, scaled value) → Σweight
+    partials; per-key groups bounded by the measure's distinct-value
+    range."""
+    from ray.data.aggregate import Sum
+
+    qs = list(quantiles.items())
+
+    def combine(batch: pa.Table) -> pa.Table:
+        v = pc.round(
+            pc.multiply(batch[value], pa.scalar(float(scale))),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        w = batch[weight].cast(pa.int64())  # safe cast: fractional -> error
+        t = pa.table({key: batch[key], "__v": v, "__w": w})
+        return t.group_by([key, "__v"]).aggregate([("__w", "sum")])
+
+    def from_hist(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["__v"].to_numpy()
+        w = g["__w"].to_numpy()
+        order = np.argsort(v)
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        row = {key: g[key].iloc[0], "total_weight": tot}
+        for name, (num, den) in qs:
+            row[name] = int(v[np.searchsorted(den * cum, num * tot)])
+        return pd.DataFrame([row])
 
     return (
         ds.select_columns([key, value, weight])

@@ -2678,3 +2678,62 @@ def test_final_session_ops_randomized_parity(ray_session, seed):
     for c in ("n_intervals", "p50_gap", "p90_gap"):
         got[c] = got[c].astype("int64")
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_weighted_quantiles_matches_duckdb(ray_session):
+    """Rational-q weighted quantiles (p25/p75): exact boundary behavior
+    at den*cum == num*tot, skewed weights, block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import weighted_quantiles_per_group
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    g = rng.choice(["x", "y"], n)
+    price = np.round(rng.uniform(1, 50, n), 2)
+    qty = rng.integers(1, 20, n).astype("float64")
+    # force an exact den*cum == num*tot boundary: one group with weights 1,1,1,1
+    g = np.concatenate((g, ["z"] * 4))
+    price = np.concatenate((price, [1.0, 2.0, 3.0, 4.0]))
+    qty = np.concatenate((qty, [1.0, 1.0, 1.0, 1.0]))
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(g),
+            "l_extendedprice": pa.array(price),
+            "l_quantity": pa.array(qty),
+        }
+    )
+    con = duckdb.connect()
+    con.register("lineitem", t)
+    want = con.execute(
+        "WITH w AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+        " CAST(l_quantity AS BIGINT) AS wt FROM lineitem), "
+        "c AS (SELECT l_returnflag, v, sum(wt) AS wv FROM w GROUP BY 1, 2), "
+        "cum AS (SELECT l_returnflag, v, "
+        " sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+        " sum(wv) OVER (PARTITION BY l_returnflag) AS tot FROM c) "
+        "SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS total_weight, "
+        "CAST(min(CASE WHEN 4 * cw >= tot THEN v END) AS BIGINT) AS p25_cents, "
+        "CAST(min(CASE WHEN 4 * cw >= 3 * tot THEN v END) AS BIGINT) AS p75_cents "
+        "FROM cum GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).df()
+    for parts in (1, 8):
+        got = (
+            weighted_quantiles_per_group(
+                rd.from_arrow(t).repartition(parts),
+                {"p25_cents": (1, 4), "p75_cents": (3, 4)},
+                key="l_returnflag",
+                value="l_extendedprice",
+                weight="l_quantity",
+            )
+            .to_pandas()
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)[["l_returnflag", "total_weight", "p25_cents", "p75_cents"]]
+        )
+        for c in ("total_weight", "p25_cents", "p75_cents"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # boundary: group z weights 1,1,1,1 -> p25 = value 1 (4*1 >= 4)
+    assert want.loc[want.l_returnflag == "z", "p25_cents"].iloc[0] == 100

@@ -1844,6 +1844,23 @@ def q_state_durations_events(sf_dir: str):
     return state_durations(ev)
 
 
+def q_user_activity_summary(sf_dir: str):
+    """Per-user lifetime activity report (events, active days, first/
+    last day, exact events-per-active-day milli) in one pair shuffle +
+    one vectorized hash-bucket fold
+    (``functions/windows.py:activity_summary``)."""
+    import os
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import activity_summary
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return activity_summary(ev)
+
+
 def q_price_iqr_weighted(sf_dir: str):
     """Quantity-weighted price spread per return flag: exact lower
     weighted p25/p75 via rational (num, den) integer comparisons —
@@ -3009,6 +3026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty_docs": q_ngram_novelty_docs,
         "session_depth_histogram": q_session_depth_histogram,
         "price_iqr_weighted": q_price_iqr_weighted,
+        "user_activity_summary": q_user_activity_summary,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -4008,6 +4026,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_disc(lat_s, 0.5) FILTER (lat_s >= 0) AS BIGINT) AS p50_lat_s, "
             "CAST(quantile_disc(lat_s, 0.9) FILTER (lat_s >= 0) AS BIGINT) AS p90_lat_s "
             "FROM l"
+        ),
+        "user_activity_summary": (
+            "WITH p AS (SELECT user_id, "
+            " CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d FROM events), "
+            "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            " CAST(count(DISTINCT d) AS BIGINT) AS n_active, "
+            " min(d) AS first_bucket, max(d) AS last_bucket FROM p GROUP BY user_id) "
+            "SELECT user_id, n_events, n_active, first_bucket, last_bucket, "
+            "CAST((1000 * n_events) // n_active AS BIGINT) AS events_per_active_milli "
+            "FROM s"
         ),
         "price_iqr_weighted": (
             "WITH w AS (SELECT l_returnflag, "

@@ -40,6 +40,7 @@ __all__ = [
     "rolling_distinct",
     "state_durations",
     "gap_quantiles",
+    "activity_summary",
 ]
 
 
@@ -379,6 +380,79 @@ def sliding_counts(
         ds.map_batches(expand, batch_format="pyarrow")
         .groupby([key, "win_start_us"])
         .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def activity_summary(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    bucket_us: int = 86_400_000_000,
+) -> rd.Dataset:
+    """Per-key activity report in ONE pair shuffle → ``(key, n_events,
+    n_active, first_bucket, last_bucket, events_per_active_milli)``
+    (the lifetime-summary table an engagement pipeline materializes;
+    per-domain crawl cadence over a corpus). All integers
+    (``events_per_active_milli = (1000·n_events) // n_active``) →
+    hash-exact.
+
+    Scale shape: per-batch (key, bucket) → count combiner, one pair-
+    sized Sum exchange, then ONE vectorized fold per key-hash bucket
+    (never per key) over rows bounded by keys × calendar."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _mix64
+
+    num_buckets = 256
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts].cast(pa.int64())
+        t = pa.table(
+            {key: batch[key], "__b": pc.divide(epoch, bucket_us).cast(pa.int64())}
+        )
+        return t.group_by([key, "__b"]).aggregate([([], "count_all")])
+
+    def add_bk(b: pa.Table) -> pa.Table:
+        u = b[key].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (_mix64(u) % np.uint64(num_buckets)).astype(np.int64)
+        return b.append_column("__bk", pa.array(bk, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy()
+        b = g["__b"].to_numpy().astype(np.int64)
+        c = g["__n"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, k))
+        k, b, c = k[o], b[o], c[o]
+        n = len(k)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_key)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        seg = np.cumsum(new_key) - 1
+        sums = np.bincount(seg, weights=c).astype(np.int64)
+        n_active = (ends - starts + 1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key: k[starts],
+                "n_events": sums,
+                "n_active": n_active,
+                "first_bucket": b[starts],
+                "last_bucket": b[ends],
+                "events_per_active_milli": (1000 * sums) // n_active,
+            }
+        )
+
+    return (
+        ds.select_columns([key, ts])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "__b"])
+        .aggregate(Sum("count_all", alias_name="__n"))
+        .map_batches(add_bk, batch_format="pyarrow")
+        .groupby("__bk")
+        .map_groups(fold, batch_format="pandas")
     )
 
 

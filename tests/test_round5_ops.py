@@ -2737,3 +2737,46 @@ def test_weighted_quantiles_matches_duckdb(ray_session):
         pd.testing.assert_frame_equal(got, want, check_exact=True)
     # boundary: group z weights 1,1,1,1 -> p25 = value 1 (4*1 >= 4)
     assert want.loc[want.l_returnflag == "z", "p25_cents"].iloc[0] == 100
+
+
+def test_activity_summary_matches_duckdb(ray_session):
+    """Lifetime report: hot key, single-event keys, integer-exact
+    events-per-active-day, block-split invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import activity_summary
+
+    W = 1000
+    rng = np.random.default_rng(73)
+    rows = [(1, d * W + int(rng.integers(W))) for d in range(50) for _ in range(7)]
+    rows += [(2, 3 * W + 1)]
+    rows += [(u, int(rng.integers(0, 20 * W))) for u in range(3, 80) for _ in range(int(rng.integers(1, 9)))]
+    ev = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        "WITH p AS (SELECT user_id, CAST(epoch_us(ts) // 1000 AS BIGINT) AS d FROM events), "
+        "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        " CAST(count(DISTINCT d) AS BIGINT) AS n_active, "
+        " min(d) AS first_bucket, max(d) AS last_bucket FROM p GROUP BY user_id) "
+        "SELECT user_id, n_events, n_active, first_bucket, last_bucket, "
+        "CAST((1000 * n_events) // n_active AS BIGINT) AS events_per_active_milli "
+        "FROM s ORDER BY user_id"
+    ).df()
+    for parts in (1, 9):
+        got = (
+            activity_summary(rd.from_arrow(ev).repartition(parts), bucket_us=W)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        for c in want.columns[1:]:
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_exact=True)

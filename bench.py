@@ -36,6 +36,20 @@ BENCH_BASE = "/tmp/parquetjs_ray_bench"
 OUT_BASE = "/dev/shm/parquetjs_ray_bench" if os.path.isdir("/dev/shm") else BENCH_BASE
 
 
+def _box_probe() -> float:
+    """One-number box-health probe: seconds to sort 20M doubles single-
+    threaded (clean window ≈ 0.35-0.45 s on this sandbox; the CPU quota
+    visibly fluctuates across the day, inflating walls up to ~5× — see
+    BASELINE.md round-4/5 disclosures). Recorded in the bench output so
+    a reader can judge the window the numbers were taken in."""
+    import numpy as np
+
+    x = np.random.default_rng(0).random(20_000_000)
+    t0 = time.perf_counter()
+    np.sort(x)
+    return round(time.perf_counter() - t0, 3)
+
+
 def _sf() -> float:
     name = os.path.basename(os.path.normpath(SF_DIR))
     try:
@@ -294,6 +308,7 @@ def run_headline() -> dict:
         "value": round(t_encode, 3),
         "unit": "sec",
         "sf": _sf(),
+        "box_probe_sec": _box_probe(),  # window quality: clean ≈ 0.35-0.45
         "num_cpus": NCPU,
         "rows": totals["rows"],
         "n_tokens": totals["n_tokens"],
@@ -380,6 +395,8 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round((tp_hi / tp_lo) / (hi / lo), 3),
         "unit": "ratio",
+        "box_probe_sec_lo": out[lo].get("box_probe_sec"),
+        "box_probe_sec_hi": out[hi].get("box_probe_sec"),
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": out[lo]["value"],

@@ -2540,6 +2540,33 @@ def q_events_asof_order(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_events_asof_order_tol(sf_dir: str):
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)
+    shape): the user's most recent order at event time, voided when more
+    than 7 days older — match selection unchanged, matches outside the
+    window become NULL (``functions/joins.py:asof_join tolerance_us``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    out = asof_join(
+        ev, orders,
+        by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+        tolerance_us=7 * 86_400_000_000,
+    )
+    return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
+
+
 def q_events_asof_next_order(sf_dir: str):
     """FORWARD as-of join: for each event, the user's next order at or
     after event time (ties on order date broken by min o_orderkey) —
@@ -3027,6 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_depth_histogram": q_session_depth_histogram,
         "price_iqr_weighted": q_price_iqr_weighted,
         "user_activity_summary": q_user_activity_summary,
+        "events_asof_order_tol": q_events_asof_order_tol,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3889,6 +3917,19 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
             "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey "
             "FROM events e"
+        ),
+        "events_asof_order_tol": (
+            "WITH m AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "
+            "(SELECT o.o_orderdate FROM orders o "
+            "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS od, "
+            "(SELECT o.o_orderkey FROM orders o "
+            "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS ok "
+            "FROM events e) "
+            "SELECT event_id, user_id, ts_us, "
+            "CASE WHEN od IS NOT NULL AND ts_us - epoch_us(od) <= 604800000000 "
+            " THEN ok END AS o_orderkey FROM m"
         ),
         "events_asof_next_order": (
             "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "

@@ -66,6 +66,7 @@ def asof_join(
     right_by: str | None = None,
     tiebreak: str | None = None,
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> rd.Dataset:
     """As-of join → left_cols + by + ``left_on`` (as epoch-us int64,
     named ``<left_on>_us``) + right_cols.
@@ -76,9 +77,15 @@ def asof_join(
     the earliest right row at or after the left time — ties break on the
     SMALLEST ``tiebreak`` (the next-scheduled-event shape). Either way
     the result is deterministic and SQL-reproducible; ``tiebreak``
-    defaults to the first of ``right_cols``."""
+    defaults to the first of ``right_cols``. ``tolerance_us`` (the
+    pandas ``merge_asof(tolerance=...)`` shape) voids a match whose time
+    distance exceeds it — match SELECTION is unchanged, only matches
+    outside the window become nulls, so the SQL replica is the plain
+    as-of expression plus one CASE filter."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if tolerance_us is not None and tolerance_us < 0:
+        raise ValueError("tolerance_us must be >= 0")
     fwd = direction == "forward"
     tb = tiebreak or right_cols[0]
     rby = right_by or by
@@ -145,6 +152,9 @@ def asof_join(
                 pos = np.searchsorted(rt_sorted, lt, side="right") - 1
                 have = pos >= 0
                 pos = np.maximum(pos, 0)
+            if tolerance_us is not None:
+                dist = (rt_sorted[pos] - lt) if fwd else (lt - rt_sorted[pos])
+                have = have & (dist <= tolerance_us)
             take_idx = np.where(have, rsel[order[pos]], -1)
             mask = pa.array(have)
             for c in right_cols:

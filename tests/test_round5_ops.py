@@ -2780,3 +2780,86 @@ def test_activity_summary_matches_duckdb(ray_session):
         for c in want.columns[1:]:
             got[c] = got[c].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_asof_tolerance_matches_duckdb(ray_session):
+    """tolerance_us: matches farther than the window become NULL while
+    match SELECTION is unchanged (a nearer-but-out-of-window match is
+    NOT replaced by an older in-window one... there is none older);
+    boundary distance == tolerance stays matched; forward direction."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "t": pa.array([100, 150, 300, 50], pa.timestamp("us")),
+            "lid": pa.array([10, 11, 12, 13], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "t": pa.array([90, 140, 500], pa.timestamp("us")),
+            "rid": pa.array([70, 71, 72], pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    # backward, tolerance 10us: lid10 (t100, match t90 dist10 -> keep),
+    # lid11 (t150, match t140 dist10 -> keep), lid12 (t300, match t140
+    # dist160 -> NULL), lid13 (t50, no match -> NULL)
+    got = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_on="t", right_on="t",
+            left_cols=["lid"], right_cols=["rid"],
+            tiebreak="rid", tolerance_us=10,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        "WITH m AS (SELECT l.lid, l.k, epoch_us(l.t) AS t_us, "
+        "(SELECT epoch_us(r.t) FROM r WHERE r.k = l.k AND r.t <= l.t "
+        " ORDER BY r.t DESC, r.rid DESC LIMIT 1) AS mt, "
+        "(SELECT r.rid FROM r WHERE r.k = l.k AND r.t <= l.t "
+        " ORDER BY r.t DESC, r.rid DESC LIMIT 1) AS rid FROM l) "
+        "SELECT lid, k, t_us, CASE WHEN mt IS NOT NULL AND t_us - mt <= 10 "
+        "THEN rid END AS rid FROM m ORDER BY lid"
+    ).df()
+    got = got.rename(columns={"t_us": "t_us"})[["lid", "k", "t_us", "rid"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"lid": "int64", "k": "int64", "t_us": "int64"}),
+        want.astype({"lid": "int64", "k": "int64", "t_us": "int64"}),
+        check_exact=True,
+    )
+    assert got["rid"].isna().tolist() == [False, False, True, True]
+    # forward: lid13 (k=2, t50 -> r t500 dist450): kept at tolerance 450
+    # (boundary == tolerance), voided at 449; lid12 (k=1, t300) has no
+    # forward match at all either way
+    for tol, matched in ((450, True), (449, False)):
+        got_f = (
+            asof_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                by="k", left_on="t", right_on="t",
+                left_cols=["lid"], right_cols=["rid"],
+                tiebreak="rid", direction="forward", tolerance_us=tol,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert got_f.loc[got_f.lid == 13, "rid"].notna().iloc[0] == matched
+        assert got_f.loc[got_f.lid == 12, "rid"].isna().iloc[0]
+    with pytest.raises(ValueError):
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_on="t", right_on="t",
+            left_cols=["lid"], right_cols=["rid"], tolerance_us=-1,
+        )

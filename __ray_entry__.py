@@ -2567,6 +2567,107 @@ def q_events_asof_order_tol(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_join_cardinality(sf_dir: str):
+    """EXACT join-size precomputation (the planner statistic that decides
+    broadcast vs shuffle vs salting): |lineitem ⨝ orders| = Σ_k
+    cnt_l(k)·cnt_r(k) computed over the two (key, count) tables only —
+    the corpus never joins. Also reports matched distinct keys."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    li = (
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"])
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_l"))
+        .materialize()  # distinct-key-sized; avoids the .schema() double-exec
+    )
+    od = (
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"])
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="n_r"))
+        .materialize()
+    )
+    j = equi_join(
+        li, od, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["n_l"], right_cols=["n_r"], num_buckets=16,
+    )
+
+    def prod(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = pc.multiply(b["n_l"].cast(pa.int64()), b["n_r"].cast(pa.int64()))
+        return pa.table(
+            {
+                "__g": pa.array([0] * b.num_rows, pa.int64()),
+                "rows": p,
+                "keys": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+
+    out = (
+        j.map_batches(prod, batch_format="pyarrow")
+        .groupby("__g")
+        .aggregate(Sum("rows", alias_name="join_rows"), Sum("keys", alias_name="matched_keys"))
+    )
+    return out.map_batches(
+        lambda t: t.select(["join_rows", "matched_keys"]), batch_format="pyarrow"
+    )
+
+
+def q_orphan_audit(sf_dir: str):
+    """Referential-integrity audit (the pre-ingest data-quality gate):
+    per fact table, total rows and rows whose foreign key has NO match
+    in the dimension — lineitem→orders and orders→customer — via the
+    key-count anti-join shape (only (key, count) pairs move)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    def orphans(fact_path, fk, dim_path, pk, label):
+        f = (
+            rd.read_parquet(os.path.join(sf_dir, fact_path), columns=[fk])
+            .groupby(fk)
+            .aggregate(Count(alias_name="n"))
+            .materialize()
+        )
+        d = (
+            rd.read_parquet(os.path.join(sf_dir, dim_path), columns=[pk])
+            .groupby(pk)
+            .aggregate(Count(alias_name="m"))
+            .materialize()
+        )
+        j = equi_join(
+            f, d, left_on=fk, right_on=pk, left_cols=["n"], right_cols=["m"],
+            num_buckets=16, how="left",
+        )
+
+        def fold(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = b["n"].cast(pa.int64())
+            matched = pc.if_else(pc.is_valid(b["m"]), n, pa.scalar(0, pa.int64()))
+            orphan = pc.subtract(n, matched)
+            return pa.table(
+                {
+                    "relation": pa.array([label] * b.num_rows, pa.string()),
+                    "n_rows": n,
+                    "n_orphans": orphan,
+                }
+            )
+
+        return j.map_batches(fold, batch_format="pyarrow")
+
+    both = orphans("lineitem.parquet", "l_orderkey", "orders.parquet", "o_orderkey", "lineitem->orders").union(
+        orphans("orders.parquet", "o_custkey", "customer.parquet", "c_custkey", "orders->customer")
+    )
+    return both.groupby("relation").aggregate(
+        Sum("n_rows", alias_name="n_rows"), Sum("n_orphans", alias_name="n_orphans")
+    )
+
+
 def q_events_asof_next_order(sf_dir: str):
     """FORWARD as-of join: for each event, the user's next order at or
     after event time (ties on order date broken by min o_orderkey) —
@@ -3055,6 +3156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_iqr_weighted": q_price_iqr_weighted,
         "user_activity_summary": q_user_activity_summary,
         "events_asof_order_tol": q_events_asof_order_tol,
+        "join_cardinality": q_join_cardinality,
+        "orphan_audit": q_orphan_audit,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3917,6 +4020,22 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
             "  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey "
             "FROM events e"
+        ),
+        "join_cardinality": (
+            "WITH a AS (SELECT l_orderkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1), "
+            "b AS (SELECT o_orderkey AS k, count(*) AS n_r FROM orders GROUP BY 1) "
+            "SELECT CAST(sum(n_l * n_r) AS BIGINT) AS join_rows, "
+            "CAST(count(*) AS BIGINT) AS matched_keys FROM a JOIN b USING (k)"
+        ),
+        "orphan_audit": (
+            "SELECT 'lineitem->orders' AS relation, "
+            " CAST(count(*) AS BIGINT) AS n_rows, "
+            " CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_orphans "
+            "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey "
+            "UNION ALL "
+            "SELECT 'orders->customer', CAST(count(*) AS BIGINT), "
+            " CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
         ),
         "events_asof_order_tol": (
             "WITH m AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "

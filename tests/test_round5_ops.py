@@ -2863,3 +2863,54 @@ def test_asof_tolerance_matches_duckdb(ray_session):
             by="k", left_on="t", right_on="t",
             left_cols=["lid"], right_cols=["rid"], tolerance_us=-1,
         )
+
+
+def test_orphan_audit_and_join_cardinality_with_planted_orphans(ray_session, tmp_path):
+    """Planted referential violations + skewed key multiplicities: the
+    audit counts exactly the orphan rows and the cardinality estimator
+    equals the true join size."""
+    import duckdb
+
+    import __ray_entry__ as mod
+
+    rng = np.random.default_rng(79)
+    # orders: keys 0..99; lineitem: 1-6 lines per key, plus 37 orphan rows
+    ok = np.arange(100, dtype=np.int64)
+    li_keys = np.repeat(ok, rng.integers(1, 7, 100))
+    li_keys = np.concatenate((li_keys, np.full(37, 10_000, np.int64)))
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"l_orderkey": li_keys,
+                  "l_quantity": np.ones(len(li_keys))}), str(tmp_path / "lineitem.parquet")
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": ok, "o_custkey": ok % 13}), str(tmp_path / "orders.parquet")
+    )
+    pq.write_table(
+        pa.table({"c_custkey": np.arange(10, dtype=np.int64)}),  # custkeys 10..12 orphaned
+        str(tmp_path / "customer.parquet"),
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')")
+    got = (
+        mod.q_orphan_audit(str(tmp_path))
+        .to_pandas()
+        .sort_values("relation")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        mod.oracle_sql()["orphan_audit"] + " ORDER BY relation"
+    ).df()
+    import pandas as pd
+
+    for c in ("n_rows", "n_orphans"):
+        got[c] = got[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert got.loc[got.relation == "lineitem->orders", "n_orphans"].iloc[0] == 37
+
+    gotc = mod.q_join_cardinality(str(tmp_path)).to_pandas()
+    wantc = con.execute(mod.oracle_sql()["join_cardinality"]).df()
+    assert int(gotc["join_rows"].iloc[0]) == int(wantc["join_rows"].iloc[0])
+    assert int(gotc["matched_keys"].iloc[0]) == 100

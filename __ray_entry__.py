@@ -2822,6 +2822,35 @@ def q_top_words(sf_dir: str):
     return counts.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
+def q_top_words_with_ties(sf_dir: str):
+    """SQL ``FETCH FIRST k ROWS WITH TIES`` / ``RANK() ≤ k`` semantics:
+    every word whose count ties the k-th largest survives — the
+    threshold (k-th count) comes from a k-row sorted limit over the
+    AGGREGATED counts (vocabulary-sized), then one stateless filter;
+    no rank window over the corpus."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    k = 20
+
+    def split_count(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        t = pa.table({"word": words})
+        return t.group_by(["word"]).aggregate([([], "count_all")])
+
+    counts = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(split_count, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .materialize()  # consumed twice: threshold probe + the filter
+    )
+    kth = counts.sort("n", descending=True).limit(k).take_all()[-1]["n"]
+    return counts.filter(expr=f"n >= {int(kth)}")
+
+
 def q_events_agg_pushdown(sf_dir: str):
     """MANIFEST-ONLY aggregate pushdown over the encoded events artifact:
     COUNT/SUM/MIN/MAX answered from fragment zones+aggs without reading
@@ -3158,6 +3187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order_tol": q_events_asof_order_tol,
         "join_cardinality": q_join_cardinality,
         "orphan_audit": q_orphan_audit,
+        "top_words_with_ties": q_top_words_with_ties,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -4087,6 +4117,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "top_words_with_ties": (
+            "WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            "GROUP BY word), "
+            "r AS (SELECT word, n, rank() OVER (ORDER BY n DESC) AS rk FROM c) "
+            "SELECT word, n FROM r WHERE rk <= 20"
         ),
         "event_transitions": (
             "WITH s AS (SELECT user_id, event_type, lead(event_type) OVER "

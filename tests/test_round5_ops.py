@@ -2914,3 +2914,47 @@ def test_orphan_audit_and_join_cardinality_with_planted_orphans(ray_session, tmp
     wantc = con.execute(mod.oracle_sql()["join_cardinality"]).df()
     assert int(gotc["join_rows"].iloc[0]) == int(wantc["join_rows"].iloc[0])
     assert int(gotc["matched_keys"].iloc[0]) == 100
+
+
+def test_top_with_ties_boundary(ray_session, tmp_path):
+    """WITH TIES semantics: counts engineered so a tie straddles the
+    k=20 boundary — the rank() <= 20 oracle and the threshold filter
+    must agree and return MORE than 20 rows."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as mod
+
+    # 5 words x 10 occurrences, 30 words x 3 occurrences (ties straddle
+    # position 20), 40 words x 1
+    words = (
+        [f"hi{i}" for i in range(5) for _ in range(10)]
+        + [f"mid{i}" for i in range(30) for _ in range(3)]
+        + [f"lo{i}" for i in range(40)]
+    )
+    rng = np.random.default_rng(83)
+    rng.shuffle(words)
+    texts = [" ".join(words[i::7]) for i in range(7)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(7), pa.int64()), "text": pa.array(texts),
+                  "lang": pa.array(["en"] * 7), "source": pa.array(["s"] * 7),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = (
+        mod.q_top_words_with_ties(str(tmp_path))
+        .to_pandas()
+        .sort_values(["word"])
+        .reset_index(drop=True)
+    )
+    got["n"] = got["n"].astype("int64")
+    want = con.execute(
+        mod.oracle_sql()["top_words_with_ties"] + " ORDER BY word"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert len(got) == 35  # 5 hi + all 30 tied mids survive

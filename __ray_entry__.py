@@ -2567,6 +2567,51 @@ def q_events_asof_order_tol(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_table_changes_demo(sf_dir: str):
+    """Row-level CDC feed across a keyed MERGE (the table-semantics
+    layer's driver-visible surface): build a small versioned artifact,
+    upsert 5 updates + 3 inserts, then summarize
+    ``table_changes(v_first → newest)`` per change type. Deterministic:
+    updates emit matching delete+insert pairs, inserts emit inserts —
+    (delete, 5) and (insert, 8) every run. Rows-only (CDC over an
+    engine-internal versioned artifact has no SQL form)."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from parquetjs_ray.pipelines.changes import table_changes
+    from parquetjs_ray.pipelines.encode import encode_dataset, upsert_rows
+    from parquetjs_ray.sources.synth import write_synth
+    from parquetjs_ray.state.artifacts import FORMAT_VERSION
+    from parquetjs_ray.stages.writer import list_snapshots
+
+    base = os.path.join(tempfile.gettempdir(), f"parquetjs_ray_cdc_v{FORMAT_VERSION}")
+    indir, outdir = os.path.join(base, "in"), os.path.join(base, "out")
+    shutil.rmtree(outdir, ignore_errors=True)  # idempotent across runs
+    paths = write_synth(indir, 500, n_shards=2)
+    encode_dataset(paths, outdir, mode="files", target_rows_per_partition=125, sample_rows=500)
+    v0 = list_snapshots(outdir)[-1]
+    import pyarrow.parquet as pq
+
+    ids = sorted(set(pq.read_table(paths[0], columns=["doc_id"])["doc_id"].to_pylist()))[:5]
+    patch = pa.table(
+        {
+            "doc_id": pa.array(ids + ["zz-cdc-0", "zz-cdc-1", "zz-cdc-2"], pa.string()),
+            "tokens": pa.array([[9, 9, 9]] * 8, pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * 8, pa.int32()),
+            "source": pa.array(["patched"] * 8, pa.string()),
+        }
+    )
+    upsert_rows(outdir, patch, key="doc_id")
+    feed = table_changes(outdir, v_from=v0)
+    return (
+        feed.map_batches(lambda b: b.select(["_change_type"]), batch_format="pyarrow")
+        .groupby("_change_type")
+        .aggregate(Count(alias_name="n_rows"))
+    )
+
+
 def q_join_cardinality(sf_dir: str):
     """EXACT join-size precomputation (the planner statistic that decides
     broadcast vs shuffle vs salting): |lineitem ⨝ orders| = Σ_k
@@ -3188,6 +3233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality": q_join_cardinality,
         "orphan_audit": q_orphan_audit,
         "top_words_with_ties": q_top_words_with_ties,
+        "table_changes_demo": q_table_changes_demo,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,

@@ -2958,3 +2958,17 @@ def test_top_with_ties_boundary(ray_session, tmp_path):
     ).df()
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     assert len(got) == 35  # 5 hi + all 30 tied mids survive
+
+
+def test_table_changes_demo_counts(ray_session):
+    """The CDC demo query is deterministic: 5 updates emit 5 deletes +
+    5 inserts, 3 pure inserts add 3 more -> (delete, 5), (insert, 8);
+    rerunning converges to the same feed (idempotent rebuild)."""
+    import __ray_entry__ as mod
+
+    for _ in range(2):
+        rows = {
+            r["_change_type"]: r["n_rows"]
+            for r in mod.q_table_changes_demo("/root/testdata/sf0.001").take_all()
+        }
+        assert rows == {"delete": 5, "insert": 8}, rows

@@ -2567,6 +2567,30 @@ def q_events_asof_order_tol(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_chisq_daily_drift(sf_dir: str):
+    """Daily distribution-drift monitor: χ² divergence of each DAY's
+    event-type mix from the corpus mix (the time-keyed variant of the
+    per-user drift diagnostic — the alert a pipeline fires when a day's
+    traffic mix shifts; same exact-integer term fold,
+    ``functions/groupops.py:group_chisq``)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_chisq
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        return pa.table({"day": day, "event_type": b["event_type"]})
+
+    return group_chisq(
+        ev.map_batches(add_day, batch_format="pyarrow"), "day", "event_type"
+    )
+
+
 def q_table_changes_demo(sf_dir: str):
     """Row-level CDC feed across a keyed MERGE (the table-semantics
     layer's driver-visible surface): build a small versioned artifact,
@@ -3234,6 +3258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_audit": q_orphan_audit,
         "top_words_with_ties": q_top_words_with_ties,
         "table_changes_demo": q_table_changes_demo,
+        "chisq_daily_drift": q_chisq_daily_drift,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3825,6 +3850,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct, "
             "CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS hhi "
             "FROM c GROUP BY user_id"
+        ),
+        "chisq_daily_drift": (
+            # the per-day variant of chisq_event_mix_user (same fold order)
+            "WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            " event_type FROM events), "
+            "g AS (SELECT event_type, count(*)::HUGEINT AS c FROM e GROUP BY 1), "
+            "tot AS (SELECT sum(c) AS bign, "
+            + ", ".join(
+                f"max(CASE WHEN event_type='{t}' THEN c END) AS c_{t}"
+                for t in sorted(_EVENT_TYPES)
+            )
+            + " FROM g), "
+            "u AS (SELECT day, count(*)::HUGEINT AS n, "
+            + ", ".join(
+                f"count(*) FILTER (event_type='{t}')::HUGEINT AS o_{t}"
+                for t in sorted(_EVENT_TYPES)
+            )
+            + " FROM e GROUP BY 1) "
+            "SELECT day, n::BIGINT AS n, "
+            + " + ".join(
+                f"CAST((o_{t}*bign - n*c_{t})*(o_{t}*bign - n*c_{t}) AS DOUBLE)"
+                f"/CAST(n*c_{t}*bign AS DOUBLE)"
+                for t in sorted(_EVENT_TYPES)
+            )
+            + " AS chisq FROM u, tot"
         ),
         "chisq_event_mix_user": (
             # terms in ascending event_type order, matching the engine's fold;

@@ -2567,6 +2567,46 @@ def q_events_asof_order_tol(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_lang_source_len_bands(sf_dir: str):
+    """TWO-key exact quantile bands (p50/p90 of doc length per
+    lang × source cell) — multi-key quantiles via a composite derived
+    key through the hot-key-proof histogram machinery, split back into
+    its parts at the end."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import grouped_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def composite(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(b["lang"], b["source"], "|")
+        return pa.table({"ls": key, "n_chars": b["n_chars"].cast(pa.int64())})
+
+    bands = grouped_quantiles(
+        ds.map_batches(composite, batch_format="pyarrow"),
+        {"p50_chars": 0.5, "p90_chars": 0.9},
+        key="ls",
+        value="n_chars",
+    )
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b["ls"].str.split("|", n=1, expand=True)
+        return pd.DataFrame(
+            {
+                "lang": parts[0],
+                "source": parts[1],
+                "p50_chars": b["p50_chars"].astype("int64"),
+                "p90_chars": b["p90_chars"].astype("int64"),
+            }
+        )
+
+    return bands.map_batches(split, batch_format="pandas")
+
+
 def q_chisq_daily_drift(sf_dir: str):
     """Daily distribution-drift monitor: χ² divergence of each DAY's
     event-type mix from the corpus mix (the time-keyed variant of the
@@ -3259,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_with_ties": q_top_words_with_ties,
         "table_changes_demo": q_table_changes_demo,
         "chisq_daily_drift": q_chisq_daily_drift,
+        "lang_source_len_bands": q_lang_source_len_bands,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3850,6 +3891,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct, "
             "CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS hhi "
             "FROM c GROUP BY user_id"
+        ),
+        "lang_source_len_bands": (
+            "SELECT lang, source, "
+            "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars, "
+            "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars "
+            "FROM documents GROUP BY lang, source"
         ),
         "chisq_daily_drift": (
             # the per-day variant of chisq_event_mix_user (same fold order)

@@ -2567,6 +2567,73 @@ def q_events_asof_order_tol(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication-rate report (which crawl sources are
+    mirror-heavy — the diagnostic that decides where dedup budget goes):
+    per source, docs total and docs whose content occurs more than once
+    CORPUS-WIDE, as an exact milli rate. The text never moves: content
+    fingerprints count per-fp copies (hash+count shuffle), each doc's
+    dup flag resolves against the broadcast duplicated-fp set (small by
+    construction — it is the duplicate CONTENT set), then one per-source
+    Sum."""
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from parquetjs_ray.functions.dedup import fingerprint64
+
+    docs = _docs(sf_dir).select_columns(["source", "text"])
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        fp = fingerprint64(b["text"])
+        return pa.table({"__fp": pa.array(fp.view(np.int64)), "source": b["source"]})
+
+    with_fp = docs.map_batches(fp_rows, batch_format="pyarrow").materialize()
+    dup_fps = (
+        with_fp.groupby("__fp")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .select_columns(["__fp"])
+        .take_all()
+    )  # duplicated-CONTENT set: small by construction (only mirrors)
+    dup_sorted = np.sort(np.array([r["__fp"] for r in dup_fps], dtype=np.int64))
+    dup_ref = ray.put(dup_sorted)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ds_ = ray.get(dup_ref)
+        fp = b["__fp"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ds_, fp)
+        hit = (pos < len(ds_)) & (ds_[np.minimum(pos, max(len(ds_) - 1, 0))] == fp) if len(ds_) else np.zeros(len(fp), bool)
+        return pa.table(
+            {
+                "source": b["source"],
+                "one": pa.array(np.ones(len(fp), np.int64)),
+                "dup": pa.array(hit.astype(np.int64)),
+            }
+        )
+
+    per_src = (
+        with_fp.map_batches(flag, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("one", alias_name="n_docs"), Sum("dup", alias_name="n_dup_docs"))
+    )
+
+    def rate(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column(
+            "dup_rate_milli",
+            pc.divide(
+                pc.multiply(b["n_dup_docs"].cast(pa.int64()), pa.scalar(1000, pa.int64())),
+                b["n_docs"].cast(pa.int64()),
+            ),
+        )
+
+    return per_src.map_batches(rate, batch_format="pyarrow")
+
+
 def q_lang_source_len_bands(sf_dir: str):
     """TWO-key exact quantile bands (p50/p90 of doc length per
     lang × source cell) — multi-key quantiles via a composite derived
@@ -3300,6 +3367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_changes_demo": q_table_changes_demo,
         "chisq_daily_drift": q_chisq_daily_drift,
         "lang_source_len_bands": q_lang_source_len_bands,
+        "dup_rate_by_source": q_dup_rate_by_source,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3891,6 +3959,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct, "
             "CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS hhi "
             "FROM c GROUP BY user_id"
+        ),
+        "dup_rate_by_source": (
+            "WITH c AS (SELECT source, count(*) OVER (PARTITION BY text) AS nc "
+            " FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(*) FILTER (nc > 1) AS BIGINT) AS n_dup_docs, "
+            "CAST((1000 * count(*) FILTER (nc > 1)) // count(*) AS BIGINT) "
+            " AS dup_rate_milli "
+            "FROM c GROUP BY source"
         ),
         "lang_source_len_bands": (
             "SELECT lang, source, "

@@ -2567,6 +2567,64 @@ def q_events_asof_order_tol(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_top_suppliers_by_volume(sf_dir: str):
+    """Top-10 suppliers by shipped quantity with their nation (completes
+    table coverage: supplier was the one unqueried table): fact-side
+    per-suppkey Sum, bucketed equi_join to supplier, 25-row nation
+    dimension closure-captured, exact integer quantities."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_suppkey", "l_quantity"]
+    )
+
+    def q_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_suppkey": b["l_suppkey"], "qty": b["l_quantity"].cast(pa.int64())}
+        )
+
+    vol = (
+        li.map_batches(q_int, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+        .materialize()  # suppkey-sized; avoids the .schema() double-exec
+    )
+    sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    j = equi_join(
+        vol, sup, left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["total_qty"], right_cols=["s_name", "s_nationkey"],
+        num_buckets=16,
+    )
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in rd.read_parquet(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        ).take_all()
+    }
+
+    def label(b: pa.Table) -> pa.Table:
+        keys = b["s_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "s_name": b["s_name"],
+                "n_name": pa.array([names[k] for k in keys], pa.string()),
+                "total_qty": b["total_qty"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(label, batch_format="pyarrow")
+        .sort(["total_qty", "s_name"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Per-source duplication-rate report (which crawl sources are
     mirror-heavy — the diagnostic that decides where dedup budget goes):
@@ -3368,6 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chisq_daily_drift": q_chisq_daily_drift,
         "lang_source_len_bands": q_lang_source_len_bands,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "top_suppliers_by_volume": q_top_suppliers_by_volume,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -3959,6 +4018,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct, "
             "CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS hhi "
             "FROM c GROUP BY user_id"
+        ),
+        "top_suppliers_by_volume": (
+            "SELECT s_name, n_name, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "
+            " AS total_qty "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY s_name, n_name ORDER BY total_qty DESC, s_name LIMIT 10"
         ),
         "dup_rate_by_source": (
             "WITH c AS (SELECT source, count(*) OVER (PARTITION BY text) AS nc "

@@ -2625,6 +2625,66 @@ def q_top_suppliers_by_volume(sf_dir: str):
     )
 
 
+def q_customers_per_region(sf_dir: str):
+    """Customer count + exact account-balance total (cents) per REGION
+    (with this, every driver table has a query): one customer scan with
+    a per-nationkey combiner, the nation→region map (25+5 rows)
+    closure-captured."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cu = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey", "c_acctbal"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.round(
+            pc.multiply(b["c_acctbal"], pa.scalar(100.0)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({"c_nationkey": b["c_nationkey"], "bal_cents": c})
+
+    by_nation = (
+        cu.map_batches(cents, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_customers"), Sum("bal_cents", alias_name="bal"))
+    )
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in rd.read_parquet(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_regionkey"],
+        ).take_all()
+    }
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in rd.read_parquet(
+            os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+        ).take_all()
+    }
+
+    def label(b: pa.Table) -> pa.Table:
+        keys = b["c_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "r_name": pa.array([reg[nat[k]] for k in keys], pa.string()),
+                "n_customers": b["n_customers"].cast(pa.int64()),
+                "bal": b["bal"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        by_nation.map_batches(label, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("bal", alias_name="total_acctbal_cents"),
+        )
+    )
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Per-source duplication-rate report (which crawl sources are
     mirror-heavy — the diagnostic that decides where dedup budget goes):
@@ -3427,6 +3487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_len_bands": q_lang_source_len_bands,
         "dup_rate_by_source": q_dup_rate_by_source,
         "top_suppliers_by_volume": q_top_suppliers_by_volume,
+        "customers_per_region": q_customers_per_region,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -4018,6 +4079,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct, "
             "CAST(sum(c*c) AS DOUBLE) / CAST(sum(c)*sum(c) AS DOUBLE) AS hhi "
             "FROM c GROUP BY user_id"
+        ),
+        "customers_per_region": (
+            "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            " AS total_acctbal_cents "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         "top_suppliers_by_volume": (
             "SELECT s_name, n_name, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "

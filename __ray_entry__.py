@@ -3374,6 +3374,286 @@ def q_pack_windows_docs(sf_dir: str):
     )
 
 
+def _e2(col, *, sub_from_100: bool = False, add_to_100: bool = False) -> pa.Array:
+    """round(x·100) as int64 (2-decimal fixed-point); optionally fold the
+    (1−x)/(1+x) TPC-H factor into the integer domain as 100∓e2."""
+    import pyarrow.compute as pc
+
+    c = pc.round(
+        pc.multiply(col, pa.scalar(100.0)), ndigits=0, round_mode="half_towards_infinity"
+    ).cast(pa.int64())
+    if sub_from_100:
+        return pc.subtract(pa.scalar(100, pa.int64()), c)
+    if add_to_100:
+        return pc.add(pa.scalar(100, pa.int64()), c)
+    return c
+
+
+def q_pricing_summary_lineitem(sf_dir: str):
+    """TPC-H Q1 shape (pricing summary report): one lineitem scan with a
+    map-side combiner — each batch collapses to ≤6 (returnflag,
+    linestatus) partial rows BEFORE the shuffle, so the exchange carries
+    kilobytes regardless of fact-table size. All money math is exact
+    2-decimal fixed-point (e2/e4/e6 integer sums), so the result is
+    order-independent and hash-exact vs SQL. int64 headroom: charge_e6
+    ≈ 1.1e11/row ⇒ safe to ~8e7 rows per group; beyond that the fold
+    would move to the big-int limb pattern of group_moments."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from datetime import datetime
+
+    cutoff = datetime(1998, 9, 2)
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+        if not b.num_rows:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty_e2": pa.array([], pa.int64()),
+                    "sum_base_e2": pa.array([], pa.int64()),
+                    "sum_disc_e4": pa.array([], pa.int64()),
+                    "sum_charge_e6": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        price = _e2(b["l_extendedprice"])
+        disc_f = _e2(b["l_discount"], sub_from_100=True)  # 100 - disc_e2
+        tax_f = _e2(b["l_tax"], add_to_100=True)  # 100 + tax_e2
+        disc_price = pc.multiply(price, disc_f)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty_e2": _e2(b["l_quantity"]),
+                "sum_base_e2": price,
+                "sum_disc_e4": disc_price,
+                "sum_charge_e6": pc.multiply(disc_price, tax_f),
+                "n_rows": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty_e2", "sum"),
+                ("sum_base_e2", "sum"),
+                ("sum_disc_e4", "sum"),
+                ("sum_charge_e6", "sum"),
+                ("n_rows", "sum"),
+            ]
+        )
+        return agg.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty_e2",
+                "sum_base_e2",
+                "sum_disc_e4",
+                "sum_charge_e6",
+                "n_rows",
+            ]
+        )
+
+    return (
+        li.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_e2", alias_name="sum_qty_e2"),
+            Sum("sum_base_e2", alias_name="sum_base_e2"),
+            Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+            Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def np_ones_i64(n: int):
+    import numpy as np
+
+    return np.ones(n, np.int64)
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment customers →
+    broadcast semi-join onto orders (the dimension side's keys move
+    once, the fact side never shuffles for the filter) → per-orderkey
+    revenue combiner inside each lineitem batch → one hash-bucketed
+    ``equi_join`` on orderkey → global top-10. Revenue is exact e4
+    fixed-point."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from datetime import datetime
+
+    from parquetjs_ray.functions.joins import equi_join, semi_join
+
+    d = datetime(1998, 3, 15)
+
+    def seg_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], pa.scalar("BUILDING")))
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(seg_only, batch_format="pyarrow")
+
+    def open_orders(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], pa.scalar(d)))
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(open_orders, batch_format="pyarrow")
+    orders = semi_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(d)))
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue_e4": pc.multiply(
+                    _e2(b["l_extendedprice"]), _e2(b["l_discount"], sub_from_100=True)
+                ),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("revenue_e4", "sum")]).rename_columns(
+            ["l_orderkey", "revenue_e4"]
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(rev_partial, batch_format="pyarrow")
+
+    joined = equi_join(
+        li,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["revenue_e4"],
+        right_cols=["o_orderdate"],
+        num_buckets=16,
+    )
+    out = (
+        joined.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+                "revenue_e4": b["revenue_e4"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): a pure filtered exact
+    sum with the date range pushed to the PARQUET READ as a row-group
+    filter (``read_parquet(..., filter=<pyarrow expr>)``) — at 100 TB only
+    row groups whose shipdate zone overlaps 1998 are read at all; the
+    residual discount/quantity band filters vectorized per batch."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from datetime import datetime
+
+    lo, hi = datetime(1998, 1, 1), datetime(1999, 1, 1)
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo))
+        & (pads.field("l_shipdate") < pa.scalar(hi)),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = _e2(b["l_discount"])
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(disc, pa.scalar(5, pa.int64())),
+                    pc.less_equal(disc, pa.scalar(7, pa.int64()))),
+            pc.less(b["l_quantity"], pa.scalar(24.0)),
+        )
+        b = b.filter(keep)
+        disc = _e2(b["l_discount"])
+        rev = pc.sum(pc.multiply(_e2(b["l_extendedprice"]), disc)).as_py() or 0
+        return pa.table({"revenue_e4": pa.array([rev], pa.int64())})
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+
+def q_orders_any_returned(sf_dir: str):
+    """EXISTS semi-join on the BUCKETED+BLOOM scale path, oracle-pinned:
+    orders with ≥1 returned lineitem. ``broadcast_limit=0`` forces the
+    leg a 100 TB right side would take — Bloom prefilter of the right
+    keys broadcast once, bloom-negative left rows dropped before any
+    shuffle, exact per-bucket ``np.isin`` verify removes false
+    positives. Output = per-orderstatus counts of surviving orders."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from parquetjs_ray.functions.joins import semi_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def returned(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(returned, batch_format="pyarrow")
+
+    surv = semi_join(
+        orders, li, left_on="o_orderkey", right_on="l_orderkey", broadcast_limit=0,
+        num_buckets=16,
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": b["o_orderstatus"],
+                "price_cents": _e2(b["o_totalprice"]),
+            }
+        )
+
+    return (
+        surv.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate: the driver's correctness gate checks the
     # FIRST 50 entries (observed in CORRECTNESS_r03/r04: exactly the
@@ -3488,6 +3768,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "top_suppliers_by_volume": q_top_suppliers_by_volume,
         "customers_per_region": q_customers_per_region,
+        "pricing_summary_lineitem": q_pricing_summary_lineitem,
+        "shipping_priority": q_shipping_priority,
+        "forecast_revenue": q_forecast_revenue,
+        "orders_any_returned": q_orders_any_returned,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -4086,6 +4370,48 @@ def oracle_sql() -> dict[str, str]:
             " AS total_acctbal_cents "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "pricing_summary_lineitem": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            " (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            " (100 - CAST(round(l_discount * 100) AS BIGINT)) * "
+            " (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, CAST(sum("
+            " CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            " (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4 "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            " AND o_orderdate < TIMESTAMP '1998-03-15' "
+            " AND l_shipdate > TIMESTAMP '1998-03-15' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "forecast_revenue": (
+            "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            " CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+            " AND l_shipdate < TIMESTAMP '1999-01-01' "
+            " AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            " AND l_quantity < 24"
+        ),
+        "orders_any_returned": (
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            " AS total_cents "
+            "FROM orders WHERE o_orderkey IN "
+            " (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') "
+            "GROUP BY o_orderstatus"
         ),
         "top_suppliers_by_volume": (
             "SELECT s_name, n_name, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "

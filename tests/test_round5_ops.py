@@ -2972,3 +2972,161 @@ def test_table_changes_demo_counts(ray_session):
             for r in mod.q_table_changes_demo("/root/testdata/sf0.001").take_all()
         }
         assert rows == {"delete": 5, "insert": 8}, rows
+
+
+# ───────────────────── TPC-H-shape queries (session 6) ─────────────────────
+
+
+def _tpch_synth(tmp_path, seed=101, n_orders=120, n_cust=40):
+    """Synthetic TPC-H-ish star with planted boundary cases: shipdates
+    exactly AT the Q1/Q6 cutoffs, discounts exactly at the 0.05/0.07
+    band edges, quantity exactly 24 (Q6 excludes it), customers outside
+    the segment, orders with zero lineitems, and revenue ties."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    ok = np.arange(n_orders, dtype=np.int64)
+    ck = np.arange(n_cust, dtype=np.int64)
+    seg = np.where(ck % 3 == 0, "BUILDING", "MACHINERY")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": ck,
+                "c_mktsegment": pa.array(seg.tolist()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    base = dt.datetime(1998, 1, 1)
+    odate = [base + dt.timedelta(days=int(d)) for d in rng.integers(-400, 200, n_orders)]
+    # order 0..2 planted exactly AT the Q3 cutoff (excluded: < is strict)
+    for i in range(3):
+        odate[i] = dt.datetime(1998, 3, 15)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": ok,
+                "o_custkey": pa.array((ok % n_cust).astype("int64")),
+                "o_orderstatus": pa.array(["F" if i % 2 else "O" for i in ok]),
+                "o_totalprice": pa.array(
+                    np.round(rng.uniform(10, 400000, n_orders), 2)
+                ),
+                "o_orderdate": pa.array(odate, pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    # ~4 lines per order, but orders 0..9 get none (semi-join must drop
+    # them) — keys drawn from 10..n_orders
+    nli = 4 * (n_orders - 10)
+    lok = np.repeat(np.arange(10, n_orders, dtype=np.int64), 4)
+    disc = rng.choice([0.0, 0.04, 0.05, 0.06, 0.07, 0.08, 0.1], nli)
+    qty = rng.integers(1, 51, nli).astype("float64")
+    qty[:5] = 24.0  # Q6 band edge: quantity exactly 24 is EXCLUDED
+    sdate = [base + dt.timedelta(days=int(d)) for d in rng.integers(-300, 400, nli)]
+    sdate[0] = dt.datetime(1998, 9, 2)  # Q1 cutoff: <= keeps it
+    sdate[1] = dt.datetime(1998, 1, 1)  # Q6 lower edge: >= keeps it
+    sdate[2] = dt.datetime(1999, 1, 1)  # Q6 upper edge: < drops it
+    sdate[3] = dt.datetime(1998, 3, 15)  # Q3 edge: > drops it
+    price = np.round(rng.uniform(900, 105000, nli), 2)
+    price[:8] = 1000.005  # round-half boundary: e2 must be 100001 both sides
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": lok,
+                "l_quantity": pa.array(qty),
+                "l_extendedprice": pa.array(price),
+                "l_discount": pa.array(disc),
+                "l_tax": pa.array(rng.choice([0.0, 0.02, 0.08], nli)),
+                "l_returnflag": pa.array(
+                    rng.choice(["R", "A", "N"], nli).tolist()
+                ),
+                "l_linestatus": pa.array(rng.choice(["O", "F"], nli).tolist()),
+                "l_shipdate": pa.array(sdate, pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def _oracle_con(tmp_path, tables=("customer", "orders", "lineitem")):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    return con
+
+
+def _assert_query_matches(mod, name, fn, tmp_path, order_by):
+    import pandas as pd
+
+    con = _oracle_con(tmp_path)
+    got = fn(str(tmp_path)).to_pandas()
+    got = got.sort_values(order_by).reset_index(drop=True)[sorted(got.columns)]
+    want = con.execute(mod.oracle_sql()[name]).df()
+    want = want.sort_values(order_by).reset_index(drop=True)[sorted(want.columns)]
+    for c in want.columns:
+        if str(want[c].dtype).startswith(("int", "datetime")):
+            got[c] = got[c].astype(want[c].dtype)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    return got
+
+
+def test_pricing_summary_boundary_dates_and_rounding(ray_session, tmp_path):
+    import __ray_entry__ as mod
+
+    _tpch_synth(tmp_path)
+    got = _assert_query_matches(
+        mod,
+        "pricing_summary_lineitem",
+        mod.q_pricing_summary_lineitem,
+        tmp_path,
+        ["l_returnflag", "l_linestatus"],
+    )
+    assert len(got) == 6  # 3 flags x 2 statuses all present
+
+
+def test_shipping_priority_top10_deterministic(ray_session, tmp_path):
+    import __ray_entry__ as mod
+
+    _tpch_synth(tmp_path)
+    got = _assert_query_matches(
+        mod, "shipping_priority", mod.q_shipping_priority, tmp_path,
+        ["revenue_e4", "l_orderkey"],
+    )
+    assert len(got) <= 10
+    # rerun: byte-stable (deterministic top-k tiebreak on orderkey)
+    again = mod.q_shipping_priority(str(tmp_path)).to_pandas()
+    assert sorted(again["l_orderkey"]) == sorted(got["l_orderkey"])
+
+
+def test_forecast_revenue_band_edges(ray_session, tmp_path):
+    import __ray_entry__ as mod
+
+    _tpch_synth(tmp_path)
+    got = _assert_query_matches(
+        mod, "forecast_revenue", mod.q_forecast_revenue, tmp_path, ["revenue_e4"]
+    )
+    assert len(got) == 1 and int(got["revenue_e4"].iloc[0]) > 0
+
+
+def test_orders_any_returned_bucketed_bloom_path(ray_session, tmp_path):
+    """Orders 0..9 have NO lineitems and must not survive the forced
+    bucketed+bloom semi-join; counts match the IN-subquery oracle."""
+    import __ray_entry__ as mod
+
+    _tpch_synth(tmp_path)
+    got = _assert_query_matches(
+        mod, "orders_any_returned", mod.q_orders_any_returned, tmp_path,
+        ["o_orderstatus"],
+    )
+    con = _oracle_con(tmp_path)
+    n_surv = con.execute(
+        "SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag='R'"
+    ).fetchone()[0]
+    assert int(got["n_orders"].sum()) == n_surv

@@ -2181,6 +2181,22 @@ def q_ann_topk_ivf_full(sf_dir: str):
     return out.select(["query_id", "rank", "vec_id"])
 
 
+def q_ann_topk_pq(sf_dir: str):
+    """Product-quantized ADC top-k — the memory-bounded ANN scale path:
+    each 64-d float32 embedding becomes 8 code bytes (32×), queries
+    score code batches with per-subspace LUT gathers and no float
+    vector is read at query time. Lossy by construction (recall pinned
+    vs brute force in tests/test_functions.py), so rows-only for the
+    driver; output shape matches the other ANN queries."""
+    from parquetjs_ray.functions.ann import pq_encode, pq_topk, pq_train
+
+    ds = _emb(sf_dir)
+    books = pq_train(ds, dim=64, m=8, n_centroids=128, sample_rows=4096)
+    codes = pq_encode(ds, books).materialize()
+    out = pq_topk(codes, books, _query_vectors(sf_dir), k=10)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     """The pairwise exact-Jaccard verify operator in isolation, over a
     deterministic candidate set (consecutive pairs of the 40 lowest
@@ -3799,6 +3815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
+        "ann_topk_pq": q_ann_topk_pq,
         "simhash_docs": q_simhash_docs,
         "events_asof_order": q_events_asof_order,
         "events_range_count": q_events_range_count,

@@ -34,6 +34,9 @@ __all__ = [
     "topk_ivf",
     "pca_fit",
     "pca_transform",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -483,3 +486,135 @@ def pca_transform(
         )
 
     return ds.select_columns([id_col, col]).map_batches(fn, batch_format="pyarrow")
+
+
+# ─────────────────── product quantization (PQ / ADC) ───────────────────
+
+
+def pq_train(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_centroids: int = 256,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Train product-quantization codebooks: the vector space is split
+    into ``m`` orthogonal subspaces of ``dim/m`` coordinates and each
+    gets its own ``n_centroids``-entry k-means codebook (Jégou et al.,
+    TPAMI 2011 — public method). Training runs on a driver-side sample
+    (codebooks are the SMALL model; the corpus itself is only ever
+    streamed through :func:`pq_encode`). Vectors are L2-normalized first
+    so squared-distance ranking equals cosine ranking and recall is
+    directly comparable to :func:`topk_bruteforce`.
+
+    Returns ``(m, n_centroids, dim//m)`` float64 codebooks."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = _normalize(
+        np.stack([np.asarray(r[vec_col], np.float64) for r in ds.take(sample_rows)])
+    )
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"sample ({len(sample)}) smaller than n_centroids ({n_centroids})"
+        )
+    books = np.empty((m, n_centroids, dsub), np.float64)
+    for j in range(m):
+        books[j] = kmeans_lite(
+            sample[:, j * dsub : (j + 1) * dsub], n_centroids, iters, seed + j
+        )
+    return books
+
+
+def _pq_assign(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """argmin ‖x−c‖² per row via the dot-product identity (no (n,k,d)
+    temp); ties break to the lowest code (argmin order)."""
+    d2 = (book * book).sum(axis=1)[None, :] - 2.0 * (sub @ book.T)
+    return d2.argmin(axis=1)
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Quantize every vector to ``m`` uint8 codes — a 4·dim-byte float32
+    embedding becomes ``m`` bytes (32× at dim=64, m=8), which is what
+    makes 10^12-vector search memory-feasible: the code table for the
+    whole corpus fits a fraction of the raw embedding footprint and the
+    original vectors never need to be resident at query time. Codebooks
+    travel once via ``ray.put``; each batch is ``m`` small matmuls.
+    Output: ``(id_col, pq_code: fixed_size_binary(m))``."""
+    m, _, dsub = codebooks.shape
+    dim = m * dsub
+    book_ref = ray.put(np.asarray(codebooks, np.float64))
+
+    def enc(t: pa.Table) -> pa.Table:
+        books = ray.get(book_ref)
+        x = _normalize(_matrix(t, vec_col, dim))
+        codes = np.empty((len(x), m), np.uint8)
+        for j in range(m):
+            codes[:, j] = _pq_assign(x[:, j * dsub : (j + 1) * dsub], books[j])
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(x), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({id_col: t[id_col], "pq_code": arr})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    codes: rd.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an ``(m, n_centroids)`` distance lookup table ONCE on
+    the driver (kilobytes), broadcast via ``ray.put``; a batch of codes
+    is scored with ``m`` fancy-indexed gathers + an accumulate — no
+    float vectors are read at query time. Per-batch partial top-k then
+    a driver merge, exactly like :func:`topk_bruteforce` (score =
+    −approx‖q−x‖², so larger is better and the merge is shared).
+
+    Recall < 1 by construction (quantization error); measured against
+    brute force in tests. Raise ``m``/``n_centroids`` for recall,
+    shrink for memory — the scale knob is explicit."""
+    mq, nc, dsub = codebooks.shape
+    q = _normalize(np.asarray(queries, np.float64))
+    nq = len(q)
+    # lut[i, j, c] = ‖q_i[sub j] − codebook[j][c]‖²
+    lut = np.empty((nq, mq, nc), np.float64)
+    for j in range(mq):
+        qs = q[:, j * dsub : (j + 1) * dsub]  # (nq, dsub)
+        b = codebooks[j]  # (nc, dsub)
+        lut[:, j, :] = (
+            (qs * qs).sum(axis=1)[:, None]
+            + (b * b).sum(axis=1)[None, :]
+            - 2.0 * (qs @ b.T)
+        )
+    lut_ref = ray.put(lut)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)  # (nq, m, nc), zero-copy from plasma
+        col = t["pq_code"].combine_chunks()
+        cd = np.frombuffer(col.buffers()[1], np.uint8)[
+            col.offset * mq : (col.offset + len(col)) * mq
+        ].reshape(-1, mq)
+        n = len(cd)
+        d2 = np.zeros((n, lt.shape[0]), np.float64)
+        for j in range(mq):
+            d2 += lt[:, j, :][:, cd[:, j]].T  # (n, nq) gather per subspace
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return _batch_topk(-d2, ids, k)
+
+    parts = codes.map_batches(per_batch, batch_format="pyarrow").take_all()
+    return _merge_topk(parts, k)

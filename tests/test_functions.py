@@ -1955,3 +1955,52 @@ def test_pq_train_validates_inputs(ray_session):
         pq_train(ds, dim=64, m=7)  # 64 % 7 != 0
     with pytest.raises(ValueError):
         pq_train(ds, dim=64, m=8, n_centroids=256, sample_rows=50)  # sample < k
+
+
+def test_string_key_join_exact_and_collision_proof(ray_session):
+    """string_key_join matches DuckDB on string keys, and stays EXACT
+    even under a deliberately colliding fingerprint (all keys of equal
+    length collide) — the post-merge string verify must remove every
+    false pair."""
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import string_key_join
+
+    rng = np.random.default_rng(17)
+    lkeys = [f"src{i % 7:02d}/doc{rng.integers(0, 40):04d}" for i in range(300)]
+    rkeys = [f"src{i % 7:02d}/doc{i:04d}" for i in range(40)] + ["src00/doc9999"]
+    lt = pa.table(
+        {
+            "doc_id": pa.array(lkeys),
+            "val": pa.array(rng.integers(0, 1000, 300).astype("int64")),
+        }
+    )
+    rt = pa.table(
+        {
+            "doc_id": pa.array(rkeys),
+            "meta": pa.array([f"m{i}" for i in range(len(rkeys))]),
+        }
+    )
+    want = duckdb.sql(
+        "SELECT l.doc_id, l.val, r.meta FROM lt l JOIN rt r USING (doc_id) "
+        "ORDER BY l.doc_id, l.val, r.meta"
+    ).fetchall()
+
+    for fp in (
+        None,
+        # pathological: fingerprint = key length → everything collides
+        lambda arr: np.full(len(arr), 7, np.uint64),
+    ):
+        got = string_key_join(
+            rd.from_arrow(lt).repartition(5),
+            rd.from_arrow(rt).repartition(3),
+            left_on="doc_id",
+            right_on="doc_id",
+            left_cols=["val"],
+            right_cols=["meta"],
+            num_buckets=4,
+            fingerprint=fp,
+        ).take_all()
+        gots = sorted((r["doc_id"], r["val"], r["meta"]) for r in got)
+        assert gots == [tuple(w) for w in want], (fp, len(gots), len(want))

@@ -3705,6 +3705,27 @@ def q_docs_source_stats_join(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_prefix_dup_pairs_docs(sf_dir: str):
+    """EXACT-recall near-dup pairs (char-shingle Jaccard ≥ 0.8) via
+    prefix filtering — unlike the LSH candidates (recall < 1 by
+    construction), this operator provably proposes every true pair, so
+    the full all-pairs SQL oracle must match hash-exact."""
+    from parquetjs_ray.functions.dedup import prefix_filter_dup_pairs
+
+    out = prefix_filter_dup_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        shingle_k=5,
+        jaccard_threshold=0.8,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": b["a"].cast(pa.int64()), "b": b["b"].cast(pa.int64())}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate: the driver's correctness gate checks the
     # FIRST 50 entries (observed in CORRECTNESS_r03/r04: exactly the
@@ -3824,6 +3845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": q_forecast_revenue,
         "orders_any_returned": q_orders_any_returned,
         "docs_source_stats_join": q_docs_source_stats_join,
+        "prefix_dup_pairs_docs": q_prefix_dup_pairs_docs,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -4470,6 +4492,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, d.source, n_chars, src_docs FROM documents d "
             "JOIN (SELECT source, CAST(count(*) AS BIGINT) AS src_docs "
             "      FROM documents GROUP BY source) s ON d.source = s.source"
+        ),
+        "prefix_dup_pairs_docs": (
+            "WITH pos AS (SELECT doc_id, text, "
+            " unnest(generate_series(1, greatest(length(text)-4, 1))) AS i "
+            " FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c "
+            " FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id "
+            " GROUP BY x.doc_id, y.doc_id) "
+            "SELECT CAST(i.a AS BIGINT) AS a, CAST(i.b AS BIGINT) AS b "
+            "FROM inter i "
+            "JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id "
+            "WHERE 1000 * i.c >= 800 * (sa.n + sb.n - i.c)"
         ),
         "top_suppliers_by_volume": (
             "SELECT s_name, n_name, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "

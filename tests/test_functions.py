@@ -2004,3 +2004,51 @@ def test_string_key_join_exact_and_collision_proof(ray_session):
         ).take_all()
         gots = sorted((r["doc_id"], r["val"], r["meta"]) for r in got)
         assert gots == [tuple(w) for w in want], (fp, len(gots), len(want))
+
+
+def test_prefix_filter_dup_pairs_exact_recall(ray_session):
+    """prefix_filter_dup_pairs == ALL true pairs (brute-force oracle) —
+    including threshold-boundary pairs LSH could miss — and the
+    hash-order fallback (df table 'too big' to broadcast) returns the
+    identical exact result."""
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.dedup import prefix_filter_dup_pairs
+
+    rng = np.random.default_rng(31)
+    vocabulary = [f"w{i:03d}" for i in range(200)]
+    base = [" ".join(rng.choice(vocabulary, 30)) for _ in range(60)]
+    texts = list(base)
+    # planted: exact dups, near dups (1-word edit), and boundary-ish
+    # pairs (several word edits) — a spectrum across the 0.8 threshold
+    texts += [base[0], base[1] + " extraz", base[2].replace("w0", "wx", 3)]
+    texts += [base[3][: len(base[3]) // 2]]  # ~0.5 similar: must NOT pair
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    want = duckdb.sql(
+        "WITH pos AS (SELECT doc_id, text, "
+        " unnest(generate_series(1, greatest(length(text)-4, 1))) AS i FROM tbl), "
+        "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c "
+        " FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id "
+        " GROUP BY x.doc_id, y.doc_id) "
+        "SELECT i.a, i.b FROM inter i "
+        "JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id "
+        "WHERE 1000 * i.c >= 800 * (sa.n + sb.n - i.c) ORDER BY a, b"
+    ).fetchall()
+    assert len(want) >= 2  # the planted dups are above threshold
+
+    for limit in (64 << 20, 0):  # broadcast df path, then hash-order fallback
+        got = prefix_filter_dup_pairs(
+            rd.from_arrow(tbl).repartition(4),
+            jaccard_threshold=0.8,
+            df_broadcast_limit=limit,
+        ).take_all()
+        gots = sorted((min(r["a"], r["b"]), max(r["a"], r["b"])) for r in got)
+        assert gots == [tuple(w) for w in want], (limit, gots, want)

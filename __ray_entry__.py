@@ -3726,6 +3726,87 @@ def q_prefix_dup_pairs_docs(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+
+def q_skyline_parts(sf_dir: str):
+    """Distributed 2-D skyline (Pareto frontier): parts where no other
+    part is at-least-as-cheap AND at-least-as-large with one strict —
+    the classic two-phase plan (vectorized per-block Pareto filter as a
+    superset combiner, then one worker-side resolve over the tiny
+    candidate union; ``functions/skyline.py``). The SQL shape is the
+    quadratic NOT EXISTS self-join; the engine never runs it."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.skyline import skyline
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    return skyline(ds, minimize="p_retailprice", maximize="p_size")
+
+
+def q_vocab_overlap_sources(sf_dir: str):
+    """Pairwise vocabulary overlap between sources (shared/union word
+    counts per source pair) — corpus-mixing diagnostics. Distinct
+    (source, word) pairs fold to one bitmask per word, masks fold to a
+    kilobyte histogram, and the pair matrix is one tiny matmul
+    (``functions/tokenize.py:vocab_overlap``); the quadratic SQL
+    self-join never runs and no word list ever reaches the driver."""
+    from parquetjs_ray.functions.tokenize import vocab_overlap
+
+    return vocab_overlap(_docs(sf_dir).select_columns(["source", "text"]))
+
+
+def q_autocorr_hourly_events(sf_dir: str):
+    """Lag-1 autocorrelation of each event type's hourly count series
+    (burstiness probe). Count-combiner shuffle to (type, hour, n) rows,
+    then one bounded per-type fold with exact big-int moments; the only
+    float op is the final division, bit-identical to the SQL window
+    oracle (``functions/windows.py:lag1_autocorr``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import lag1_autocorr
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    return lag1_autocorr(ds, key="event_type", ts="ts")
+
+
+def q_copurchase_parts(sf_dir: str):
+    """Top-20 part pairs most often ordered together (market-basket
+    mining). Local-distinct combiner, whole-basket cogroups via
+    hash(order) buckets, pair generation vectorized per basket size,
+    then a 16-byte-pair counting shuffle
+    (``functions/groupops.py:cooccur_pairs_topk``) — the SQL distinct
+    self-join shape without ever joining lineitem to itself."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import cooccur_pairs_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccur_pairs_topk(ds, group_col="l_orderkey", item_col="l_partkey", k=20)
+
+
+def q_k_anonymity_customers(sf_dir: str):
+    """Privacy-governance audit: (nation, market segment) classes with
+    fewer than k=10 customers — the re-identification-risk gate run
+    before a slice is released for training
+    (``functions/profile.py:k_anonymity_audit``). One counting shuffle;
+    output bounded by the number of rare classes."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.profile import k_anonymity_audit
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey", "c_mktsegment"]
+    )
+    return k_anonymity_audit(ds, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate: the driver's correctness gate checks the
     # FIRST 50 entries (observed in CORRECTNESS_r03/r04: exactly the
@@ -3924,11 +4005,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q_approx_distinct_users,
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
         "pca_embeddings": q_pca_embeddings,
+        "skyline_parts": q_skyline_parts,
+        "vocab_overlap_sources": q_vocab_overlap_sources,
+        "autocorr_hourly_events": q_autocorr_hourly_events,
+        "copurchase_parts": q_copurchase_parts,
+        "k_anonymity_customers": q_k_anonymity_customers,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "skyline_parts": (
+            "SELECT p_partkey, p_retailprice, p_size FROM part p "
+            "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE "
+            " q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size "
+            " AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"
+        ),
+        "vocab_overlap_sources": (
+            "WITH p AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w "
+            " FROM documents), "
+            "v AS (SELECT source, count(*)::BIGINT AS c FROM p GROUP BY source) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "count(*)::BIGINT AS n_shared, "
+            "(va.c + vb.c - count(*))::BIGINT AS n_union "
+            "FROM p a JOIN p b ON a.w = b.w AND a.source < b.source "
+            "JOIN v va ON va.source = a.source JOIN v vb ON vb.source = b.source "
+            "GROUP BY a.source, b.source, va.c, vb.c ORDER BY source_a, source_b"
+        ),
+        "autocorr_hourly_events": (
+            "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+            "l AS (SELECT event_type, n AS y, "
+            " LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS x FROM c), "
+            "p AS (SELECT event_type, x, y FROM l WHERE x IS NOT NULL), "
+            "m AS (SELECT event_type, count(*)::BIGINT AS n_pairs, sum(x) AS sx, "
+            " sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sx2, sum(y*y) AS sy2 "
+            " FROM p GROUP BY event_type) "
+            "SELECT event_type, n_pairs, "
+            "CASE WHEN n_pairs*sx2 - sx*sx = 0 OR n_pairs*sy2 - sy*sy = 0 THEN NULL "
+            "ELSE CAST(n_pairs*sxy - sx*sy AS DOUBLE) / "
+            " sqrt(CAST(n_pairs*sx2 - sx*sx AS DOUBLE) * "
+            "      CAST(n_pairs*sy2 - sy*sy AS DOUBLE)) END AS autocorr "
+            "FROM m ORDER BY event_type"
+        ),
+        "copurchase_parts": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+            "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, "
+            "count(*)::BIGINT AS n_groups FROM d a "
+            "JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 ORDER BY n_groups DESC, item_a, item_b LIMIT 20"
+        ),
+        "k_anonymity_customers": (
+            "SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows "
+            "FROM customer GROUP BY 1, 2 HAVING count(*) < 10 "
+            "ORDER BY n_rows, c_nationkey, c_mktsegment"
+        ),
         "per_source_doc_stats": (
             "SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars "

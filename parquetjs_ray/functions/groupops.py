@@ -963,3 +963,83 @@ def group_corr(
     return group_moments(
         ds, key_col, x_col, y_col, x_scale=x_scale, y_scale=y_scale
     ).map_batches(derive, batch_format="pyarrow")
+
+
+def cooccur_pairs_topk(
+    ds,
+    *,
+    group_col: str,
+    item_col: str,
+    k: int = 20,
+    num_buckets: int = 64,
+    max_basket: int = 1024,
+) -> "pa.Table":
+    """Top-k co-occurring item pairs across groups (market-basket
+    mining): how many groups contain BOTH items, for every unordered
+    item pair, keeping the ``k`` most frequent. The SQL shape is the
+    quadratic distinct self-join ``d a JOIN d b ON same group AND
+    a.item < b.item``; the distributed plan never runs it:
+
+    1. per-batch LOCAL distinct ``(group, item)`` (C-level group_by
+       combiner — repeat purchases collapse before any exchange);
+    2. groups cogroup by ``hash(group) % num_buckets`` — each bucket
+       holds whole groups, so pair generation is bucket-local;
+    3. inside a bucket: global distinct, segment by group, and emit
+       pairs VECTORIZED PER BASKET SIZE — one ``np.triu_indices``
+       template per distinct basket length (baskets are small: the
+       template loop runs ~max-basket-size times, never per row);
+    4. one ``groupby(item_a, item_b).count`` over pair rows (16 bytes
+       each) + a k-row sort-limit.
+
+    Baskets longer than ``max_basket`` raise: a single hot basket of B
+    items emits B^2/2 pairs — at that point you want co-occurrence
+    sampling, not the exact count (the cap makes the quadratic cost an
+    explicit, loud decision rather than a silent OOM).
+    """
+    import ray.data as rd  # noqa: F401  (signature parity with siblings)
+    from ray.data.aggregate import Count
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col], item_col: batch[item_col]})
+        t = t.group_by([group_col, item_col]).aggregate([])
+        g = t[group_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (g * np.int64(-7046029254386353131)) % np.int64(num_buckets)
+        return t.append_column("__b", pa.array(np.abs(bucket)))
+
+    def gen_pairs(g: pa.Table) -> pa.Table:
+        grp = g[group_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        itm = g[item_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        # global distinct within the bucket (batches may repeat pairs)
+        uniq = np.unique(np.stack([grp, itm], axis=1), axis=0)
+        grp, itm = uniq[:, 0], uniq[:, 1]  # sorted by (group, item)
+        starts = np.flatnonzero(np.concatenate(([True], grp[1:] != grp[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(grp)])))
+        if len(lens) and lens.max() > max_basket:
+            raise ValueError(
+                f"basket of {lens.max()} items exceeds max_basket={max_basket}"
+            )
+        out_a, out_b = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            ti, tj = np.triu_indices(int(ln), 1)
+            s = starts[lens == ln]
+            out_a.append(itm[(s[:, None] + ti[None, :]).ravel()])
+            out_b.append(itm[(s[:, None] + tj[None, :]).ravel()])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"item_a": pa.array(a), "item_b": pa.array(b)})
+
+    pairs = (
+        ds.select_columns([group_col, item_col])
+        .map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(gen_pairs, batch_format="pyarrow")
+    )
+    top = (
+        pairs.groupby(["item_a", "item_b"])
+        .aggregate(Count(alias_name="n_groups"))
+        .sort(["n_groups", "item_a", "item_b"], descending=[True, False, False])
+        .limit(k)
+    )
+    return top

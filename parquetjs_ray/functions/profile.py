@@ -144,3 +144,24 @@ def profile_columns(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
         .groupby("col_name")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def k_anonymity_audit(ds, quasi_cols: list[str], *, k: int = 5):
+    """Privacy-governance gate before a corpus slice is released for
+    training: every combination of quasi-identifier values shared by
+    fewer than ``k`` rows is a re-identification risk. → one row per
+    violating class: ``(*quasi_cols, n_rows)``, smallest classes first.
+
+    One counting shuffle (the groupby moves quasi-identifier tuples +
+    a count — never whole rows) and a vectorized filter; output is
+    bounded by the number of rare classes, not table size.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    counts = ds.select_columns(list(quasi_cols)).groupby(list(quasi_cols)).aggregate(
+        Count(alias_name="n_rows")
+    )
+    return counts.filter(
+        expr=f"n_rows < {int(k)}"
+    ).sort(["n_rows", *quasi_cols])

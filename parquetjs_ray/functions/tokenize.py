@@ -214,3 +214,103 @@ def bpe_encode(ds, merges, *, column: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.select_columns([id_col, column]).map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_overlap(
+    ds,
+    *,
+    text_col: str = "text",
+    key_col: str = "source",
+) -> pa.Table:
+    """Pairwise vocabulary overlap between corpus slices → one row per
+    unordered ``key`` pair: ``(source_a, source_b, n_shared, n_union)``
+    (pairs sharing no words are omitted, matching the SQL inner join).
+
+    The scale plan never shuffles text and never builds per-pair word
+    sets:
+
+    1. per-batch LOCAL distinct ``(key, word)`` pairs (a C-level
+       ``pa.Table.group_by`` — the combiner; mirror pages collapse
+       before any exchange);
+    2. one ``groupby(key, word)`` for GLOBAL distinct pairs;
+    3. each distinct pair maps to ``(word, 1 << key_bit)`` — because the
+       pairs are now globally unique, a plain vectorized ``Sum`` per
+       word IS the bitwise OR of its key set;
+    4. ``groupby(mask).count`` collapses the vocabulary to at most
+       ``2^n_keys`` (in practice a handful of) mask rows — kilobytes;
+    5. the driver finishes with one tiny ``(masks x keys)`` matmul:
+       ``inter = (B * c).T @ B`` where ``B[m, k]`` is bit ``k`` of mask
+       ``m`` — no word ever reaches the driver.
+
+    The word-keyed shuffles in 2-3 move (word, small-int) pairs only;
+    vocabulary >> memory is fine because masks fold per word.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    keys = sorted(
+        r[key_col] for r in ds.groupby(key_col).count().select_columns([key_col]).take_all()
+    )
+    if len(keys) > 62:
+        raise ValueError("vocab_overlap supports at most 62 distinct keys per call")
+    keys_ref = ray.put(pa.array(keys, pa.string()))
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        arr = batch[text_col].combine_chunks()
+        toks = pc.split_pattern(arr, " ")
+        lens = np.diff(np.asarray(toks.offsets).astype(np.int64))
+        doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+        t = pa.table(
+            {
+                key_col: batch[key_col].combine_chunks().take(pa.array(doc_idx)),
+                "word": toks.flatten(),
+            }
+        )
+        return t.group_by([key_col, "word"]).aggregate([])  # local distinct
+
+    distinct = (
+        ds.select_columns([key_col, text_col])
+        .map_batches(local_pairs, batch_format="pyarrow")
+        .groupby([key_col, "word"])
+        .aggregate(Count(alias_name="__c"))
+    )
+
+    def to_mask(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)  # sorted key list, position == bit
+        kidx = (
+            pc.index_in(batch[key_col].combine_chunks(), value_set=ks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table({"word": batch["word"], "mask": pa.array(np.int64(1) << kidx)})
+
+    mask_counts = (
+        distinct.map_batches(to_mask, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("mask", alias_name="mask"))  # globally-unique bits -> Sum == OR
+        .groupby("mask")
+        .count()
+        .take_all()
+    )  # <= 2^n_keys rows
+
+    masks = np.array([r["mask"] for r in mask_counts], dtype=np.int64)
+    cnts = np.array([r["count()"] for r in mask_counts], dtype=np.int64)
+    n = len(keys)
+    B = ((masks[:, None] >> np.arange(n)[None, :]) & 1).astype(np.int64)  # (masks, keys)
+    inter = (B * cnts[:, None]).T @ B  # inter[i, j] = shared words of keys i, j
+    vocab = np.diag(inter)
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if inter[i, j] > 0:
+                rows.append(
+                    (keys[i], keys[j], int(inter[i, j]), int(vocab[i] + vocab[j] - inter[i, j]))
+                )
+    a, b_, sh, un = zip(*rows) if rows else ((), (), (), ())
+    return pa.table(
+        {
+            "source_a": pa.array(list(a), pa.string()),
+            "source_b": pa.array(list(b_), pa.string()),
+            "n_shared": pa.array(list(sh), pa.int64()),
+            "n_union": pa.array(list(un), pa.int64()),
+        }
+    )

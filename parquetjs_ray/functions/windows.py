@@ -2014,3 +2014,64 @@ def path_topk(
         .sort(["n_keys", "path"], descending=[True, False])
         .limit(k)
     )
+
+
+def lag1_autocorr(
+    ds: rd.Dataset,
+    *,
+    key: str = "event_type",
+    ts: str = "ts",
+    size_us: int = 3_600_000_000,
+) -> pa.Table:
+    """Lag-1 autocorrelation of the per-``key`` bucketed event-count
+    series — the burstiness/seasonality probe of a monitoring pipeline.
+    Pairs are consecutive OBSERVED buckets in time order (calendar gaps
+    collapse, the SQL ``LAG() OVER (ORDER BY bucket)`` convention).
+
+    Two stages, both bounded: :func:`tumbling_counts` reduces the event
+    stream to ``(key, bucket, n)`` rows (a count combiner — the wide
+    shuffle moves 24-byte rows), then one ``map_groups`` per key whose
+    group size is the number of observed buckets — bounded by the time
+    span, never by corpus size, so a hot key at 100 TB still folds fine.
+
+    All moments accumulate as exact Python big-ints; the only float op
+    is the final ``float(num) / sqrt(float(a) * float(b))`` — one IEEE
+    division of exact integers, bit-identical to the SQL oracle's
+    ``CAST(... AS DOUBLE) / sqrt(...)``.
+
+    → one row per key: ``(key, n_pairs:int64, autocorr:float64|null)``
+    (null when either variance term is zero or there are <2 buckets).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    counts = tumbling_counts(ds, key=key, ts=ts, size_us=size_us)
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g["bucket"])
+        n = g["n_events"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = n[:-1], n[1:]
+        np_pairs = len(x)
+        if np_pairs == 0:
+            corr = None
+        else:
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int(np.dot(x, y))
+            sx2, sy2 = int(np.dot(x, x)), int(np.dot(y, y))
+            vx = np_pairs * sx2 - sx * sx
+            vy = np_pairs * sy2 - sy * sy
+            corr = (
+                None
+                if vx == 0 or vy == 0
+                else float(np_pairs * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+            )
+        return pa.table(
+            {
+                key: g[key].slice(0, 1),
+                "n_pairs": pa.array([np_pairs], pa.int64()),
+                "autocorr": pa.array([corr], pa.float64()),
+            }
+        )
+
+    return counts.groupby(key).map_groups(fold, batch_format="pyarrow")

@@ -1,0 +1,220 @@
+"""Session-8 operator batch: distributed 2-D skyline, vocabulary
+overlap, lag-1 autocorrelation, co-occurrence pair mining, k-anonymity
+audit — each pinned against a brute-force numpy or DuckDB oracle on
+randomized inputs (same SQL-parity strategy as test_functions.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ── skyline ──────────────────────────────────────────────────────────
+
+
+def _brute_skyline(x, y):
+    keep = np.ones(len(x), dtype=bool)
+    for i in range(len(x)):
+        dom = (x <= x[i]) & (y >= y[i]) & ((x < x[i]) | (y > y[i]))
+        keep[i] = not dom.any()
+    return keep
+
+
+def test_pareto_kernel_matches_bruteforce():
+    from parquetjs_ray.functions.skyline import _pareto_keep
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 50, 400):
+        # small value range forces duplicates and ties on both axes
+        x = rng.integers(0, 12, n).astype(np.float64)
+        y = rng.integers(0, 12, n).astype(np.float64)
+        got = _pareto_keep(x, y)
+        assert got.tolist() == _brute_skyline(x, y).tolist(), n
+
+
+def test_pareto_kernel_duplicates_all_survive():
+    from parquetjs_ray.functions.skyline import _pareto_keep
+
+    # identical undominated points: strict dominance keeps every copy
+    x = np.array([1.0, 1.0, 2.0])
+    y = np.array([5.0, 5.0, 1.0])
+    assert _pareto_keep(x, y).tolist() == [True, True, False]
+
+
+def test_skyline_distributed_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.skyline import skyline
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n)),
+            "price": pa.array(rng.integers(0, 500, n).astype(np.float64) / 4),
+            "size": pa.array(rng.integers(0, 60, n).astype(np.int64)),
+        }
+    )
+    out = skyline(
+        rd.from_arrow(t).repartition(7), minimize="price", maximize="size"
+    ).take_all()
+    keep = _brute_skyline(
+        t["price"].to_numpy(), t["size"].to_numpy().astype(np.float64)
+    )
+    want = sorted(int(i) for i in t["id"].to_numpy()[keep])
+    assert sorted(r["id"] for r in out) == want
+
+
+# ── vocab overlap ────────────────────────────────────────────────────
+
+
+def test_vocab_overlap_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.tokenize import vocab_overlap
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(300):
+        src = f"s{i % 4}"
+        text = " ".join(rng.choice(words, rng.integers(1, 9)))
+        rows.append((src, text))
+    t = pa.table(
+        {
+            "source": pa.array([r[0] for r in rows]),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    got = vocab_overlap(rd.from_arrow(t).repartition(5)).to_pylist()
+    want = duckdb.sql(
+        "WITH p AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w FROM t), "
+        "v AS (SELECT source, count(*) c FROM p GROUP BY source) "
+        "SELECT a.source, b.source, count(*), va.c + vb.c - count(*) "
+        "FROM p a JOIN p b ON a.w = b.w AND a.source < b.source "
+        "JOIN v va ON va.source = a.source JOIN v vb ON vb.source = b.source "
+        "GROUP BY a.source, b.source, va.c, vb.c ORDER BY 1, 2"
+    ).fetchall()
+    assert [(r["source_a"], r["source_b"], r["n_shared"], r["n_union"]) for r in got] == [
+        tuple(r) for r in want
+    ]
+
+
+# ── lag-1 autocorrelation ────────────────────────────────────────────
+
+
+def test_lag1_autocorr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import lag1_autocorr
+
+    rng = np.random.default_rng(5)
+    rows_ts, rows_key = [], []
+    series = {}
+    base = 1_600_000_000_000_000  # us
+    for k in ("a", "b"):
+        hours = np.sort(rng.choice(200, 40, replace=False))
+        counts = rng.integers(1, 9, len(hours))
+        series[k] = counts
+        for h, c in zip(hours, counts):
+            for j in range(c):
+                rows_ts.append(base + int(h) * 3_600_000_000 + j)
+                rows_key.append(k)
+    t = pa.table(
+        {
+            "event_type": pa.array(rows_key),
+            "ts": pa.array(rows_ts, pa.timestamp("us")),
+        }
+    )
+    out = {
+        r["event_type"]: (r["n_pairs"], r["autocorr"])
+        for r in lag1_autocorr(rd.from_arrow(t).repartition(4)).take_all()
+    }
+    for k, c in series.items():
+        n_pairs, corr = out[k]
+        assert n_pairs == len(c) - 1
+        want = np.corrcoef(c[:-1], c[1:])[0, 1]
+        assert corr == pytest.approx(want, abs=1e-12)
+
+
+def test_lag1_autocorr_degenerate(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import lag1_autocorr
+
+    # constant series (zero variance) and a single bucket -> null corr
+    t = pa.table(
+        {
+            "event_type": pa.array(["c", "c", "d"]),
+            "ts": pa.array([0, 3_600_000_000, 0], pa.timestamp("us")),
+        }
+    )
+    out = {r["event_type"]: r for r in lag1_autocorr(rd.from_arrow(t)).take_all()}
+    assert out["c"]["n_pairs"] == 1 and out["c"]["autocorr"] is None
+    assert out["d"]["n_pairs"] == 0 and out["d"]["autocorr"] is None
+
+
+# ── co-occurrence pairs ──────────────────────────────────────────────
+
+
+def test_cooccur_pairs_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import cooccur_pairs_topk
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 600, n).astype(np.int64)),
+            "item": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        }
+    )
+    got = cooccur_pairs_topk(
+        rd.from_arrow(t).repartition(6), group_col="g", item_col="item", k=25
+    ).take_all()
+    want = duckdb.sql(
+        "WITH d AS (SELECT DISTINCT g, item FROM t) "
+        "SELECT a.item, b.item, count(*) FROM d a "
+        "JOIN d b ON a.g = b.g AND a.item < b.item "
+        "GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 25"
+    ).fetchall()
+    assert [(r["item_a"], r["item_b"], r["n_groups"]) for r in got] == [
+        tuple(r) for r in want
+    ]
+
+
+def test_cooccur_pairs_max_basket_raises(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import cooccur_pairs_topk
+
+    t = pa.table(
+        {
+            "g": pa.array(np.zeros(30, np.int64)),
+            "item": pa.array(np.arange(30, dtype=np.int64)),
+        }
+    )
+    with pytest.raises(Exception, match="max_basket"):
+        cooccur_pairs_topk(
+            rd.from_arrow(t), group_col="g", item_col="item", max_basket=8
+        ).take_all()
+
+
+# ── k-anonymity ──────────────────────────────────────────────────────
+
+
+def test_k_anonymity_audit(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.profile import k_anonymity_audit
+
+    t = pa.table(
+        {
+            "nat": pa.array([1] * 12 + [2] * 3 + [3] * 1),
+            "seg": pa.array(["x"] * 12 + ["y"] * 3 + ["y"]),
+        }
+    )
+    out = k_anonymity_audit(rd.from_arrow(t).repartition(3), ["nat", "seg"], k=5).take_all()
+    assert [(r["nat"], r["seg"], r["n_rows"]) for r in out] == [(3, "y", 1), (2, "y", 3)]

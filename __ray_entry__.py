@@ -3807,6 +3807,151 @@ def q_k_anonymity_customers(sf_dir: str):
 
 
 
+
+def q_trending_event_types(sf_dir: str):
+    """Per-day trending report: the top-3 event types of every day by
+    count (ties broken by type name) — the windowed-top-k shape
+    (QUALIFY row_number() <= k) as a composition: per-batch count
+    combiner -> one (day, type) Count shuffle -> the bounded
+    ``group_top_k`` per-day reduction (k rows per day per block ever
+    shuffle; no global sort)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from parquetjs_ray.functions.groupops import group_top_k
+
+    DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        day = (us // DAY) * DAY
+        t = pa.table({"day_us": pa.array(day), "event_type": b["event_type"]})
+        g = t.group_by(["day_us", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day_us", "event_type", "n"])
+
+    counts = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return group_top_k(counts, "day_us", "n", 3, tiebreak_col="event_type")
+
+
+def q_decayed_popularity_events(sf_dir: str):
+    """Time-decayed popularity score per event type: each event
+    contributes ``1_000_000 >> age_days`` (integer half-life decay
+    relative to the newest event — EXACT, no float exp anywhere; the
+    shift saturates to 0 past 20 days on both sides). One tiny max(ts)
+    aggregate, then a per-batch weight combiner and a types-sized Sum
+    shuffle."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    DAY = 86_400_000_000
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+    max_us = ds.aggregate(Max("ts"))["max(ts)"]
+    max_us = int(max_us.timestamp() * 1_000_000) if hasattr(max_us, "timestamp") else int(max_us)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        age = (max_us - us) // DAY
+        w = np.where(age >= 20, 0, np.int64(1_000_000) >> np.minimum(age, 19))
+        t = pa.table({"event_type": b["event_type"], "w": pa.array(w, pa.int64())})
+        g = t.group_by("event_type").aggregate([("w", "sum")])
+        return g.rename_columns(["event_type", "w"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("w", alias_name="decay_score"))
+        .select_columns(["event_type", "decay_score"])
+    )
+
+
+def q_hourly_profile_events(sf_dir: str):
+    """Hour-of-day seasonality profile per event type: count and
+    integer-exact traffic share (``share_milli = 1000*n // total``) for
+    each (type, UTC hour 0-23) cell — per-batch count combiner, one
+    (type, hour) Sum shuffle, and a <=24-row per-type share fold."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    HOUR = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        hour = (us // HOUR) % 24
+        t = pa.table({"event_type": b["event_type"], "hour": pa.array(hour.astype(np.int64))})
+        g = t.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    counts = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def share(g: pa.Table) -> pa.Table:
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": g["n"],
+                "share_milli": pa.array(1000 * n // total),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(share, batch_format="pyarrow")
+
+
+def q_benford_orders(sf_dir: str):
+    """Benford first-digit audit over order totals (fraud/data-quality
+    check): distribution of the leading digit of o_totalprice cents,
+    with integer-exact shares. The leading digit extracts NUMERICALLY
+    (digit-count via searchsorted on powers of ten, then one integer
+    divide) — no float log10 whose boundary rounding could misclassify
+    exact powers of ten."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    POW10 = np.power(10, np.arange(19), dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ndig = np.searchsorted(POW10, cents, side="right")  # cents >= 1
+        lead = cents // POW10[ndig - 1]
+        t = pa.table({"digit": pa.array(lead)})
+        g = t.group_by("digit").aggregate([([], "count_all")])
+        return g.rename_columns(["digit", "n"])
+
+    counts = (
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    t = counts.take_all()  # <= 9 rows
+    total = sum(r["n_orders"] for r in t)
+    t.sort(key=lambda r: r["digit"])
+    return pa.table(
+        {
+            "digit": pa.array([r["digit"] for r in t], pa.int64()),
+            "n_orders": pa.array([r["n_orders"] for r in t], pa.int64()),
+            "share_milli": pa.array([1000 * r["n_orders"] // total for r in t], pa.int64()),
+        }
+    )
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate: the driver's correctness gate checks the
     # FIRST 50 entries (observed in CORRECTNESS_r03/r04: exactly the
@@ -4010,11 +4155,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_hourly_events": q_autocorr_hourly_events,
         "copurchase_parts": q_copurchase_parts,
         "k_anonymity_customers": q_k_anonymity_customers,
+        "trending_event_types": q_trending_event_types,
+        "decayed_popularity_events": q_decayed_popularity_events,
+        "hourly_profile_events": q_hourly_profile_events,
+        "benford_orders": q_benford_orders,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "trending_event_types": (
+            "WITH c AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us, "
+            " event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+            "SELECT day_us, event_type, n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY day_us ORDER BY n DESC, event_type) <= 3 "
+            "ORDER BY day_us, n DESC, event_type"
+        ),
+        "decayed_popularity_events": (
+            "WITH mx AS (SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS m FROM events), "
+            "a AS (SELECT event_type, "
+            " ((SELECT m FROM mx) - CAST(epoch_us(ts) AS BIGINT)) // 86400000000 AS age "
+            " FROM events) "
+            "SELECT event_type, sum(CASE WHEN age >= 20 THEN 0 "
+            " ELSE 1000000 >> CAST(age AS INTEGER) END)::BIGINT AS decay_score "
+            "FROM a GROUP BY event_type ORDER BY event_type"
+        ),
+        "hourly_profile_events": (
+            "WITH c AS (SELECT event_type, "
+            " (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hour, "
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+            "SELECT event_type, hour, n, "
+            " CAST(1000 * n // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_milli "
+            "FROM c ORDER BY event_type, hour"
+        ),
+        "benford_orders": (
+            "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+            "d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit, "
+            " count(*)::BIGINT AS n_orders FROM c GROUP BY 1), "
+            "t AS (SELECT sum(n_orders) AS total FROM d) "
+            "SELECT digit, n_orders, "
+            " CAST(1000 * n_orders // (SELECT total FROM t) AS BIGINT) AS share_milli "
+            "FROM d ORDER BY digit"
+        ),
         "skyline_parts": (
             "SELECT p_partkey, p_retailprice, p_size FROM part p "
             "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE "

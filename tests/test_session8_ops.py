@@ -218,3 +218,94 @@ def test_k_anonymity_audit(ray_session):
     )
     out = k_anonymity_audit(rd.from_arrow(t).repartition(3), ["nat", "seg"], k=5).take_all()
     assert [(r["nat"], r["seg"], r["n_rows"]) for r in out] == [(3, "y", 1), (2, "y", 3)]
+
+
+# ── composition queries: trending / decay / hourly / benford ─────────
+
+
+def _events_table(n=5000, seed=13):
+    rng = np.random.default_rng(seed)
+    base = 1_700_000_000_000_000
+    return pa.table(
+        {
+            "ts": pa.array(
+                base + rng.integers(0, 40 * 86_400_000_000, n), pa.timestamp("us")
+            ),
+            "event_type": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        }
+    )
+
+
+def test_trending_query_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    t = _events_table()
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r["day_us"], r["event_type"], r["n"])
+        for r in m.q_trending_event_types(str(tmp_path)).take_all()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            "WITH c AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) day_us, "
+            "event_type, count(*)::BIGINT n FROM t GROUP BY 1,2) "
+            "SELECT day_us, event_type, n FROM c QUALIFY "
+            "row_number() OVER (PARTITION BY day_us ORDER BY n DESC, event_type) <= 3"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_decayed_popularity_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    t = _events_table(seed=29)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r["decay_score"]
+        for r in m.q_decayed_popularity_events(str(tmp_path)).take_all()
+    }
+    us = t["ts"].cast(pa.int64()).to_numpy()
+    types = np.asarray(t["event_type"])
+    age = (us.max() - us) // 86_400_000_000
+    w = np.where(age >= 20, 0, 1_000_000 >> np.minimum(age, 19))
+    for k in np.unique(types):
+        assert got[str(k)] == int(w[types == k].sum())
+
+
+def test_hourly_profile_shares_exact(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    t = _events_table(seed=31)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    rows = m.q_hourly_profile_events(str(tmp_path)).take_all()
+    us = t["ts"].cast(pa.int64()).to_numpy()
+    types = np.asarray(t["event_type"])
+    hours = (us // 3_600_000_000) % 24
+    for r in rows:
+        mask = (types == r["event_type"]) & (hours == r["hour"])
+        assert r["n"] == int(mask.sum())
+        total = int((types == r["event_type"]).sum())
+        assert r["share_milli"] == 1000 * r["n"] // total
+
+
+def test_benford_digit_extraction_exact_powers(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    # totals landing exactly on powers of ten — the float-log10 trap
+    prices = [1.00, 10.00, 100.00, 1000.00, 99.99, 900.01, 0.05]
+    t = pa.table({"o_totalprice": pa.array(prices, pa.float64())})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    rows = {r["digit"]: r["n_orders"] for r in m.q_benford_orders(str(tmp_path)).to_pylist()}
+    # cents: 100,1000,10000,100000,9999,90001,5 -> digits 1,1,1,1,9,9,5
+    assert rows == {1: 4, 5: 1, 9: 2}

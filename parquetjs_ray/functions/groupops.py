@@ -1059,3 +1059,108 @@ def cooccur_pairs_topk(
         .repartition(1)
         .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def group_welch_t(
+    ds,
+    key_col: str,
+    arm_col: str,
+    x_col: str,
+    *,
+    x_scale: int = 0,
+):
+    """Welch's t-statistic per group between two arms (A/B experiment
+    readout): ``(key, n_a, n_b, mean_a, mean_b, welch_t)`` with
+    ``arm_col`` ∈ {0, 1}.
+
+    Same exactness contract as :func:`group_moments`: per-(key, arm,
+    batch) partials carry n/Σx/Σx² with the x² sum split into 31-bit
+    halves, the per-key fold adds them in Python big-ints, and the ONLY
+    float arithmetic is the final Welch expression — written as the
+    same left-associative chain of casts/divisions on both the engine
+    and SQL sides, so even the doubles hash-match:
+
+        mean  = float(Σx) / float(n)
+        v/n   = float(n·Σx² − Σx·Σx) / float(n) / float(n) / float(n−1)
+        t     = (mean_a − mean_b) / sqrt(v_a/n_a + v_b/n_b)
+
+    ``welch_t`` is NULL when either arm has <2 observations or both
+    variances are zero. Shuffle volume: 6 int64 per (key, arm, batch).
+    """
+    import math
+
+    def _to_int(col: pa.ChunkedArray, scale: int, name: str) -> np.ndarray:
+        v = col.combine_chunks().to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "iu":
+            out = v.astype(np.int64)
+        else:
+            f = 10.0**scale
+            out = np.round(v.astype(np.float64) * f).astype(np.int64)
+            if not np.array_equal(out / f, v.astype(np.float64)):
+                raise ValueError(f"{name} is not exact at scale {scale}")
+        if np.any(np.abs(out) >= 2**31):
+            raise ValueError(f"{name} exceeds 31 bits at scale {scale}")
+        return out
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = _to_int(b[x_col], x_scale, x_col)
+        x2 = x * x
+        hi, lo = x2 >> 31, x2 - ((x2 >> 31) << 31)
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "__arm": b[arm_col].cast(pa.int64()),
+                "__n": pa.array(np.ones(len(x), np.int64)),
+                "__s": pa.array(x),
+                "__hi": pa.array(hi),
+                "__lo": pa.array(lo),
+            }
+        )
+        g = t.group_by([key_col, "__arm"]).aggregate(
+            [("__n", "sum"), ("__s", "sum"), ("__hi", "sum"), ("__lo", "sum")]
+        )
+        return g.rename_columns([key_col, "__arm", "__n", "__s", "__hi", "__lo"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        arm = g["__arm"].combine_chunks().to_numpy(zero_copy_only=False)
+        stats = {}
+        for a in (0, 1):
+            m = arm == a
+            n = int(g["__n"].combine_chunks().to_numpy(zero_copy_only=False)[m].sum())
+            s = int(g["__s"].combine_chunks().to_numpy(zero_copy_only=False)[m].sum())
+            s2 = sum(
+                (int(h) << 31) + int(l)
+                for h, l in zip(
+                    g["__hi"].combine_chunks().to_numpy(zero_copy_only=False)[m],
+                    g["__lo"].combine_chunks().to_numpy(zero_copy_only=False)[m],
+                )
+            )
+            stats[a] = (n, s, s2)
+        (na, sa, s2a), (nb, sb, s2b) = stats[0], stats[1]
+        f = 10.0**x_scale
+        mean_a = float(sa) / float(na) / f if na else None
+        mean_b = float(sb) / float(nb) / f if nb else None
+        t_val = None
+        if na >= 2 and nb >= 2:
+            von_a = float(na * s2a - sa * sa) / float(na) / float(na) / float(na - 1)
+            von_b = float(nb * s2b - sb * sb) / float(nb) / float(nb) / float(nb - 1)
+            if von_a + von_b > 0:
+                t_val = (float(sa) / float(na) - float(sb) / float(nb)) / math.sqrt(
+                    von_a + von_b
+                )
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "mean_a": pa.array([mean_a], pa.float64()),
+                "mean_b": pa.array([mean_b], pa.float64()),
+                "welch_t": pa.array([t_val], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(fold, batch_format="pyarrow")
+    )

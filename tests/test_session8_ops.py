@@ -309,3 +309,63 @@ def test_benford_digit_extraction_exact_powers(ray_session, tmp_path):
     rows = {r["digit"]: r["n_orders"] for r in m.q_benford_orders(str(tmp_path)).to_pylist()}
     # cents: 100,1000,10000,100000,9999,90001,5 -> digits 1,1,1,1,9,9,5
     assert rows == {1: 4, 5: 1, 9: 2}
+
+
+# ── Welch A/B ────────────────────────────────────────────────────────
+
+
+def test_group_welch_t_matches_manual(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_welch_t
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    arm = rng.integers(0, 2, n).astype(np.int64)
+    # arm-1 values shifted up: expect a clearly negative t for (a - b)
+    cents = rng.integers(100, 5000, n) + arm * 500
+    t = pa.table(
+        {
+            "k": pa.array(np.where(rng.integers(0, 2, n) == 0, "x", "y")),
+            "arm": pa.array(arm),
+            "v": pa.array(cents / 100.0),
+        }
+    )
+    out = {
+        r["k"]: r
+        for r in group_welch_t(
+            rd.from_arrow(t).repartition(5), "k", "arm", "v", x_scale=2
+        ).take_all()
+    }
+    ks = np.asarray(t["k"])
+    for key in ("x", "y"):
+        r = out[key]
+        va = cents[(ks == key) & (arm == 0)]
+        vb = cents[(ks == key) & (arm == 1)]
+        assert (r["n_a"], r["n_b"]) == (len(va), len(vb))
+        assert r["mean_a"] == pytest.approx(va.mean() / 100, rel=1e-12)
+        von_a = va.var(ddof=1) / len(va)
+        von_b = vb.var(ddof=1) / len(vb)
+        want_t = (va.mean() - vb.mean()) / math.sqrt(von_a + von_b)
+        assert r["welch_t"] == pytest.approx(want_t, rel=1e-9)
+        assert r["welch_t"] < -3  # the planted shift is detected
+
+
+def test_group_welch_t_degenerate(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_welch_t
+
+    # arm b has one observation -> t is NULL; zero variance both -> NULL
+    t = pa.table(
+        {
+            "k": pa.array(["p"] * 4 + ["q"] * 4),
+            "arm": pa.array([0, 0, 0, 1, 0, 0, 1, 1], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 7.0, 7.0]),
+        }
+    )
+    out = {r["k"]: r for r in group_welch_t(rd.from_arrow(t), "k", "arm", "v", x_scale=2).take_all()}
+    assert out["p"]["welch_t"] is None  # n_b == 1
+    assert out["q"]["welch_t"] is None  # both variances zero

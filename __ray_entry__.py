@@ -3990,6 +3990,26 @@ def q_ab_welch_events(sf_dir: str):
 
 
 
+
+def q_gini_order_totals(sf_dir: str):
+    """Revenue-concentration report: exact Gini coefficient of order
+    totals per order priority — pure integer arithmetic end to end
+    (``gini_milli = 1000·Δ // (2·n·Σx)`` over the cent-value histogram,
+    ``functions/quantiles.py:group_gini``), hash-identical to the
+    HUGEINT SQL window formulation. Count-combiner shuffle bounded by
+    distinct cent values per group; rows never move."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import group_gini
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return group_gini(ds, key="o_orderpriority", value="o_totalprice", value_scale=2)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate: the driver's correctness gate checks the
     # FIRST 50 entries (observed in CORRECTNESS_r03/r04: exactly the
@@ -4198,11 +4218,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_profile_events": q_hourly_profile_events,
         "benford_orders": q_benford_orders,
         "ab_welch_events": q_ab_welch_events,
+        "gini_order_totals": q_gini_order_totals,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gini_order_totals": (
+            "WITH c AS (SELECT o_orderpriority AS k, "
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS v, "
+            " count(*)::HUGEINT AS c FROM orders GROUP BY 1, 2), "
+            "w AS (SELECT k, v, c, "
+            " sum(c) OVER (PARTITION BY k ORDER BY v "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumn, "
+            " sum(c*v) OVER (PARTITION BY k ORDER BY v "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cums FROM c), "
+            "m AS (SELECT k, sum(c) AS n, sum(c*v) AS sx, "
+            " sum(2*c*(v*COALESCE(cumn, 0) - COALESCE(cums, 0))) AS delta "
+            " FROM w GROUP BY k) "
+            "SELECT k AS o_orderpriority, CAST(n AS BIGINT) AS n, "
+            "CAST(1000*delta // (2*n*sx) AS BIGINT) AS gini_milli "
+            "FROM m ORDER BY k"
+        ),
         "ab_welch_events": (
             # cent-scaled exact moments; the float tail is the IDENTICAL
             # left-associative cast/divide chain the engine computes

@@ -369,3 +369,53 @@ def test_group_welch_t_degenerate(ray_session):
     out = {r["k"]: r for r in group_welch_t(rd.from_arrow(t), "k", "arm", "v", x_scale=2).take_all()}
     assert out["p"]["welch_t"] is None  # n_b == 1
     assert out["q"]["welch_t"] is None  # both variances zero
+
+
+# ── Gini ─────────────────────────────────────────────────────────────
+
+
+def test_group_gini_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import group_gini
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    t = pa.table(
+        {
+            "k": pa.array(np.where(rng.integers(0, 2, n) == 0, "a", "b")),
+            "v": pa.array(rng.integers(0, 800, n).astype(np.int64)),
+        }
+    )
+    out = {r["k"]: r for r in group_gini(rd.from_arrow(t).repartition(5), key="k", value="v").take_all()}
+    ks, vs = np.asarray(t["k"]), t["v"].to_numpy()
+    for key in ("a", "b"):
+        x = vs[ks == key].astype(object)  # python ints -> exact
+        delta = int(np.abs(x[:, None] - x[None, :]).sum())
+        want = (1000 * delta) // (2 * len(x) * int(x.sum()))
+        assert out[key]["n"] == len(x)
+        assert out[key]["gini_milli"] == want
+
+
+def test_group_gini_edges(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import group_gini
+
+    # perfectly equal -> 0; one owner -> (n-1)/n; zero-sum -> NULL
+    t = pa.table(
+        {
+            "k": pa.array(["eq"] * 4 + ["one"] * 4 + ["z"] * 2),
+            "v": pa.array([5, 5, 5, 5, 0, 0, 0, 9, 0, 0], pa.int64()),
+        }
+    )
+    out = {r["k"]: r for r in group_gini(rd.from_arrow(t), key="k", value="v").take_all()}
+    assert out["eq"]["gini_milli"] == 0
+    assert out["one"]["gini_milli"] == 750  # 3/4
+    assert out["z"]["gini_milli"] is None
+    with pytest.raises(Exception, match="non-negative"):
+        group_gini(
+            rd.from_arrow(pa.table({"k": ["x"], "v": pa.array([-1], pa.int64())})),
+            key="k",
+            value="v",
+        ).take_all()

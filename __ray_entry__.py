@@ -3003,6 +3003,32 @@ def q_events_asof_next_order(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_events_asof_nearest_order(sf_dir: str):
+    """NEAREST as-of join: for each event, the user's order CLOSEST in
+    time in either direction; among equal-distance candidates the
+    smallest o_orderkey wins (row_number() OVER (ORDER BY abs(dt), key)
+    semantics) — same single per-user cogroup as backward/forward, the
+    two run-head candidates compared vectorized, no per-row subquery
+    (``functions/joins.py:asof_join`` direction="nearest")."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    out = asof_join(
+        ev, orders,
+        by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+        direction="nearest",
+    )
+    return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
+
+
 def q_events_range_count(sf_dir: str):
     """Interval self-join: events of the same user within the preceding
     5 minutes (inclusive; each event counts itself)."""
@@ -4130,6 +4156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_any_returned": q_orders_any_returned,
         "docs_source_stats_join": q_docs_source_stats_join,
         "prefix_dup_pairs_docs": q_prefix_dup_pairs_docs,
+        # — new in session 9 (final): oracle-backed; front-50 placement
+        #   re-audited at session end —
+        "events_asof_nearest_order": q_events_asof_nearest_order,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5228,6 +5257,14 @@ def oracle_sql() -> dict[str, str]:
             " 1000 * coalesce(st.n_overlap, 0) // greatest(coalesce(st.n_distinct, 0), 1) >= 800) "
             "AS contaminated "
             "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
+        ),
+        "events_asof_nearest_order": (
+            "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "
+            "(SELECT o.o_orderkey FROM orders o "
+            "  WHERE o.o_custkey = e.user_id "
+            "  ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)), o.o_orderkey "
+            "  LIMIT 1) AS o_orderkey "
+            "FROM events e"
         ),
         "events_asof_order": (
             "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "

@@ -76,18 +76,24 @@ def asof_join(
     or before the left time (null when none exists) — ties on the right
     time break on the GREATEST ``tiebreak`` value. ``"forward"`` matches
     the earliest right row at or after the left time — ties break on the
-    SMALLEST ``tiebreak`` (the next-scheduled-event shape). Either way
-    the result is deterministic and SQL-reproducible; ``tiebreak``
+    SMALLEST ``tiebreak`` (the next-scheduled-event shape).
+    ``"nearest"`` matches the right row minimizing ``|right_t - left_t|``
+    in either direction; among ALL rows at the minimal distance (at most
+    two equal-time runs, one per side) the SMALLEST ``tiebreak`` wins —
+    exactly ``row_number() OVER (PARTITION BY left_row ORDER BY abs(dt),
+    tiebreak) = 1``. Every direction is deterministic and
+    SQL-reproducible; ``tiebreak``
     defaults to the first of ``right_cols``. ``tolerance_us`` (the
     pandas ``merge_asof(tolerance=...)`` shape) voids a match whose time
     distance exceeds it — match SELECTION is unchanged, only matches
     outside the window become nulls, so the SQL replica is the plain
     as-of expression plus one CASE filter."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     if tolerance_us is not None and tolerance_us < 0:
         raise ValueError("tolerance_us must be >= 0")
     fwd = direction == "forward"
+    near = direction == "nearest"
     tb = tiebreak or right_cols[0]
     rby = right_by or by
     lschema = left.schema()
@@ -141,7 +147,35 @@ def asof_join(
             rtb = pc.take(group[f"r_{tb}"], pa.array(rsel)).to_numpy(zero_copy_only=False)
             order = np.lexsort((rtb, rt))  # time asc, tiebreak asc
             rt_sorted = rt[order]
-            if fwd:
+            if near:
+                nr = len(rt_sorted)
+                tb_sorted = rtb[order]
+                # forward candidate: first row at-or-after (run head =
+                # smallest tiebreak of its equal-time run)
+                pos_f = np.searchsorted(rt_sorted, lt, side="left")
+                have_f = pos_f < nr
+                pf = np.minimum(pos_f, nr - 1)
+                # backward candidate: run HEAD of the last equal-time
+                # run at-or-before (smallest tiebreak of that run)
+                pr = np.searchsorted(rt_sorted, lt, side="right") - 1
+                have_b = pr >= 0
+                prc = np.maximum(pr, 0)
+                pb = np.searchsorted(rt_sorted, rt_sorted[prc], side="left")
+                dist_f = rt_sorted[pf] - lt
+                dist_b = lt - rt_sorted[pb]
+                # min distance wins; equal distance -> smaller tiebreak.
+                # At dist 0 both candidates are the SAME run head.
+                use_b = have_b & (
+                    ~have_f
+                    | (dist_b < dist_f)
+                    | ((dist_b == dist_f) & (tb_sorted[pb] <= tb_sorted[pf]))
+                )
+                pos = np.where(use_b, pb, pf)
+                have = have_b | have_f
+                if tolerance_us is not None:
+                    dist = np.where(use_b, dist_b, dist_f)
+                    have = have & (dist <= tolerance_us)
+            elif fwd:
                 # first right row at-or-after: 'left' lands on the first
                 # of an equal-time run → smallest tiebreak
                 pos = np.searchsorted(rt_sorted, lt, side="left")
@@ -153,7 +187,7 @@ def asof_join(
                 pos = np.searchsorted(rt_sorted, lt, side="right") - 1
                 have = pos >= 0
                 pos = np.maximum(pos, 0)
-            if tolerance_us is not None:
+            if tolerance_us is not None and not near:  # nearest: handled above
                 dist = (rt_sorted[pos] - lt) if fwd else (lt - rt_sorted[pos])
                 have = have & (dist <= tolerance_us)
             take_idx = np.where(have, rsel[order[pos]], -1)

@@ -1,0 +1,120 @@
+"""Session-9 (round-5 final) operator tests: nearest-direction as-of
+join, exact z-score outliers, trimmed mean, triangle counting, TPC-H
+Q12/Q14 shapes, systematic sampling."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _nearest_tables(seed: int, tmax: int = 60):
+    """Coarse time grid → plenty of exact equal-distance ties on both
+    sides, the case the tiebreak rule exists for."""
+    rng = np.random.default_rng(seed)
+    nl, nr = 1500, 600
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 25, nl).astype("int64")),
+            "t": pa.array(rng.integers(0, tmax, nl).astype("int64")),
+            "lid": pa.array(np.arange(nl, dtype="int64")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 25, nr).astype("int64")),
+            "rt": pa.array(rng.integers(0, tmax, nr).astype("int64")),
+            "val": pa.array(rng.permutation(nr).astype("int64")),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [17, 43])
+def test_asof_nearest_matches_duckdb(ray_session, seed):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    left, right = _nearest_tables(seed)
+    got = (
+        asof_join(
+            rd.from_arrow(left).repartition(5), rd.from_arrow(right).repartition(3),
+            by="k", left_on="t", right_on="rt",
+            left_cols=["lid"], right_cols=["val"], tiebreak="val",
+            direction="nearest",
+        )
+        .to_pandas()
+    )
+    lft, rgt = left, right  # left/right are SQL reserved words
+    want = duckdb.sql(
+        "SELECT l.lid, (SELECT r.val FROM rgt r WHERE r.k = l.k "
+        " ORDER BY abs(r.rt - l.t) ASC, r.val ASC LIMIT 1) AS val FROM lft l"
+    ).fetchall()
+    g = dict(zip(got["lid"].tolist(), got["val"].tolist()))
+    assert len(g) == left.num_rows
+    for lid, v in dict(want).items():
+        gv = g[lid]
+        if v is None:
+            assert gv is None or (isinstance(gv, float) and math.isnan(gv))
+        else:
+            assert int(gv) == v
+
+
+def test_asof_nearest_tolerance_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    left, right = _nearest_tables(91)
+    tol = 3
+    got = (
+        asof_join(
+            rd.from_arrow(left).repartition(4), rd.from_arrow(right).repartition(3),
+            by="k", left_on="t", right_on="rt",
+            left_cols=["lid"], right_cols=["val"], tiebreak="val",
+            direction="nearest", tolerance_us=tol,
+        )
+        .to_pandas()
+    )
+    lft, rgt = left, right
+    # tolerance voids the SELECTED match, it does not re-select: the
+    # SQL replica is the plain nearest expression + one CASE filter
+    want = duckdb.sql(
+        "WITH m AS (SELECT l.lid, "
+        " (SELECT abs(r.rt - l.t) FROM rgt r WHERE r.k = l.k "
+        "  ORDER BY abs(r.rt - l.t) ASC, r.val ASC LIMIT 1) AS d, "
+        " (SELECT r.val FROM rgt r WHERE r.k = l.k "
+        "  ORDER BY abs(r.rt - l.t) ASC, r.val ASC LIMIT 1) AS val FROM lft l) "
+        f"SELECT lid, CASE WHEN d <= {tol} THEN val END AS val FROM m"
+    ).fetchall()
+    g = dict(zip(got["lid"].tolist(), got["val"].tolist()))
+    for lid, v in dict(want).items():
+        gv = g[lid]
+        if v is None:
+            assert gv is None or (isinstance(gv, float) and math.isnan(gv))
+        else:
+            assert int(gv) == v
+
+
+def test_asof_nearest_tie_prefers_smallest_tiebreak(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    # left at t=10; right rows at 8 and 12 (distance 2 both sides) —
+    # the smaller tiebreak wins regardless of side
+    left = pa.table({"k": pa.array([1, 1], pa.int64()), "t": pa.array([10, 10], pa.int64()),
+                     "lid": pa.array([0, 1], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1], pa.int64()), "rt": pa.array([8, 12], pa.int64()),
+                      "val": pa.array([7, 3], pa.int64())})
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        by="k", left_on="t", right_on="rt",
+        left_cols=["lid"], right_cols=["val"], tiebreak="val",
+        direction="nearest",
+    ).to_pandas()
+    assert sorted(out["val"].tolist()) == [3, 3]  # forward row has val 3 < 7

@@ -3029,6 +3029,25 @@ def q_events_asof_nearest_order(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "o_orderkey"])
 
 
+def q_zscore_outliers_events(sf_dir: str):
+    """Classical 3σ outlier flags per user over event value, EXACT: the
+    |x−μ|>3σ test cross-multiplied into pure-integer form
+    ((c_den·|n·x−S|)² > c_num²(nQ−S²)) on cent-lifted values, per-key
+    big-int fold + isqrt threshold, one stateless flag pass — flags
+    hash-match the SQL HUGEINT oracle bit for bit; the corpus never
+    shuffles (``functions/groupops.py:zscore_outliers_per_group``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import zscore_outliers_per_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
+    )
+    return zscore_outliers_per_group(
+        ev, "user_id", "value", "event_id", scale=2, c_num=3, c_den=1
+    )
+
+
 def q_events_range_count(sf_dir: str):
     """Interval self-join: events of the same user within the preceding
     5 minutes (inclusive; each event counts itself)."""
@@ -4159,6 +4178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — new in session 9 (final): oracle-backed; front-50 placement
         #   re-audited at session end —
         "events_asof_nearest_order": q_events_asof_nearest_order,
+        "zscore_outliers_events": q_zscore_outliers_events,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5257,6 +5277,18 @@ def oracle_sql() -> dict[str, str]:
             " 1000 * coalesce(st.n_overlap, 0) // greatest(coalesce(st.n_distinct, 0), 1) >= 800) "
             "AS contaminated "
             "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
+        ),
+        "zscore_outliers_events": (
+            # the engine's integer inequality replicated in HUGEINT:
+            # (c_den·(n·x−S))² > c_num²·(n·Q−S²) with x = cents
+            "WITH v AS (SELECT event_id, user_id, "
+            " CAST(round(value*100) AS HUGEINT) AS x, value FROM events), "
+            "s AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n, "
+            " sum(x) AS sx, sum(x*x) AS q FROM v GROUP BY 1) "
+            "SELECT v.event_id, v.user_id, v.value "
+            "FROM v JOIN s USING (user_id) "
+            "WHERE (1*(s.n*v.x - s.sx))*(1*(s.n*v.x - s.sx)) > "
+            " 9*(s.n*s.q - s.sx*s.sx)"
         ),
         "events_asof_nearest_order": (
             "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "

@@ -546,6 +546,134 @@ def group_moments(
     )
 
 
+def zscore_outliers_per_group(
+    ds,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    scale: int = 0,
+    c_num: int = 3,
+    c_den: int = 1,
+):
+    """Rows deviating more than ``(c_num/c_den)·σ`` from their group
+    mean, decided EXACTLY in integers: with x lifted by ``10^scale``
+    (per-value exactness enforced, like :func:`group_moments`) and
+    per-key exact ``(n, S=Σx, Q=Σx²)`` folded in Python big ints, row x
+    is an outlier iff
+
+        ``(c_den·|n·x − S|)² > c_num²·(n·Q − S²)``
+
+    — the ``|x−μ| > c·σ_pop`` inequality cross-multiplied by ``n²``, so
+    the flag hash-matches a SQL HUGEINT oracle bit for bit (no float σ
+    anywhere). The fold stores ``t = isqrt(c_num²(nQ−S²))`` per key; the
+    per-row test ``a > t`` is equivalent (nonneg ints: ``a² > T ⇔ a >
+    ⌊√T⌋``) and stays in int64, guarded by ``max(c_num,c_den)·n < 2^30``
+    per key (≈3.6·10^8 rows/key at c=3; past that the fold raises
+    loudly instead of overflowing).
+
+    Two passes; the corpus itself never shuffles: 4-int64
+    per-(key,batch) partials → per-key big-int fold (kilobyte rows) →
+    broadcast dict (bounded by #keys, same contract as
+    ``mad_outliers_per_group``) → one stateless flag-and-filter map.
+    Output: the outlier rows ``(id_col, key_col, value_col)``.
+    """
+    import math
+
+    import ray
+
+    def _to_int(col: pa.ChunkedArray, name: str) -> np.ndarray:
+        v = col.combine_chunks().to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "iu":
+            out = v.astype(np.int64)
+        else:
+            f = 10.0**scale
+            out = np.round(v.astype(np.float64) * f).astype(np.int64)
+            if not np.array_equal(out / f, v.astype(np.float64)):
+                raise ValueError(f"{name} is not exact at scale {scale}")
+        if np.any(np.abs(out) >= 2**31):
+            raise ValueError(f"{name} exceeds 31 bits at scale {scale}")
+        return out
+
+    agg_cols = ("__n", "__sx", "__q_hi", "__q_lo")
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = _to_int(b[value_col], value_col)
+        x2 = x * x
+        hi = x2 >> 31
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "__n": pa.array(np.ones(len(x), np.int64)),
+                "__sx": pa.array(x),
+                "__q_hi": pa.array(hi),
+                "__q_lo": pa.array(x2 - (hi << 31)),
+            }
+        )
+        return t.group_by([key_col]).aggregate([(c, "sum") for c in agg_cols])
+
+    def fold(g: pa.Table) -> pa.Table:
+        def tot(c: str) -> int:
+            return int(sum(int(v) for v in g[c].to_pylist()))
+
+        n, s = tot("__n_sum"), tot("__sx_sum")
+        q = (tot("__q_hi_sum") << 31) + tot("__q_lo_sum")
+        if max(c_num, c_den) * n >= 1 << 30:
+            raise ValueError(
+                f"group of {n} rows exceeds the int64-safe per-key bound "
+                f"for c={c_num}/{c_den}"
+            )
+        t = math.isqrt(c_num * c_num * (n * q - s * s))
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "__n": pa.array([n], pa.int64()),
+                "__s": pa.array([s], pa.int64()),
+                "__t": pa.array([t], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+    @ray.remote(num_cpus=1)
+    def _collect(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            return {}
+        full = pa.concat_tables(tabs)
+        ks = np.asarray(full[key_col])
+        return {
+            k: (int(n), int(s), int(t))
+            for k, n, s, t in zip(
+                ks,
+                full["__n"].to_pylist(),
+                full["__s"].to_pylist(),
+                full["__t"].to_pylist(),
+            )
+        }
+
+    ref = _collect.remote(list(stats.to_arrow_refs()))
+
+    def flag(b: pa.Table) -> pa.Table:
+        x = _to_int(b[value_col], value_col)
+        ks = np.asarray(b[key_col].combine_chunks())
+        table = ray.get(ref)
+        uk, inv = np.unique(ks, return_inverse=True)
+        trip = np.array([table[k] for k in uk], np.int64).reshape(len(uk), 3)
+        n, s, t = trip[inv, 0], trip[inv, 1], trip[inv, 2]
+        a = c_den * np.abs(n * x - s)
+        return b.select([id_col, key_col, value_col]).filter(pa.array(a > t))
+
+    return ds.select_columns([id_col, key_col, value_col]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
 def mode_per_group(ds, key_col: str, val_col: str):
     """Most frequent value per key (SQL ``mode()``), deterministic: ties
     break on the SMALLEST value → ``(key, mode_val, mode_n)``.

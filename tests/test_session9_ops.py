@@ -118,3 +118,72 @@ def test_asof_nearest_tie_prefers_smallest_tiebreak(ray_session):
         direction="nearest",
     ).to_pandas()
     assert sorted(out["val"].tolist()) == [3, 3]  # forward row has val 3 < 7
+
+
+def test_zscore_outliers_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import zscore_outliers_per_group
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    keys = rng.integers(0, 30, n).astype("int64")
+    # 2-decimal values with planted extremes
+    vals = np.round(rng.normal(50, 10, n), 2)
+    vals[rng.choice(n, 40, replace=False)] += rng.choice([-1, 1], 40) * 500.0
+    vals = np.round(vals, 2)  # re-quantize: float += drifts off the 2-dec grid
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype="int64")),
+            "k": pa.array(keys),
+            "v": pa.array(vals),
+        }
+    )
+    got = (
+        zscore_outliers_per_group(
+            rd.from_arrow(t).repartition(6), "k", "v", "rid", scale=2, c_num=3, c_den=1
+        )
+        .to_pandas()
+    )
+    # integer referee in Python big ints
+    x = np.round(vals * 100).astype(np.int64)
+    expect = set()
+    for k in np.unique(keys):
+        idx = np.flatnonzero(keys == k)
+        nn = len(idx)
+        S = int(x[idx].sum())
+        Q = int((x[idx].astype(object) ** 2).sum())
+        T = 9 * (nn * Q - S * S)
+        for i in idx:
+            a = abs(nn * int(x[i]) - S)
+            if a * a > T:
+                expect.add(int(i))
+    assert set(got["rid"].tolist()) == expect
+    assert list(got.columns) == ["rid", "k", "v"]
+
+
+def test_zscore_outliers_rejects_oversized_group(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import zscore_outliers_per_group
+
+    t = pa.table({"rid": pa.array([0, 1], pa.int64()), "k": pa.array([1, 1], pa.int64()),
+                  "v": pa.array([1.0, 2.0])})
+    # c_num so large that even n=2 violates max(c)·n < 2^30
+    with pytest.raises((ValueError, Exception)):
+        zscore_outliers_per_group(
+            rd.from_arrow(t), "k", "v", "rid", scale=0, c_num=1 << 30, c_den=1
+        ).to_pandas()
+
+
+def test_zscore_outliers_rejects_inexact_scale(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import zscore_outliers_per_group
+
+    t = pa.table({"rid": pa.array([0, 1], pa.int64()), "k": pa.array([1, 1], pa.int64()),
+                  "v": pa.array([1.234, 2.0])})  # 3 decimals at scale=2
+    with pytest.raises(Exception):
+        zscore_outliers_per_group(
+            rd.from_arrow(t), "k", "v", "rid", scale=2
+        ).to_pandas()

@@ -3048,6 +3048,38 @@ def q_zscore_outliers_events(sf_dir: str):
     )
 
 
+def q_trimmed_mean_events(sf_dir: str):
+    """10%-trimmed mean sufficient stats of event value (in cents) per
+    event type — rank-trimmed robust location, EXACT: one
+    (key, cents)-histogram shuffle, per-key fold takes each distinct
+    value's rank overlap with (drop, n−drop], big-int sum emitted as a
+    decimal string (``functions/quantiles.py:trimmed_mean_per_group``)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import trimmed_mean_per_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        x = pc.round(
+            pc.multiply(b["value"], pa.scalar(100.0)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({"event_type": b["event_type"], "cents": x})
+
+    return trimmed_mean_per_group(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        key="event_type",
+        value="cents",
+        p_num=1,
+        p_den=10,
+    ).sort("event_type")
+
+
 def q_events_range_count(sf_dir: str):
     """Interval self-join: events of the same user within the preceding
     5 minutes (inclusive; each event counts itself)."""
@@ -4179,6 +4211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   re-audited at session end —
         "events_asof_nearest_order": q_events_asof_nearest_order,
         "zscore_outliers_events": q_zscore_outliers_events,
+        "trimmed_mean_events": q_trimmed_mean_events,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5277,6 +5310,17 @@ def oracle_sql() -> dict[str, str]:
             " 1000 * coalesce(st.n_overlap, 0) // greatest(coalesce(st.n_distinct, 0), 1) >= 800) "
             "AS contaminated "
             "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
+        ),
+        "trimmed_mean_events": (
+            "WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x "
+            " FROM events), "
+            "r AS (SELECT event_type, x, "
+            " row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn, "
+            " count(*) OVER (PARTITION BY event_type) AS n FROM v) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS trim_n, "
+            "CAST(sum(x) AS VARCHAR) AS trim_sum "
+            "FROM r WHERE rn > n // 10 AND rn <= n - n // 10 "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "zscore_outliers_events": (
             # the engine's integer inequality replicated in HUGEINT:

@@ -95,6 +95,64 @@ def grouped_quantiles(
     )
 
 
+def trimmed_mean_per_group(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    value: str,
+    p_num: int = 1,
+    p_den: int = 10,
+) -> rd.Dataset:
+    """EXACT trimmed mean sufficient stats per key: drop the lowest and
+    highest ``floor(n·p_num/p_den)`` rows by rank and emit the surviving
+    count and sum — the robust location estimate between mean (p=0) and
+    median (p→0.5).
+
+    Integer-only (`value` must be integral, like
+    :func:`grouped_quantiles`); ``trim_sum`` is folded in Python big
+    ints and emitted as a decimal STRING so it stays exact at any corpus
+    size (the SQL side casts its HUGEINT sum to VARCHAR). One
+    (key, value)-histogram shuffle — kilobyte partials, the corpus never
+    moves; the per-key fold walks the sorted histogram and takes each
+    distinct value's rank-interval overlap with ``(drop, n−drop]``, so
+    cost is bounded by distinct values per key, not rows.
+
+    Output: ``(key, trim_n, trim_sum)``.
+    """
+    from ray.data.aggregate import Sum
+
+    if not (0 <= 2 * p_num < p_den):
+        raise ValueError("trim fraction must satisfy 0 <= 2*p_num/p_den < 1")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], value: batch[value]})
+        return t.group_by([key, value]).aggregate([([], "count_all")])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value].to_numpy().astype(np.int64)
+        c = g["count"].to_numpy().astype(np.int64)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        drop = n * p_num // p_den
+        lo, hi = drop, n - drop
+        cumb = cum - c
+        take = np.clip(np.minimum(cum, hi) - np.maximum(cumb, lo), 0, None)
+        s = int(sum(int(a) * int(b) for a, b in zip(v[take > 0], take[take > 0])))
+        return pd.DataFrame(
+            [{key: g[key].iloc[0], "trim_n": int(hi - lo), "trim_sum": str(s)}]
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby([key, value])
+        .aggregate(Sum("count_all", alias_name="count"))
+        .groupby(key)
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def weighted_median_per_group(
     ds: rd.Dataset,
     *,

@@ -187,3 +187,46 @@ def test_zscore_outliers_rejects_inexact_scale(ray_session):
         zscore_outliers_per_group(
             rd.from_arrow(t), "k", "v", "rid", scale=2
         ).to_pandas()
+
+
+def test_trimmed_mean_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import trimmed_mean_per_group
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 7, n).astype("int64")),
+            "x": pa.array(rng.integers(-500, 50000, n).astype("int64")),
+        }
+    )
+    got = (
+        trimmed_mean_per_group(
+            rd.from_arrow(t).repartition(5), key="k", value="x", p_num=1, p_den=4
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH r AS (SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x) rn, "
+        " count(*) OVER (PARTITION BY k) n FROM t) "
+        "SELECT k, CAST(count(*) AS BIGINT) trim_n, CAST(sum(x) AS VARCHAR) trim_sum "
+        "FROM r WHERE rn > n // 4 AND rn <= n - n // 4 GROUP BY k ORDER BY k"
+    ).fetchdf()
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["trim_n"].tolist() == want["trim_n"].tolist()
+    assert got["trim_sum"].tolist() == want["trim_sum"].tolist()
+
+
+def test_trimmed_mean_rejects_full_trim():
+    import ray.data as rd
+
+    from parquetjs_ray.functions.quantiles import trimmed_mean_per_group
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "x": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        trimmed_mean_per_group(rd.from_arrow(t), key="k", value="x", p_num=1, p_den=2)

@@ -3867,6 +3867,30 @@ def q_copurchase_parts(sf_dir: str):
     return cooccur_pairs_topk(ds, group_col="l_orderkey", item_col="l_partkey", k=20)
 
 
+def q_triangle_count_parts(sf_dir: str):
+    """Exact triangle count of the strong-tie co-purchase graph (part
+    pairs co-ordered ≥2 times): degree-ordered edge orientation, wedge
+    generation from out-neighbor lists (bounded ~sqrt(2m)), hash-bucket
+    closure via sorted np.isin — the distributed wedge-check, never the
+    cubic SQL self-join (``functions/graph.py:triangle_count``)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import triangle_count
+    from parquetjs_ray.functions.groupops import cooccur_pair_counts
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+    counts = cooccur_pair_counts(li, group_col="l_orderkey", item_col="l_partkey")
+
+    def strong(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_groups"], pa.scalar(2)))
+
+    edges = counts.map_batches(strong, batch_format="pyarrow")
+    return triangle_count(edges, "item_a", "item_b")
+
+
 def q_k_anonymity_customers(sf_dir: str):
     """Privacy-governance audit: (nation, market segment) classes with
     fewer than k=10 customers — the re-identification-risk gate run
@@ -4212,6 +4236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_nearest_order": q_events_asof_nearest_order,
         "zscore_outliers_events": q_zscore_outliers_events,
         "trimmed_mean_events": q_trimmed_mean_events,
+        "triangle_count_parts": q_triangle_count_parts,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5310,6 +5335,19 @@ def oracle_sql() -> dict[str, str]:
             " 1000 * coalesce(st.n_overlap, 0) // greatest(coalesce(st.n_distinct, 0), 1) >= 800) "
             "AS contaminated "
             "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
+        ),
+        "triangle_count_parts": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM d a "
+            " JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            " GROUP BY 1, 2 HAVING count(*) >= 2) "
+            "SELECT "
+            "(SELECT count(*) FROM (SELECT u FROM e UNION SELECT v FROM e))::BIGINT "
+            " AS n_nodes, "
+            "(SELECT count(*) FROM e)::BIGINT AS n_edges, "
+            "(SELECT count(*) FROM e e1 "
+            " JOIN e e2 ON e2.u = e1.v "
+            " JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)::BIGINT AS n_triangles"
         ),
         "trimmed_mean_events": (
             "WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x "

@@ -1,0 +1,191 @@
+"""Distributed graph analytics over edge-list Datasets.
+
+Triangle counting via the standard degree-ordered wedge-check (the
+MapReduce formulation of Suri & Vassilvitskii's "Counting Triangles and
+the Curse of the Last Reducer", WWW'11 — public knowledge): orient every
+edge from the lower-(degree, id) endpoint to the higher, generate wedges
+only from out-neighbor lists (bounded by ~sqrt(2m) under this
+orientation), and close them against the oriented edge set. Every
+exchange is edge- or wedge-sized; the input corpus is touched once to
+build the edge list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    u_col: str,
+    v_col: str,
+    *,
+    min_count: int = 1,
+    num_buckets: int = 64,
+    max_out_degree: int = 65536,
+) -> pa.Table:
+    """Exact triangle count of the undirected graph given as an edge
+    list (duplicates and both orientations welcome; self-loops dropped).
+    ``min_count`` keeps only edges whose multiplicity in the input is at
+    least that (strong ties). Returns ONE row:
+    ``(n_nodes, n_edges, n_triangles)``.
+
+    Plan (each exchange bounded by edges/wedges, never the corpus):
+
+    1. canonicalize ``(lo, hi)`` + per-batch count combiner → one
+       ``groupby(lo, hi)`` Sum → the distinct weighted edge set,
+       MATERIALIZED once and reused by three consumers;
+    2. endpoint unpivot + combiner → ``groupby(node)`` Sum = degrees;
+       a Ray task folds them into the (degree, id)-order rank map —
+       broadcast once (bounded by #nodes, same contract as the ANN
+       centroid/lookup broadcasts; asserts #nodes < 2^31 so a ranked
+       edge packs into ONE int64 ``src<<31|dst``);
+    3. orient each edge low-rank → high-rank, pack; ``groupby(src)``
+       cogroups out-neighbor lists (≤ ~sqrt(2m) long under degree
+       orientation; ``max_out_degree`` raises loudly past the cap) and
+       emits wedge candidates vectorized via one ``np.triu_indices``
+       template per list length;
+    4. candidates and oriented edges cogroup by ``hash(packed) %
+       num_buckets``; each bucket counts membership with one sorted
+       ``np.isin`` — per-bucket partial sums are the only rows that
+       reach the driver.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b[u_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        v = b[v_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        t = pa.table(
+            {
+                "__lo": pa.array(lo[keep]),
+                "__hi": pa.array(hi[keep]),
+                "__c": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        # combiner: one row per edge per batch before the shuffle
+        g = t.group_by(["__lo", "__hi"]).aggregate([("__c", "sum")])
+        return g.rename_columns(["__lo", "__hi", "__c"])
+
+    eset = edges.map_batches(canon, batch_format="pyarrow").groupby(
+        ["__lo", "__hi"]
+    ).aggregate(Sum("__c", alias_name="__w"))
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        def thresh(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["__w"], pa.scalar(min_count)))
+
+        eset = eset.map_batches(thresh, batch_format="pyarrow")
+    eset = eset.select_columns(["__lo", "__hi"]).materialize()
+    n_edges = eset.count()
+    if n_edges == 0:
+        return pa.table(
+            {
+                "n_nodes": pa.array([0], pa.int64()),
+                "n_edges": pa.array([0], pa.int64()),
+                "n_triangles": pa.array([0], pa.int64()),
+            }
+        )
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["__lo"].combine_chunks().to_numpy(zero_copy_only=False),
+                b["__hi"].combine_chunks().to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"__n": pa.array(uniq), "__d": pa.array(cnt.astype(np.int64))})
+
+    deg = eset.map_batches(endpoints, batch_format="pyarrow").groupby("__n").aggregate(
+        Sum("__d", alias_name="__deg")
+    )
+
+    @ray.remote(num_cpus=1)
+    def _rank_map(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        full = pa.concat_tables(tabs)
+        nodes = full["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        degs = full["__deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nodes) >= 1 << 31:
+            raise ValueError("triangle_count supports < 2^31 distinct nodes")
+        order = np.lexsort((nodes, degs))  # total order: (degree, id)
+        rank = np.empty(len(nodes), np.int64)
+        rank[order] = np.arange(len(nodes), dtype=np.int64)
+        by_id = np.argsort(nodes)
+        return nodes[by_id], rank[by_id]  # lookup arrays
+
+    rank_ref = _rank_map.remote(list(deg.to_arrow_refs()))
+
+    def _ranks(ref, xs: np.ndarray) -> np.ndarray:
+        nodes_by_id, rank_by_id = ray.get(ref)
+        return rank_by_id[np.searchsorted(nodes_by_id, xs)]
+
+    def orient(b: pa.Table) -> pa.Table:
+        lo = b["__lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = b["__hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        rl, rh = _ranks(rank_ref, lo), _ranks(rank_ref, hi)
+        src, dst = np.minimum(rl, rh), np.maximum(rl, rh)
+        return pa.table(
+            {"__src": pa.array(src), "__e": pa.array((src << 31) | dst)}
+        )
+
+    oriented = eset.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pa.Table) -> pa.Table:
+        e = g["__e"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = np.sort(e & ((1 << 31) - 1))
+        k = len(dst)
+        if k > max_out_degree:
+            raise ValueError(
+                f"out-degree {k} exceeds max_out_degree={max_out_degree}"
+            )
+        if k < 2:
+            return pa.table({"__e": pa.array([], pa.int64())})
+        ti, tj = np.triu_indices(k, 1)
+        return pa.table({"__e": pa.array((dst[ti] << 31) | dst[tj])})
+
+    cand = oriented.groupby("__src").map_groups(wedges, batch_format="pyarrow")
+
+    MIX = np.int64(-7046029254386353131)
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            e = b["__e"].combine_chunks().to_numpy(zero_copy_only=False)
+            bucket = np.abs((e * MIX) % np.int64(num_buckets))
+            return pa.table(
+                {
+                    "__mb": pa.array(bucket),
+                    "__e": pa.array(e),
+                    "__side": pa.array(np.full(len(e), side, np.int8)),
+                }
+            )
+
+        return f
+
+    tagged = oriented.select_columns(["__e"]).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(cand.map_batches(tag(1), batch_format="pyarrow"))
+
+    def close(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        e = g["__e"].combine_chunks().to_numpy(zero_copy_only=False)
+        matched = int(np.isin(e[side == 1], e[side == 0]).sum())
+        return pa.table({"__tri": pa.array([matched], pa.int64())})
+
+    partials = tagged.groupby("__mb").map_groups(close, batch_format="pyarrow")
+    n_tri = int(partials.sum("__tri") or 0)
+    nodes_by_id, _ = ray.get(rank_ref)
+    return pa.table(
+        {
+            "n_nodes": pa.array([len(nodes_by_id)], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )

@@ -1093,36 +1093,21 @@ def group_corr(
     ).map_batches(derive, batch_format="pyarrow")
 
 
-def cooccur_pairs_topk(
+def cooccur_pair_counts(
     ds,
     *,
     group_col: str,
     item_col: str,
-    k: int = 20,
     num_buckets: int = 64,
     max_basket: int = 1024,
-) -> "pa.Table":
-    """Top-k co-occurring item pairs across groups (market-basket
-    mining): how many groups contain BOTH items, for every unordered
-    item pair, keeping the ``k`` most frequent. The SQL shape is the
-    quadratic distinct self-join ``d a JOIN d b ON same group AND
-    a.item < b.item``; the distributed plan never runs it:
-
-    1. per-batch LOCAL distinct ``(group, item)`` (C-level group_by
-       combiner — repeat purchases collapse before any exchange);
-    2. groups cogroup by ``hash(group) % num_buckets`` — each bucket
-       holds whole groups, so pair generation is bucket-local;
-    3. inside a bucket: global distinct, segment by group, and emit
-       pairs VECTORIZED PER BASKET SIZE — one ``np.triu_indices``
-       template per distinct basket length (baskets are small: the
-       template loop runs ~max-basket-size times, never per row);
-    4. one ``groupby(item_a, item_b).count`` over pair rows (16 bytes
-       each) + a k-row sort-limit.
-
-    Baskets longer than ``max_basket`` raise: a single hot basket of B
-    items emits B^2/2 pairs — at that point you want co-occurrence
-    sampling, not the exact count (the cap makes the quadratic cost an
-    explicit, loud decision rather than a silent OOM).
+):
+    """Full co-occurrence pair-count table ``(item_a, item_b,
+    n_groups)``: how many groups contain BOTH items, for every unordered
+    item pair — the shared first phase of :func:`cooccur_pairs_topk`
+    (which keeps top-k) and graph construction
+    (``functions/graph.py:triangle_count`` thresholds ``n_groups`` to
+    build a strong-tie edge list). See :func:`cooccur_pairs_topk` for
+    the plan; the output here is the step-4 count table itself.
     """
     import ray.data as rd  # noqa: F401  (signature parity with siblings)
     from ray.data.aggregate import Count
@@ -1170,7 +1155,44 @@ def cooccur_pairs_topk(
         .groupby("__b")
         .map_groups(gen_pairs, batch_format="pyarrow")
     )
-    counts = pairs.groupby(["item_a", "item_b"]).aggregate(Count(alias_name="n_groups"))
+    return pairs.groupby(["item_a", "item_b"]).aggregate(Count(alias_name="n_groups"))
+
+
+def cooccur_pairs_topk(
+    ds,
+    *,
+    group_col: str,
+    item_col: str,
+    k: int = 20,
+    num_buckets: int = 64,
+    max_basket: int = 1024,
+) -> "pa.Table":
+    """Top-k co-occurring item pairs across groups (market-basket
+    mining): how many groups contain BOTH items, for every unordered
+    item pair, keeping the ``k`` most frequent. The SQL shape is the
+    quadratic distinct self-join ``d a JOIN d b ON same group AND
+    a.item < b.item``; the distributed plan never runs it:
+
+    1. per-batch LOCAL distinct ``(group, item)`` (C-level group_by
+       combiner — repeat purchases collapse before any exchange);
+    2. groups cogroup by ``hash(group) % num_buckets`` — each bucket
+       holds whole groups, so pair generation is bucket-local;
+    3. inside a bucket: global distinct, segment by group, and emit
+       pairs VECTORIZED PER BASKET SIZE — one ``np.triu_indices``
+       template per distinct basket length (baskets are small: the
+       template loop runs ~max-basket-size times, never per row);
+    4. one ``groupby(item_a, item_b).count`` over pair rows (16 bytes
+       each) + a k-row sort-limit.
+
+    Baskets longer than ``max_basket`` raise: a single hot basket of B
+    items emits B^2/2 pairs — at that point you want co-occurrence
+    sampling, not the exact count (the cap makes the quadratic cost an
+    explicit, loud decision rather than a silent OOM).
+    """
+    counts = cooccur_pair_counts(
+        ds, group_col=group_col, item_col=item_col,
+        num_buckets=num_buckets, max_basket=max_basket,
+    )
 
     # top-k without a global sort: per-block k-row combiner, then one
     # final k-row resolve — the exchange carries k rows per block, not

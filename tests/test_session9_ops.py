@@ -230,3 +230,77 @@ def test_trimmed_mean_rejects_full_trim():
     t = pa.table({"k": pa.array([1], pa.int64()), "x": pa.array([1], pa.int64())})
     with pytest.raises(ValueError):
         trimmed_mean_per_group(rd.from_arrow(t), key="k", value="x", p_num=1, p_den=2)
+
+
+def _tri_referee(u: np.ndarray, v: np.ndarray) -> tuple[int, int, int]:
+    import duckdb
+
+    e = pa.table({"u": pa.array(u), "v": pa.array(v)})
+    return duckdb.sql(
+        "WITH c AS (SELECT least(u, v) lo, greatest(u, v) hi FROM e WHERE u <> v), "
+        "d AS (SELECT DISTINCT lo, hi FROM c) "
+        "SELECT "
+        "(SELECT count(*) FROM (SELECT lo x FROM d UNION SELECT hi FROM d))::BIGINT, "
+        "(SELECT count(*) FROM d)::BIGINT, "
+        "(SELECT count(*) FROM d e1 JOIN d e2 ON e2.lo = e1.hi "
+        " JOIN d e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT"
+    ).fetchall()[0]
+
+
+@pytest.mark.parametrize("seed,nodes,m", [(3, 60, 900), (11, 200, 3000)])
+def test_triangle_count_matches_duckdb(ray_session, seed, nodes, m):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(seed)
+    # duplicates, both orientations and self-loops all present
+    u = rng.integers(0, nodes, m).astype("int64")
+    v = rng.integers(0, nodes, m).astype("int64")
+    t = pa.table({"a": pa.array(u), "b": pa.array(v)})
+    got = triangle_count(rd.from_arrow(t).repartition(6), "a", "b")
+    nn, ne, nt = _tri_referee(u, v)
+    assert got["n_nodes"][0].as_py() == nn
+    assert got["n_edges"][0].as_py() == ne
+    assert got["n_triangles"][0].as_py() == nt
+
+
+def test_triangle_count_min_count_and_empty(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import triangle_count
+
+    # triangle 1-2-3 repeated twice, triangle 4-5-6 once: min_count=2
+    # keeps only the first
+    rep = [(1, 2), (2, 3), (1, 3)] * 2 + [(4, 5), (5, 6), (4, 6)]
+    t = pa.table({"a": pa.array([p[0] for p in rep], pa.int64()),
+                  "b": pa.array([p[1] for p in rep], pa.int64())})
+    got = triangle_count(rd.from_arrow(t), "a", "b", min_count=2)
+    assert got["n_triangles"][0].as_py() == 1
+    assert got["n_edges"][0].as_py() == 3
+    # self-loops only -> empty graph
+    t2 = pa.table({"a": pa.array([7, 8], pa.int64()), "b": pa.array([7, 8], pa.int64())})
+    got2 = triangle_count(rd.from_arrow(t2), "a", "b")
+    assert got2["n_triangles"][0].as_py() == 0
+    assert got2["n_edges"][0].as_py() == 0
+
+
+def test_triangle_count_out_degree_guard(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import triangle_count
+
+    # star K_{1,n}: hub out-degree is bounded by degree ordering (hub is
+    # ranked LAST, so leaves point at it: out-degree 1 each) — the guard
+    # must therefore NOT trip on a star...
+    n = 50
+    star = pa.table({"a": pa.array(np.zeros(n, np.int64)),
+                     "b": pa.array(np.arange(1, n + 1, dtype=np.int64))})
+    got = triangle_count(rd.from_arrow(star), "a", "b")
+    assert got["n_triangles"][0].as_py() == 0
+    # ...but a clique pushes real out-degrees past a tiny cap
+    k = 20
+    ti, tj = np.triu_indices(k, 1)
+    clique = pa.table({"a": pa.array(ti.astype(np.int64)), "b": pa.array(tj.astype(np.int64))})
+    with pytest.raises(Exception):
+        triangle_count(rd.from_arrow(clique), "a", "b", max_out_degree=3)

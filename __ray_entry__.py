@@ -3867,6 +3867,150 @@ def q_copurchase_parts(sf_dir: str):
     return cooccur_pairs_topk(ds, group_col="l_orderkey", item_col="l_partkey", k=20)
 
 
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: promo vs total revenue per ship month, EXACT —
+    revenue_e4 = cents(price) · (100 − discount_pct) stays integral; the
+    promo flag is a broadcast partkey set (ray.put once, sorted-array
+    membership per batch — the part dimension never shuffles and the
+    fact table never joins); per-(month,batch) int64 partials fold per
+    month in Python big ints, emitted as decimal strings so the sums
+    stay exact at any corpus size."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    promo = np.sort(
+        part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"]
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    promo_ref = ray.put(promo)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        ps = ray.get(promo_ref)
+        idx = np.searchsorted(ps, pk)
+        is_promo = (idx < len(ps)) & (ps[np.minimum(idx, max(len(ps) - 1, 0))] == pk)
+        price_c = pc.round(
+            pc.multiply(b["l_extendedprice"], pa.scalar(100.0)),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        disc_c = pc.round(
+            pc.multiply(pc.subtract(pa.scalar(1.0), b["l_discount"]), pa.scalar(100.0)),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        rev = price_c * disc_c
+        ym = (
+            pc.add(
+                pc.multiply(pc.year(b["l_shipdate"]), pa.scalar(100)),
+                pc.month(b["l_shipdate"]),
+            )
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "ym": pa.array(ym),
+                "__p": pa.array(np.where(is_promo, rev, 0)),
+                "__t": pa.array(rev),
+            }
+        )
+        g = t.group_by("ym").aggregate([("__p", "sum"), ("__t", "sum")])
+        return g.rename_columns(["ym", "__p", "__t"])
+
+    agg = li.map_batches(partials, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        p = int(sum(int(v) for v in g["__p"].to_pylist()))
+        t = int(sum(int(v) for v in g["__t"].to_pylist()))
+        return pa.table(
+            {
+                "ym": g["ym"].slice(0, 1),
+                "promo_rev_e4": pa.array([str(p)], pa.string()),
+                "total_rev_e4": pa.array([str(t)], pa.string()),
+            }
+        )
+
+    return agg.groupby("ym").map_groups(fold, batch_format="pyarrow").sort("ym")
+
+
+def q_lineflag_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape: per return flag, how many lineitems belong to
+    high-priority (1-URGENT / 2-HIGH) vs other orders. Lineitem
+    pre-aggregates per (orderkey, flag) INSIDE each batch before the
+    hash-bucketed ``equi_join`` with orders; the joined stream collapses
+    through per-batch conditional partials → a 3-row final groupby."""
+    import numpy as np  # noqa: F401
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from parquetjs_ray.functions.joins import equi_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "l_returnflag"]).aggregate([([], "count_all")])
+        return g.rename_columns(["l_orderkey", "l_returnflag", "n"])
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow")
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def od_flag(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            b["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+        ).cast(pa.int64())
+        return pa.table({"o_orderkey": b["o_orderkey"], "is_high": hi})
+
+    od_f = od.map_batches(od_flag, batch_format="pyarrow")
+    li_rows, od_rows = li.count(), od.count()
+    nb = min(4096, max(16, ((li_rows + od_rows) * 16) // (64 << 20) + 1))
+    joined = equi_join(
+        li_agg, od_f,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_returnflag", "n"], right_cols=["is_high"],
+        num_buckets=int(nb),
+    )
+
+    def cond_partial(b: pa.Table) -> pa.Table:
+        n = b["n"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        hi = b["is_high"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "__h": pa.array(n * hi),
+                "__l": pa.array(n * (1 - hi)),
+            }
+        )
+        g = t.group_by("l_returnflag").aggregate([("__h", "sum"), ("__l", "sum")])
+        return g.rename_columns(["l_returnflag", "__h", "__l"])
+
+    return (
+        joined.map_batches(cond_partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("__h", alias_name="high_line_count"),
+            Sum("__l", alias_name="low_line_count"),
+        )
+        .sort("l_returnflag")
+    )
+
+
 def q_triangle_count_parts(sf_dir: str):
     """Exact triangle count of the strong-tie co-purchase graph (part
     pairs co-ordered ≥2 times): degree-ordered edge orientation, wedge
@@ -4237,6 +4381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outliers_events": q_zscore_outliers_events,
         "trimmed_mean_events": q_trimmed_mean_events,
         "triangle_count_parts": q_triangle_count_parts,
+        "promo_revenue_share": q_promo_revenue_share,
+        "lineflag_priority_counts": q_lineflag_priority_counts,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5335,6 +5481,26 @@ def oracle_sql() -> dict[str, str]:
             " 1000 * coalesce(st.n_overlap, 0) // greatest(coalesce(st.n_distinct, 0), 1) >= 800) "
             "AS contaminated "
             "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
+        ),
+        "lineflag_priority_counts": (
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            " THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            " THEN 0 ELSE 1 END)::BIGINT AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "promo_revenue_share": (
+            "SELECT year(l_shipdate)*100 + month(l_shipdate) AS ym, "
+            "CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+            " CAST(round(l_extendedprice*100) AS BIGINT) * "
+            " CAST(round((1-l_discount)*100) AS BIGINT) ELSE 0 END) AS VARCHAR) "
+            " AS promo_rev_e4, "
+            "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            " CAST(round((1-l_discount)*100) AS BIGINT)) AS VARCHAR) AS total_rev_e4 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "triangle_count_parts": (
             "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "

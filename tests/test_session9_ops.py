@@ -304,3 +304,23 @@ def test_triangle_count_out_degree_guard(ray_session):
     clique = pa.table({"a": pa.array(ti.astype(np.int64)), "b": pa.array(tj.astype(np.int64))})
     with pytest.raises(Exception):
         triangle_count(rd.from_arrow(clique), "a", "b", max_out_degree=3)
+
+
+def test_promo_share_and_priority_counts_sf0001(ray_session):
+    """Q12/Q14-shape query wrappers vs DuckDB on the smallest sf."""
+    import duckdb
+
+    import __ray_entry__ as mod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in ("promo_revenue_share", "lineflag_priority_counts"):
+        got = mod.queries()[name](sf).to_pandas().reset_index(drop=True)
+        want = con.execute(mod.oracle_sql()[name]).fetchdf()
+        got = got[sorted(got.columns)].astype(str)
+        want = want[sorted(want.columns)].astype(str)
+        assert got.values.tolist() == want.values.tolist(), name

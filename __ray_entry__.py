@@ -3867,6 +3867,36 @@ def q_copurchase_parts(sf_dir: str):
     return cooccur_pairs_topk(ds, group_col="l_orderkey", item_col="l_partkey", k=20)
 
 
+def q_systematic_sample_docs(sf_dir: str):
+    """Systematic (every k-th) sampling in exact global (n_chars,
+    doc_id) order — the deterministic fixed-rate design whose strata
+    follow the sort key, unlike hash sampling: the exact
+    no-global-sort ROW_NUMBER (histogram broadcast + tie-class
+    cogroups, ``functions/order.py:global_order``) + a stateless
+    ``rn % k == 1`` filter."""
+    import numpy as np  # noqa: F401
+    import ray.data as rd  # noqa: F401
+
+    from parquetjs_ray.functions.order import global_order
+
+    K = 37
+    ordered = global_order(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        value="n_chars",
+        id_col="doc_id",
+        descending=False,
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc  # noqa: F401
+
+        rn = b["row_number"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(rn % K == 1))
+
+    return ordered.map_batches(keep, batch_format="pyarrow")
+
+
 def q_promo_revenue_share(sf_dir: str):
     """TPC-H Q14 shape: promo vs total revenue per ship month, EXACT —
     revenue_e4 = cents(price) · (100 − discount_pct) stays integral; the
@@ -4383,6 +4413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_parts": q_triangle_count_parts,
         "promo_revenue_share": q_promo_revenue_share,
         "lineflag_priority_counts": q_lineflag_priority_counts,
+        "systematic_sample_docs": q_systematic_sample_docs,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5481,6 +5512,12 @@ def oracle_sql() -> dict[str, str]:
             " 1000 * coalesce(st.n_overlap, 0) // greatest(coalesce(st.n_distinct, 0), 1) >= 800) "
             "AS contaminated "
             "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
+        ),
+        "systematic_sample_docs": (
+            "SELECT doc_id, n_chars, "
+            "row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS row_number "
+            "FROM documents "
+            "QUALIFY (row_number() OVER (ORDER BY n_chars, doc_id)) % 37 = 1"
         ),
         "lineflag_priority_counts": (
             "SELECT l_returnflag, "

@@ -4065,6 +4065,61 @@ def q_triangle_count_parts(sf_dir: str):
     return triangle_count(edges, "item_a", "item_b")
 
 
+def q_pagerank_parts(sf_dir: str):
+    """Top-20 parts by EXACT fixed-point PageRank (damping .85, 4
+    iterations, 10^12-unit integer scores) on the strong-tie co-purchase
+    graph — iterative distributed graph analytics where every step is
+    integer arithmetic, so the scores are deterministic and the unrolled
+    HUGEINT SQL oracle reproduces them bit for bit; each iteration is one
+    edge-sized contribution shuffle + a node-vector fold/re-broadcast
+    (``functions/graph.py:pagerank_topk``)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import pagerank_topk
+    from parquetjs_ray.functions.groupops import cooccur_pair_counts
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+    counts = cooccur_pair_counts(li, group_col="l_orderkey", item_col="l_partkey")
+
+    def strong(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_groups"], pa.scalar(2)))
+
+    edges = counts.map_batches(strong, batch_format="pyarrow")
+    return pagerank_topk(edges, "item_a", "item_b", k=20, iterations=4)
+
+
+def _pagerank_oracle_sql(iterations: int = 4, scale: int = 10**12, k: int = 20) -> str:
+    """Unrolled fixed-point PageRank as chained CTEs (recursive CTEs
+    cannot aggregate, so each iteration is its own stage) — replicates
+    pagerank_topk's integer recurrence exactly in HUGEINT."""
+    q = (
+        "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "ew AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM d a JOIN d b "
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        " GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "e AS (SELECT u, v FROM ew UNION ALL SELECT v AS u, u AS v FROM ew), "
+        "deg AS (SELECT u AS node, count(*)::HUGEINT AS deg FROM e GROUP BY 1), "
+        "n AS (SELECT count(*)::HUGEINT AS n FROM deg), "
+        f"s0 AS (SELECT node, deg, (SELECT {scale}::HUGEINT // n FROM n) AS s FROM deg)"
+    )
+    for i in range(1, iterations + 1):
+        q += (
+            f", s{i} AS (SELECT d.node, d.deg, "
+            f"(SELECT (15 * {scale}::HUGEINT) // (100 * n) FROM n) "
+            f"+ (85 * COALESCE((SELECT sum(p.s // p.deg) FROM e "
+            f"JOIN s{i-1} p ON p.node = e.u WHERE e.v = d.node), 0)) // 100 AS s "
+            "FROM deg d)"
+        )
+    q += (
+        f" SELECT node, CAST(s AS VARCHAR) AS score FROM s{iterations} "
+        f"ORDER BY s DESC, node LIMIT {k}"
+    )
+    return q
+
+
 def q_k_anonymity_customers(sf_dir: str):
     """Privacy-governance audit: (nation, market segment) classes with
     fewer than k=10 customers — the re-identification-risk gate run
@@ -4414,6 +4469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": q_promo_revenue_share,
         "lineflag_priority_counts": q_lineflag_priority_counts,
         "systematic_sample_docs": q_systematic_sample_docs,
+        "pagerank_parts": q_pagerank_parts,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5513,6 +5569,7 @@ def oracle_sql() -> dict[str, str]:
             "AS contaminated "
             "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
         ),
+        "pagerank_parts": _pagerank_oracle_sql(),
         "systematic_sample_docs": (
             "SELECT doc_id, n_chars, "
             "row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS row_number "

@@ -18,6 +18,43 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def _distinct_edges(
+    edges: rd.Dataset, u_col: str, v_col: str, *, min_count: int = 1
+) -> rd.Dataset:
+    """Canonical distinct undirected edge set ``(__lo, __hi)`` from a raw
+    edge list (duplicates/both orientations collapse, self-loops drop,
+    multiplicity < ``min_count`` filtered), MATERIALIZED for reuse."""
+    from ray.data.aggregate import Sum
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b[u_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        v = b[v_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        t = pa.table(
+            {
+                "__lo": pa.array(lo[keep]),
+                "__hi": pa.array(hi[keep]),
+                "__c": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        # combiner: one row per edge per batch before the shuffle
+        g = t.group_by(["__lo", "__hi"]).aggregate([("__c", "sum")])
+        return g.rename_columns(["__lo", "__hi", "__c"])
+
+    eset = edges.map_batches(canon, batch_format="pyarrow").groupby(
+        ["__lo", "__hi"]
+    ).aggregate(Sum("__c", alias_name="__w"))
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        def thresh(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["__w"], pa.scalar(min_count)))
+
+        eset = eset.map_batches(thresh, batch_format="pyarrow")
+    return eset.select_columns(["__lo", "__hi"]).materialize()
+
+
 def triangle_count(
     edges: rd.Dataset,
     u_col: str,
@@ -56,33 +93,7 @@ def triangle_count(
     import ray
     from ray.data.aggregate import Sum
 
-    def canon(b: pa.Table) -> pa.Table:
-        u = b[u_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-        v = b[v_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-        lo, hi = np.minimum(u, v), np.maximum(u, v)
-        keep = lo != hi
-        t = pa.table(
-            {
-                "__lo": pa.array(lo[keep]),
-                "__hi": pa.array(hi[keep]),
-                "__c": pa.array(np.ones(int(keep.sum()), np.int64)),
-            }
-        )
-        # combiner: one row per edge per batch before the shuffle
-        g = t.group_by(["__lo", "__hi"]).aggregate([("__c", "sum")])
-        return g.rename_columns(["__lo", "__hi", "__c"])
-
-    eset = edges.map_batches(canon, batch_format="pyarrow").groupby(
-        ["__lo", "__hi"]
-    ).aggregate(Sum("__c", alias_name="__w"))
-    if min_count > 1:
-        import pyarrow.compute as pc
-
-        def thresh(b: pa.Table) -> pa.Table:
-            return b.filter(pc.greater_equal(b["__w"], pa.scalar(min_count)))
-
-        eset = eset.map_batches(thresh, batch_format="pyarrow")
-    eset = eset.select_columns(["__lo", "__hi"]).materialize()
+    eset = _distinct_edges(edges, u_col, v_col, min_count=min_count)
     n_edges = eset.count()
     if n_edges == 0:
         return pa.table(
@@ -187,5 +198,137 @@ def triangle_count(
             "n_nodes": pa.array([len(nodes_by_id)], pa.int64()),
             "n_edges": pa.array([n_edges], pa.int64()),
             "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )
+
+
+def pagerank_topk(
+    edges: rd.Dataset,
+    u_col: str,
+    v_col: str,
+    *,
+    k: int = 20,
+    iterations: int = 4,
+    min_count: int = 1,
+    scale: int = 10**12,
+    max_degree: int = 65536,
+) -> pa.Table:
+    """Top-k nodes by EXACT fixed-point PageRank (damping 0.85) on the
+    undirected graph given as an edge list — iterative distributed graph
+    analytics with the repo's exact-integer discipline: scores live in
+    ``scale`` units and every step is integer arithmetic
+    (``s₀ = scale//n``; ``s_{t+1}(v) = (15·scale)//(100·n) +
+    (85·Σ_{u∼v} s_t(u)//deg(u)) // 100``), so the result is
+    deterministic, order-independent, and an unrolled SQL HUGEINT oracle
+    reproduces it bit for bit — no float sum-order anywhere.
+
+    Plan: the distinct edge set (one exchange) is doubled to directed
+    form and MATERIALIZED once; each iteration is one edge-sized
+    contribution shuffle (per-batch ``groupby(dst)`` combiner → global
+    Sum) folded into the node-score vector by a Ray task and re-broadcast
+    (node-vector bound, the documented broadcast contract shared with
+    the rank/centroid lookups). ``max_degree`` (default 2^16) guards the
+    int64 headroom of the incoming sum: ``85·deg·scale < 2^63`` —
+    louder-than-overflow, like every bound in this package.
+
+    Output: ``(node, score)`` — score the exact integer as a decimal
+    string (the SQL side sums in HUGEINT) — top-k by (score desc, node).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    eset = _distinct_edges(edges, u_col, v_col, min_count=min_count)
+
+    def double(b: pa.Table) -> pa.Table:
+        lo = b["__lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = b["__hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__u": pa.array(np.concatenate([lo, hi])),
+                "__v": pa.array(np.concatenate([hi, lo])),
+            }
+        )
+
+    directed = eset.map_batches(double, batch_format="pyarrow").materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        u = b["__u"].combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table({"__n": pa.array(uniq), "__d": pa.array(cnt.astype(np.int64))})
+
+    deg = directed.map_batches(deg_partial, batch_format="pyarrow").groupby(
+        "__n"
+    ).aggregate(Sum("__d", alias_name="__deg"))
+
+    @ray.remote(num_cpus=1)
+    def _deg_map(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            return np.array([], np.int64), np.array([], np.int64)
+        full = pa.concat_tables(tabs)
+        nodes = full["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        degs = full["__deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes)
+        nodes, degs = nodes[order], degs[order]
+        if len(degs) and 85 * int(degs.max()) * scale >= 1 << 63:
+            raise ValueError(
+                f"max degree {degs.max()} exceeds the int64-safe bound at scale={scale}"
+            )
+        return nodes, degs
+
+    # the degree/rank vectors stay in the object store: tasks read them
+    # by ref (ray.put once per object, never closure-shipped per task)
+    deg_map_ref = _deg_map.remote(list(deg.to_arrow_refs()))
+    nodes_by_id, deg_by_id = ray.get(deg_map_ref)
+    n = len(nodes_by_id)
+    if n == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "score": pa.array([], pa.string())}
+        )
+    base = (15 * scale) // (100 * n)
+    scores = np.full(n, scale // n, np.int64)
+
+    for _ in range(iterations):
+        score_ref = ray.put(scores)
+
+        def contrib(b: pa.Table, _sref=score_ref, _dref=deg_map_ref) -> pa.Table:
+            s = ray.get(_sref)
+            nodes, degs = ray.get(_dref)
+            u = b["__u"].combine_chunks().to_numpy(zero_copy_only=False)
+            v = b["__v"].combine_chunks().to_numpy(zero_copy_only=False)
+            ui = np.searchsorted(nodes, u)
+            c = s[ui] // degs[ui]
+            t = pa.table({"__v": pa.array(v), "__c": pa.array(c)})
+            g = t.group_by("__v").aggregate([("__c", "sum")])
+            return g.rename_columns(["__v", "__c"])
+
+        inc = directed.map_batches(contrib, batch_format="pyarrow").groupby(
+            "__v"
+        ).aggregate(Sum("__c", alias_name="__inc"))
+
+        # each key lands in exactly ONE aggregated block, so applying
+        # (85·x)//100 per fold row is per-node-TOTAL (floor of a sum
+        # would differ from summed floors otherwise)
+        @ray.remote(num_cpus=1)
+        def _fold(block_refs: list, _dref=deg_map_ref, _base=base):
+            nodes, _ = ray.get(_dref)
+            new = np.full(len(nodes), _base, np.int64)
+            for r in block_refs:
+                t = ray.get(r)
+                if not t.num_rows:
+                    continue
+                v = t["__v"].to_numpy(zero_copy_only=False).astype(np.int64)
+                c = t["__inc"].to_numpy(zero_copy_only=False).astype(np.int64)
+                vi = np.searchsorted(nodes, v)
+                new[vi] += (85 * c) // 100
+            return new
+
+        scores = ray.get(_fold.remote(list(inc.to_arrow_refs())))
+
+    top = np.lexsort((nodes_by_id, -scores))[:k]
+    return pa.table(
+        {
+            "node": pa.array(nodes_by_id[top]),
+            "score": pa.array([str(int(s)) for s in scores[top]], pa.string()),
         }
     )

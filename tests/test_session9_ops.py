@@ -324,3 +324,59 @@ def test_promo_share_and_priority_counts_sf0001(ray_session):
         got = got[sorted(got.columns)].astype(str)
         want = want[sorted(want.columns)].astype(str)
         assert got.values.tolist() == want.values.tolist(), name
+
+
+def _pagerank_referee(pairs, k, iters, scale=10**12):
+    """Pure-Python big-int referee for the fixed-point recurrence."""
+    from collections import defaultdict
+
+    canon = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = defaultdict(list)
+    for a, b in canon:
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    deg = {u: len(adj[u]) for u in nodes}
+    s = {u: scale // n for u in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        inc = {u: sum(s[v] // deg[v] for v in adj[u]) for u in nodes}
+        s = {u: base + (85 * inc[u]) // 100 for u in nodes}
+    order = sorted(nodes, key=lambda u: (-s[u], u))[:k]
+    return [(u, str(s[u])) for u in order]
+
+
+@pytest.mark.parametrize("seed", [2, 29])
+def test_pagerank_matches_referee(ray_session, seed):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import pagerank_topk
+
+    rng = np.random.default_rng(seed)
+    m = 600
+    u = rng.integers(0, 80, m).astype("int64")
+    v = rng.integers(0, 80, m).astype("int64")
+    t = pa.table({"a": pa.array(u), "b": pa.array(v)})
+    got = pagerank_topk(
+        rd.from_arrow(t).repartition(7), "a", "b", k=15, iterations=3
+    )
+    want = _pagerank_referee(list(zip(u.tolist(), v.tolist())), 15, 3)
+    assert list(zip(got["node"].to_pylist(), got["score"].to_pylist())) == want
+
+
+def test_pagerank_empty_and_degree_guard(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import pagerank_topk
+
+    loops = pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array([1, 2], pa.int64())})
+    out = pagerank_topk(rd.from_arrow(loops), "a", "b")
+    assert out.num_rows == 0
+    # a hub whose degree breaks the int64 headroom at a huge scale must
+    # raise loudly, never overflow
+    n = 40
+    star = pa.table({"a": pa.array(np.zeros(n, np.int64)),
+                     "b": pa.array(np.arange(1, n + 1, dtype=np.int64))})
+    with pytest.raises(Exception):
+        pagerank_topk(rd.from_arrow(star), "a", "b", scale=10**17)

@@ -4091,6 +4091,32 @@ def q_pagerank_parts(sf_dir: str):
     return pagerank_topk(edges, "item_a", "item_b", k=20, iterations=4)
 
 
+def q_kcore_parts(sf_dir: str):
+    """3-core of the strong-tie co-purchase graph (every member keeps ≥3
+    strong co-purchase partners inside the core) — distributed iterative
+    peeling: per round one edge filter against the broadcast live set +
+    one endpoint-count shuffle, edge set re-materialized so rounds only
+    shrink; fixpoint-bounded, no SQL form (rows-only driver check;
+    pure-Python peeler referee in pytest)
+    (``functions/graph.py:k_core``)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import k_core
+    from parquetjs_ray.functions.groupops import cooccur_pair_counts
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+    counts = cooccur_pair_counts(li, group_col="l_orderkey", item_col="l_partkey")
+
+    def strong(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_groups"], pa.scalar(2)))
+
+    return k_core(counts.map_batches(strong, batch_format="pyarrow"),
+                  "item_a", "item_b", k=3)
+
+
 def _pagerank_oracle_sql(iterations: int = 4, scale: int = 10**12, k: int = 20) -> str:
     """Unrolled fixed-point PageRank as chained CTEs (recursive CTEs
     cannot aggregate, so each iteration is its own stage) — replicates
@@ -4470,6 +4496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineflag_priority_counts": q_lineflag_priority_counts,
         "systematic_sample_docs": q_systematic_sample_docs,
         "pagerank_parts": q_pagerank_parts,
+        "kcore_parts": q_kcore_parts,  # rows-only by design (fixpoint)
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,

@@ -332,3 +332,86 @@ def pagerank_topk(
             "score": pa.array([str(int(s)) for s in scores[top]], pa.string()),
         }
     )
+
+
+def k_core(
+    edges: rd.Dataset,
+    u_col: str,
+    v_col: str,
+    *,
+    k: int,
+    min_count: int = 1,
+    max_rounds: int = 1000,
+) -> pa.Table:
+    """The k-core of the undirected graph (maximal subgraph where every
+    node keeps degree ≥ k): distributed iterative peeling — each round
+    one edge-sized filter pass against the broadcast live-node set + one
+    endpoint-count shuffle; nodes under k drop, repeat to fixpoint. The
+    peeled edge set is re-MATERIALIZED each round so later rounds scan
+    only surviving edges (the peeling sequence is monotone). Rounds =
+    peeling depth (data-dependent; ``max_rounds`` raises loudly rather
+    than run unbounded — a path graph peels O(n) rounds at k=2).
+
+    No SQL oracle exists (an unbounded fixpoint is not expressible as a
+    fixed query); the pytest referee is a pure-Python peeler. Output:
+    ``(node, core_deg)`` for k-core members, core_deg their degree
+    INSIDE the core — deterministic regardless of partitioning.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cur = _distinct_edges(edges, u_col, v_col, min_count=min_count)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["__lo"].combine_chunks().to_numpy(zero_copy_only=False),
+                b["__hi"].combine_chunks().to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"__n": pa.array(uniq), "__d": pa.array(cnt.astype(np.int64))})
+
+    @ray.remote(num_cpus=1)
+    def _survivors(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            return np.array([], np.int64), np.array([], np.int64), True
+        full = pa.concat_tables(tabs)
+        nodes = full["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        degs = full["__d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = degs >= k
+        order = np.argsort(nodes[keep])
+        return nodes[keep][order], degs[keep][order], bool(keep.all())
+
+    for _ in range(max_rounds):
+        deg = cur.map_batches(deg_partial, batch_format="pyarrow").groupby(
+            "__n"
+        ).aggregate(Sum("__d", alias_name="__d"))
+        live_nodes, live_degs, done = ray.get(
+            _survivors.remote(list(deg.to_arrow_refs()))
+        )
+        if done or len(live_nodes) == 0:
+            return pa.table(
+                {
+                    "node": pa.array(live_nodes),
+                    "core_deg": pa.array(live_degs),
+                }
+            )
+        live_ref = ray.put(live_nodes)
+
+        def peel(b: pa.Table, _ref=live_ref) -> pa.Table:
+            live = ray.get(_ref)
+            lo = b["__lo"].combine_chunks().to_numpy(zero_copy_only=False)
+            hi = b["__hi"].combine_chunks().to_numpy(zero_copy_only=False)
+            il = np.searchsorted(live, lo)
+            ih = np.searchsorted(live, hi)
+            ok = (
+                (il < len(live)) & (ih < len(live))
+                & (live[np.minimum(il, max(len(live) - 1, 0))] == lo)
+                & (live[np.minimum(ih, max(len(live) - 1, 0))] == hi)
+            )
+            return b.filter(pa.array(ok))
+
+        cur = cur.map_batches(peel, batch_format="pyarrow").materialize()
+    raise ValueError(f"k_core did not converge within max_rounds={max_rounds}")

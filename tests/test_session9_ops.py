@@ -380,3 +380,53 @@ def test_pagerank_empty_and_degree_guard(ray_session):
                      "b": pa.array(np.arange(1, n + 1, dtype=np.int64))})
     with pytest.raises(Exception):
         pagerank_topk(rd.from_arrow(star), "a", "b", scale=10**17)
+
+
+def test_kcore_matches_referee(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import k_core
+
+    rng = np.random.default_rng(13)
+    m = 500
+    u = rng.integers(0, 60, m).astype("int64")
+    v = rng.integers(0, 60, m).astype("int64")
+    got = k_core(
+        rd.from_arrow(pa.table({"a": pa.array(u), "b": pa.array(v)})).repartition(5),
+        "a", "b", k=3,
+    )
+    # pure-Python peeler referee
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in zip(u.tolist(), v.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    live = set(adj)
+    while True:
+        drop = {x for x in live if len(adj[x] & live) < 3}
+        if not drop:
+            break
+        live -= drop
+    want = sorted((x, len(adj[x] & live)) for x in live)
+    assert list(zip(got["node"].to_pylist(), got["core_deg"].to_pylist())) == want
+
+
+def test_kcore_path_graph_empty(ray_session):
+    """A path peels end-in: its 2-core is empty — the multi-round case."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import k_core
+
+    n = 12
+    t = pa.table({"a": pa.array(np.arange(n - 1, dtype=np.int64)),
+                  "b": pa.array(np.arange(1, n, dtype=np.int64))})
+    got = k_core(rd.from_arrow(t), "a", "b", k=2)
+    assert got.num_rows == 0
+    # a cycle IS its own 2-core
+    t2 = pa.table({"a": pa.array(np.arange(n, dtype=np.int64)),
+                   "b": pa.array((np.arange(n, dtype=np.int64) + 1) % n)})
+    got2 = k_core(rd.from_arrow(t2), "a", "b", k=2)
+    assert got2.num_rows == n
+    assert set(got2["core_deg"].to_pylist()) == {2}

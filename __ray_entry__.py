@@ -4117,6 +4117,58 @@ def q_kcore_parts(sf_dir: str):
                   "item_a", "item_b", k=3)
 
 
+def q_bfs_hops_parts(sf_dir: str):
+    """Exact BFS hop distances (≤4) from the smallest node of the
+    strong-tie co-purchase graph — distributed frontier expansion, one
+    edge filter vs the broadcast frontier + one distinct-candidate
+    exchange per round, early exit on an empty frontier; integer
+    distances reproduce the unrolled cumulative-reach-set SQL exactly
+    (``functions/graph.py:bfs_hops``)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import bfs_hops
+    from parquetjs_ray.functions.groupops import cooccur_pair_counts
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+    counts = cooccur_pair_counts(li, group_col="l_orderkey", item_col="l_partkey")
+
+    def strong(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_groups"], pa.scalar(2)))
+
+    return bfs_hops(counts.map_batches(strong, batch_format="pyarrow"),
+                    "item_a", "item_b", max_hops=4)
+
+
+def _bfs_oracle_sql(max_hops: int = 4) -> str:
+    """Unrolled BFS as cumulative reach sets r0 ⊆ r1 ⊆ … ⊆ r_k; hops =
+    the first stage a node appears in."""
+    q = (
+        "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "ew AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM d a JOIN d b "
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        " GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "e AS (SELECT u, v FROM ew UNION ALL SELECT v AS u, u AS v FROM ew), "
+        "r0 AS (SELECT (SELECT min(u) FROM e) AS node)"
+    )
+    for i in range(1, max_hops + 1):
+        q += (
+            f", r{i} AS (SELECT DISTINCT e.v AS node FROM e "
+            f"JOIN r{i-1} ON e.u = r{i-1}.node "
+            f"UNION SELECT node FROM r{i-1})"
+        )
+    cases = "CASE WHEN node IN (SELECT node FROM r0) THEN 0 " + " ".join(
+        f"WHEN node IN (SELECT node FROM r{i}) THEN {i}" for i in range(1, max_hops + 1)
+    )
+    q += (
+        f" SELECT node, ({cases} END)::BIGINT AS hops "
+        f"FROM r{max_hops} ORDER BY node"
+    )
+    return q
+
+
 def _pagerank_oracle_sql(iterations: int = 4, scale: int = 10**12, k: int = 20) -> str:
     """Unrolled fixed-point PageRank as chained CTEs (recursive CTEs
     cannot aggregate, so each iteration is its own stage) — replicates
@@ -4497,6 +4549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample_docs": q_systematic_sample_docs,
         "pagerank_parts": q_pagerank_parts,
         "kcore_parts": q_kcore_parts,  # rows-only by design (fixpoint)
+        "bfs_hops_parts": q_bfs_hops_parts,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5597,6 +5650,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"
         ),
         "pagerank_parts": _pagerank_oracle_sql(),
+        "bfs_hops_parts": _bfs_oracle_sql(),
         "systematic_sample_docs": (
             "SELECT doc_id, n_chars, "
             "row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS row_number "

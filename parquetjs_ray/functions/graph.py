@@ -415,3 +415,90 @@ def k_core(
 
         cur = cur.map_batches(peel, batch_format="pyarrow").materialize()
     raise ValueError(f"k_core did not converge within max_rounds={max_rounds}")
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    u_col: str,
+    v_col: str,
+    *,
+    seed: int | None = None,
+    max_hops: int = 6,
+    min_count: int = 1,
+) -> pa.Table:
+    """Exact BFS hop distances from ``seed`` (default: the smallest node
+    id in the graph) over the undirected edge list, out to ``max_hops``
+    — distributed frontier expansion: each round filters the doubled
+    edge set against the broadcast frontier (one edge-sized pass + one
+    distinct-candidate exchange) and stops early when the frontier
+    empties. Distances are integers, so the result is deterministic and
+    an UNROLLED cumulative-reach-set SQL oracle reproduces it exactly.
+
+    Output: ``(node, hops)`` for every node reached within ``max_hops``
+    (the seed itself at 0), regardless of partitioning.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    eset = _distinct_edges(edges, u_col, v_col, min_count=min_count)
+
+    def double(b: pa.Table) -> pa.Table:
+        lo = b["__lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = b["__hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__u": pa.array(np.concatenate([lo, hi])),
+                "__v": pa.array(np.concatenate([hi, lo])),
+            }
+        )
+
+    directed = eset.map_batches(double, batch_format="pyarrow").materialize()
+    if directed.count() == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "hops": pa.array([], pa.int64())}
+        )
+    if seed is None:
+        seed = int(directed.min("__u"))
+
+    reached = {int(seed): 0}
+    frontier = np.array([seed], np.int64)
+    for hop in range(1, max_hops + 1):
+        f_ref = ray.put(np.sort(frontier))
+
+        def expand(b: pa.Table, _ref=f_ref) -> pa.Table:
+            f = ray.get(_ref)
+            u = b["__u"].combine_chunks().to_numpy(zero_copy_only=False)
+            i = np.searchsorted(f, u)
+            ok = (i < len(f)) & (f[np.minimum(i, max(len(f) - 1, 0))] == u)
+            v = b["__v"].combine_chunks().to_numpy(zero_copy_only=False)[ok]
+            return pa.table({"__v": pa.array(np.unique(v))})
+
+        cand = directed.map_batches(expand, batch_format="pyarrow").groupby(
+            "__v"
+        ).aggregate(Count(alias_name="__c"))
+
+        @ray.remote(num_cpus=1)
+        def _new_nodes(block_refs: list):
+            out = []
+            for r in block_refs:
+                t = ray.get(r)
+                if t.num_rows:
+                    out.append(
+                        t["__v"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    )
+            return np.concatenate(out) if out else np.array([], np.int64)
+
+        vs = ray.get(_new_nodes.remote(list(cand.to_arrow_refs())))
+        frontier = np.array([v for v in vs.tolist() if v not in reached], np.int64)
+        for v in frontier.tolist():
+            reached[v] = hop
+        if not len(frontier):
+            break
+
+    nodes = np.array(sorted(reached), np.int64)
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "hops": pa.array([reached[int(x)] for x in nodes], pa.int64()),
+        }
+    )

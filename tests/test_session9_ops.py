@@ -430,3 +430,52 @@ def test_kcore_path_graph_empty(ray_session):
     got2 = k_core(rd.from_arrow(t2), "a", "b", k=2)
     assert got2.num_rows == n
     assert set(got2["core_deg"].to_pylist()) == {2}
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_bfs_hops_matches_referee(ray_session, seed):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import bfs_hops
+
+    rng = np.random.default_rng(seed)
+    m = 400
+    u = rng.integers(0, 70, m).astype("int64")
+    v = rng.integers(0, 70, m).astype("int64")
+    got = bfs_hops(
+        rd.from_arrow(pa.table({"a": pa.array(u), "b": pa.array(v)})).repartition(5),
+        "a", "b", seed=5, max_hops=3,
+    )
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in zip(u.tolist(), v.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    dist = {5: 0}
+    q = deque([5])
+    while q:
+        x = q.popleft()
+        if dist[x] == 3:
+            continue
+        for y in adj[x]:
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    want = sorted(dist.items())
+    assert list(zip(got["node"].to_pylist(), got["hops"].to_pylist())) == want
+
+
+def test_bfs_hops_early_exit_disconnected(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.graph import bfs_hops
+
+    # two components; seed in the triangle — the other edge unreachable
+    t = pa.table({"a": pa.array([1, 2, 1, 10], pa.int64()),
+                  "b": pa.array([2, 3, 3, 11], pa.int64())})
+    got = bfs_hops(rd.from_arrow(t), "a", "b", seed=1, max_hops=6)
+    assert list(zip(got["node"].to_pylist(), got["hops"].to_pylist())) == [
+        (1, 0), (2, 1), (3, 1)
+    ]

@@ -4117,6 +4117,19 @@ def q_kcore_parts(sf_dir: str):
                   "item_a", "item_b", k=3)
 
 
+def q_ks_drift_sources(sf_dir: str):
+    """Exact KS distance of each source's doc-length distribution from
+    the global one — drift monitoring with zero approximation: one
+    (source, n_chars)-histogram shuffle, one breakpoint-grid fold, max
+    |cs·N − cg·ns| in big ints emitted as decimal strings
+    (``functions/profile.py:ks_drift_per_group``)."""
+    from parquetjs_ray.functions.profile import ks_drift_per_group
+
+    return ks_drift_per_group(
+        _docs(sf_dir).select_columns(["source", "n_chars"]), "source", "n_chars"
+    ).sort("source")
+
+
 def q_bfs_hops_parts(sf_dir: str):
     """Exact BFS hop distances (≤4) from the smallest node of the
     strong-tie co-purchase graph — distributed frontier expansion, one
@@ -4538,8 +4551,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_any_returned": q_orders_any_returned,
         "docs_source_stats_join": q_docs_source_stats_join,
         "prefix_dup_pairs_docs": q_prefix_dup_pairs_docs,
-        # — new in session 9 (final): oracle-backed; front-50 placement
-        #   re-audited at session end —
+        # — new in session 9 (final): oracle-backed, tail-placed after
+        #   re-audit: every front-50 slot already holds a NEVER-verified
+        #   oracle-backed entry (checked against CORRECTNESS_r03/r04 key
+        #   sets), so displacement would trade one first driver row for
+        #   another; these are pinned by the local full-contract run
+        #   (BENCH/contract_r5_session9_sf0.01.log) + pytest referees —
         "events_asof_nearest_order": q_events_asof_nearest_order,
         "zscore_outliers_events": q_zscore_outliers_events,
         "trimmed_mean_events": q_trimmed_mean_events,
@@ -4550,6 +4567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_parts": q_pagerank_parts,
         "kcore_parts": q_kcore_parts,  # rows-only by design (fixpoint)
         "bfs_hops_parts": q_bfs_hops_parts,
+        "ks_drift_sources": q_ks_drift_sources,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5651,6 +5669,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_parts": _pagerank_oracle_sql(),
         "bfs_hops_parts": _bfs_oracle_sql(),
+        "ks_drift_sources": (
+            "WITH h AS (SELECT source, n_chars AS v, count(*)::HUGEINT AS c "
+            " FROM documents GROUP BY 1, 2), "
+            "vals AS (SELECT DISTINCT v FROM h), "
+            "tot AS (SELECT source, sum(c) AS ns FROM h GROUP BY 1), "
+            "n AS (SELECT sum(c) AS N FROM h), "
+            "cum AS (SELECT t.source, t.ns, va.v, "
+            " COALESCE((SELECT sum(c) FROM h WHERE h.source = t.source AND h.v <= va.v), 0) AS cs, "
+            " (SELECT sum(c) FROM h WHERE h.v <= va.v) AS cg "
+            " FROM tot t CROSS JOIN vals va) "
+            "SELECT source, "
+            "CAST(max(abs(cs*(SELECT N FROM n) - cg*ns)) AS VARCHAR) AS ks_num, "
+            "CAST(max(ns*(SELECT N FROM n)) AS VARCHAR) AS ks_den "
+            "FROM cum GROUP BY 1 ORDER BY 1"
+        ),
         "systematic_sample_docs": (
             "SELECT doc_id, n_chars, "
             "row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS row_number "

@@ -165,3 +165,87 @@ def k_anonymity_audit(ds, quasi_cols: list[str], *, k: int = 5):
     return counts.filter(
         expr=f"n_rows < {int(k)}"
     ).sort(["n_rows", *quasi_cols])
+
+
+def ks_drift_per_group(ds: rd.Dataset, key: str, value: str) -> rd.Dataset:
+    """EXACT Kolmogorov-Smirnov distance between each group's ``value``
+    distribution and the GLOBAL distribution — the distribution-drift
+    monitor with no approximation: ``KS = ks_num / ks_den`` where
+    ``ks_num = max_v |cs(v)·N − cg(v)·ns|`` over the global breakpoints
+    (cs/cg = group/global counts ≤ v) and ``ks_den = ns·N``, all
+    integers, folded in Python big ints and emitted as decimal STRINGS
+    so the statistic stays exact at any corpus size (the SQL oracle sums
+    in HUGEINT and casts the same products).
+
+    One (key, value)-count histogram shuffle — kilobyte partials, the
+    corpus never moves; one Ray task assembles the global breakpoint
+    grid and walks each group's cumulative counts against it
+    (vectorized searchsorted; cost bounded by groups × distinct values,
+    same contract as the grouped-quantile bundle). ``value`` must be
+    integral. Output: ``(key, ks_num, ks_den)`` — one row per group.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], value: batch[value]})
+        return t.group_by([key, value]).aggregate([([], "count_all")])
+
+    hist = (
+        ds.select_columns([key, value])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby([key, value])
+        .aggregate(Sum("count_all", alias_name="count"))
+    )
+
+    @ray.remote(num_cpus=1)
+    def _fold(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "ks_num": pa.array([], pa.string()),
+                    "ks_den": pa.array([], pa.string()),
+                }
+            )
+        full = pa.concat_tables(tabs).combine_chunks()
+        ks = np.asarray(full[key])
+        vs = full[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = full["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # global breakpoint grid with cumulative global counts
+        grid = np.unique(vs)
+        gcum = np.zeros(len(grid), np.int64)
+        np.add.at(gcum, np.searchsorted(grid, vs), cs)
+        gcum = np.cumsum(gcum)
+        N = int(gcum[-1])
+        uk = np.unique(ks)
+        out_k, out_num, out_den = [], [], []
+        for k_ in uk:
+            sel = ks == k_
+            v_k, c_k = vs[sel], cs[sel]
+            order = np.argsort(v_k)
+            v_k, c_k = v_k[order], c_k[order]
+            ns = int(c_k.sum())
+            # group cumulative count at each global breakpoint
+            ccum = np.cumsum(c_k)
+            at = np.searchsorted(v_k, grid, side="right") - 1
+            cs_at = np.where(at >= 0, ccum[np.maximum(at, 0)], 0)
+            # big-int max |cs·N − cg·ns| (object dtype: overflow-proof)
+            diff = np.abs(
+                cs_at.astype(object) * N - gcum.astype(object) * ns
+            )
+            out_k.append(k_)
+            out_num.append(str(max(diff.tolist())))
+            out_den.append(str(ns * N))
+        return pa.table(
+            {
+                key: pa.array(out_k),
+                "ks_num": pa.array(out_num, pa.string()),
+                "ks_den": pa.array(out_den, pa.string()),
+            }
+        )
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(ray.get(_fold.remote(list(hist.to_arrow_refs()))))

@@ -479,3 +479,39 @@ def test_bfs_hops_early_exit_disconnected(ray_session):
     assert list(zip(got["node"].to_pylist(), got["hops"].to_pylist())) == [
         (1, 0), (2, 1), (3, 1)
     ]
+
+
+def test_ks_drift_matches_scipy_free_referee(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.profile import ks_drift_per_group
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # group c drawn from a shifted distribution -> big KS
+    vals = rng.integers(0, 200, n).astype("int64")
+    vals[keys == "c"] += 120
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    got = (
+        ks_drift_per_group(rd.from_arrow(t).repartition(6), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # exact rational referee in pure Python
+    N = n
+    grid = np.unique(vals)
+    for _, row in got.iterrows():
+        sel = keys == row["k"]
+        ns = int(sel.sum())
+        best = 0
+        for v in grid.tolist():
+            cs = int((vals[sel] <= v).sum())
+            cg = int((vals <= v).sum())
+            best = max(best, abs(cs * N - cg * ns))
+        assert row["ks_num"] == str(best)
+        assert row["ks_den"] == str(ns * N)
+    # group c must drift more than a or b
+    num = {r["k"]: int(r["ks_num"]) / int(r["ks_den"]) for _, r in got.iterrows()}
+    assert num["c"] > max(num["a"], num["b"])

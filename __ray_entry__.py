@@ -4117,6 +4117,68 @@ def q_kcore_parts(sf_dir: str):
                   "item_a", "item_b", k=3)
 
 
+def q_loo_quantity_lineitem(sf_dir: str):
+    """Leave-one-out target encoding of quantity by return flag — the
+    ML categorical feature as an exact rational (S−x, n−1) pair, NULL on
+    singleton groups: 2-int64-per-(key,batch) partials → broadcast dict
+    → one stateless pass, the fact table never shuffles
+    (``functions/groupops.py:loo_mean_encode``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import loo_mean_encode
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    return loo_mean_encode(
+        li, "l_returnflag", "l_quantity", ["l_orderkey", "l_linenumber"], scale=0
+    )
+
+
+def q_purchase_attribution_events(sf_dir: str):
+    """Last-touch attribution: for each purchase event, the same user's
+    most recent non-purchase event at or before it (ties on time →
+    greatest event_id) — a filtered composition of the backward as-of
+    join; NULL when the purchase is the user's first touch."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from parquetjs_ray.functions.joins import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        )
+
+    def touches(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "touch_ts": t["ts"],
+                "touch_event_id": t["event_id"],
+            }
+        )
+
+    out = asof_join(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(touches, batch_format="pyarrow"),
+        by="user_id",
+        left_on="ts",
+        right_on="touch_ts",
+        left_cols=["event_id"],
+        right_cols=["touch_event_id"],
+        tiebreak="touch_event_id",
+        direction="backward",
+    )
+    return out.select_columns(["event_id", "user_id", "ts_us", "touch_event_id"])
+
+
 def q_ks_drift_sources(sf_dir: str):
     """Exact KS distance of each source's doc-length distribution from
     the global one — drift monitoring with zero approximation: one
@@ -4568,6 +4630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_parts": q_kcore_parts,  # rows-only by design (fixpoint)
         "bfs_hops_parts": q_bfs_hops_parts,
         "ks_drift_sources": q_ks_drift_sources,
+        "loo_quantity_lineitem": q_loo_quantity_lineitem,
+        "purchase_attribution_events": q_purchase_attribution_events,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5669,6 +5733,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_parts": _pagerank_oracle_sql(),
         "bfs_hops_parts": _bfs_oracle_sql(),
+        "loo_quantity_lineitem": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, "
+            "CASE WHEN count(*) OVER (PARTITION BY l_returnflag) = 1 THEN NULL "
+            " ELSE CAST(sum(round(l_quantity)) OVER (PARTITION BY l_returnflag) "
+            "  - round(l_quantity) AS BIGINT) END AS loo_num, "
+            "CASE WHEN count(*) OVER (PARTITION BY l_returnflag) = 1 THEN NULL "
+            " ELSE count(*) OVER (PARTITION BY l_returnflag) - 1 END AS loo_den "
+            "FROM lineitem"
+        ),
+        "purchase_attribution_events": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            " WHERE event_type = 'purchase'), "
+            "t AS (SELECT user_id, ts AS touch_ts, event_id AS touch_event_id "
+            " FROM events WHERE event_type <> 'purchase') "
+            "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, "
+            "(SELECT t.touch_event_id FROM t WHERE t.user_id = p.user_id "
+            "  AND t.touch_ts <= p.ts "
+            "  ORDER BY t.touch_ts DESC, t.touch_event_id DESC LIMIT 1) "
+            " AS touch_event_id "
+            "FROM p"
+        ),
         "ks_drift_sources": (
             "WITH h AS (SELECT source, n_chars AS v, count(*)::HUGEINT AS c "
             " FROM documents GROUP BY 1, 2), "

@@ -674,6 +674,96 @@ def zscore_outliers_per_group(
     )
 
 
+def loo_mean_encode(
+    ds,
+    key_col: str,
+    value_col: str,
+    carry_cols: list[str],
+    *,
+    scale: int = 0,
+):
+    """Leave-one-out target encoding, EXACT: for each row, the mean of
+    ``value_col`` over the OTHER rows of its ``key_col`` group, emitted
+    as the rational pair ``loo_num = S_k − x`` / ``loo_den = n_k − 1``
+    (integers after the usual decimal lift; both NULL for singleton
+    groups, matching SQL NULLIF) — the ML categorical-feature encoder
+    without the target-leakage of the plain group mean, and without any
+    float division to hash-mismatch on.
+
+    Per-key ``(n, S)`` partials (2 int64 per (key, batch)) → broadcast
+    dict → one stateless per-row map; the corpus never shuffles.
+    Output: ``carry_cols..., key_col, loo_num, loo_den``.
+    """
+    import ray
+
+    def _to_int(col: pa.ChunkedArray, name: str) -> np.ndarray:
+        v = col.combine_chunks().to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "iu":
+            out = v.astype(np.int64)
+        else:
+            f = 10.0**scale
+            out = np.round(v.astype(np.float64) * f).astype(np.int64)
+            if not np.array_equal(out / f, v.astype(np.float64)):
+                raise ValueError(f"{name} is not exact at scale {scale}")
+        if np.any(np.abs(out) >= 2**31):
+            raise ValueError(f"{name} exceeds 31 bits at scale {scale}")
+        return out
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = _to_int(b[value_col], value_col)
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "__n": pa.array(np.ones(len(x), np.int64)),
+                "__s": pa.array(x),
+            }
+        )
+        return t.group_by([key_col]).aggregate([("__n", "sum"), ("__s", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("__n_sum", alias_name="__n"), Sum("__s_sum", alias_name="__s"))
+    )
+
+    @ray.remote(num_cpus=1)
+    def _collect(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            return {}
+        full = pa.concat_tables(tabs)
+        ks = np.asarray(full[key_col])
+        return {
+            k: (int(n), int(s))
+            for k, n, s in zip(ks, full["__n"].to_pylist(), full["__s"].to_pylist())
+        }
+
+    ref = _collect.remote(list(stats.to_arrow_refs()))
+
+    def encode(b: pa.Table) -> pa.Table:
+        x = _to_int(b[value_col], value_col)
+        ks = np.asarray(b[key_col].combine_chunks())
+        table = ray.get(ref)
+        uk, inv = np.unique(ks, return_inverse=True)
+        pair = np.array([table[k] for k in uk], np.int64).reshape(len(uk), 2)
+        n, s = pair[inv, 0], pair[inv, 1]
+        num = pa.array(s - x)
+        den = pa.array(n - 1)
+        single = pa.array(n == 1)
+        cols = {c: b[c] for c in carry_cols}
+        cols[key_col] = b[key_col]
+        cols["loo_num"] = pc.if_else(single, pa.scalar(None, pa.int64()), num)
+        cols["loo_den"] = pc.if_else(single, pa.scalar(None, pa.int64()), den)
+        return pa.table(cols)
+
+    return ds.select_columns(carry_cols + [key_col, value_col]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
 def mode_per_group(ds, key_col: str, val_col: str):
     """Most frequent value per key (SQL ``mode()``), deterministic: ties
     break on the SMALLEST value → ``(key, mode_val, mode_n)``.

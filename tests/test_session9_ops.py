@@ -515,3 +515,27 @@ def test_ks_drift_matches_scipy_free_referee(ray_session):
     # group c must drift more than a or b
     num = {r["k"]: int(r["ks_num"]) / int(r["ks_den"]) for _, r in got.iterrows()}
     assert num["c"] > max(num["a"], num["b"])
+
+
+def test_loo_mean_encode_singletons_and_referee(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import loo_mean_encode
+
+    t = pa.table(
+        {
+            "rid": pa.array([0, 1, 2, 3], pa.int64()),
+            "k": pa.array(["a", "a", "a", "b"]),
+            "x": pa.array([10, 20, 40, 7], pa.int64()),
+        }
+    )
+    got = (
+        loo_mean_encode(rd.from_arrow(t).repartition(3), "k", "x", ["rid"])
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert got["loo_num"].tolist()[:3] == [60, 50, 30]
+    assert got["loo_den"].tolist()[:3] == [2, 2, 2]
+    assert pa.Table.from_pandas(got).column("loo_num")[3].as_py() is None
+    assert pa.Table.from_pandas(got).column("loo_den")[3].as_py() is None

@@ -4179,6 +4179,18 @@ def q_purchase_attribution_events(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts_us", "touch_event_id"])
 
 
+def q_top_langs_with_other(sf_dir: str):
+    """Per-source top-3 languages by doc count + one OTHER residual row
+    — the dashboard reporting shape (window rank ≤ k UNION re-aggregated
+    remainder) as a count-combiner shuffle + per-key distinct-bounded
+    fold (``functions/groupops.py:group_topk_with_other``)."""
+    from parquetjs_ray.functions.groupops import group_topk_with_other
+
+    return group_topk_with_other(
+        _docs(sf_dir).select_columns(["source", "lang"]), "source", "lang", k=3
+    )
+
+
 def q_ks_drift_sources(sf_dir: str):
     """Exact KS distance of each source's doc-length distribution from
     the global one — drift monitoring with zero approximation: one
@@ -4632,6 +4644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift_sources": q_ks_drift_sources,
         "loo_quantity_lineitem": q_loo_quantity_lineitem,
         "purchase_attribution_events": q_purchase_attribution_events,
+        "top_langs_with_other": q_top_langs_with_other,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5733,6 +5746,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_parts": _pagerank_oracle_sql(),
         "bfs_hops_parts": _bfs_oracle_sql(),
+        "top_langs_with_other": (
+            "WITH c AS (SELECT source, lang, count(*)::BIGINT AS n "
+            " FROM documents GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+            " ORDER BY n DESC, lang) AS rn FROM c) "
+            "SELECT source, lang, n FROM r WHERE rn <= 3 "
+            "UNION ALL "
+            "SELECT source, 'OTHER' AS lang, sum(n)::BIGINT AS n "
+            "FROM r WHERE rn > 3 GROUP BY source"
+        ),
         "loo_quantity_lineitem": (
             "SELECT l_orderkey, l_linenumber, l_returnflag, "
             "CASE WHEN count(*) OVER (PARTITION BY l_returnflag) = 1 THEN NULL "

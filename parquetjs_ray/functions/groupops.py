@@ -674,6 +674,51 @@ def zscore_outliers_per_group(
     )
 
 
+def group_topk_with_other(ds, key_col: str, val_col: str, *, k: int = 3):
+    """Per-key top-k values by count with the remainder rolled into one
+    ``OTHER`` row — the reporting shape dashboards actually render
+    (``row_number() ≤ k`` + a re-aggregated residual): one
+    (key, value)-count combiner + pair Sum shuffle, then a per-key fold
+    bounded by the key's distinct values, deterministic (count desc,
+    value asc). Output: ``(key_col, val_col, n)``; the residual row
+    carries the literal value ``'OTHER'`` (string values assumed).
+    """
+    from ray.data.aggregate import Sum
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col], val_col: b[val_col]})
+        g = t.group_by([key_col, val_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, val_col, "__c"])
+
+    counts = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(pair_counts, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .aggregate(Sum("__c", alias_name="__n"))
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        n = g["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(g[val_col])
+        order = np.lexsort((vals, -n))
+        top = order[:k]
+        out_v = [str(v) for v in vals[top]]
+        out_n = [int(x) for x in n[top]]
+        rest = int(n[order[k:]].sum()) if len(order) > k else 0
+        if rest:
+            out_v.append("OTHER")
+            out_n.append(rest)
+        return pa.table(
+            {
+                key_col: pa.array([g[key_col][0].as_py()] * len(out_v)),
+                val_col: pa.array(out_v, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return counts.groupby(key_col).map_groups(fold, batch_format="pyarrow")
+
+
 def loo_mean_encode(
     ds,
     key_col: str,

@@ -539,3 +539,33 @@ def test_loo_mean_encode_singletons_and_referee(ray_session):
     assert got["loo_den"].tolist()[:3] == [2, 2, 2]
     assert pa.Table.from_pandas(got).column("loo_num")[3].as_py() is None
     assert pa.Table.from_pandas(got).column("loo_den")[3].as_py() is None
+
+
+def test_group_topk_with_other_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_topk_with_other
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(np.array(["s1", "s2", "s3"])[rng.integers(0, 3, n)]),
+            "v": pa.array(np.array(list("abcdefg"))[rng.integers(0, 7, n)]),
+        }
+    )
+    got = (
+        group_topk_with_other(rd.from_arrow(t).repartition(5), "k", "v", k=2)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH c AS (SELECT k, v, count(*)::BIGINT n FROM t GROUP BY 1,2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY n DESC, v) rn FROM c) "
+        "SELECT k, v, n FROM r WHERE rn <= 2 "
+        "UNION ALL SELECT k, 'OTHER', sum(n)::BIGINT FROM r WHERE rn > 2 GROUP BY k "
+        "ORDER BY k, v"
+    ).fetchdf()
+    assert got.values.tolist() == want.values.tolist()

@@ -4191,6 +4191,78 @@ def q_top_langs_with_other(sf_dir: str):
     )
 
 
+def q_first_touch_attribution(sf_dir: str):
+    """FIRST-touch attribution: for each purchase, the user's earliest
+    non-purchase event ever, voided (NULL) when it happened after the
+    purchase — the composition twin of last-touch: ``group_argextreme``
+    reduces touches to one row per user (≤2 rows per (user, batch) move),
+    broadcast once, one stateless pass over purchases; no as-of cogroup
+    needed because first-touch is a per-user constant."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from parquetjs_ray.functions.groupops import group_argextreme
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def touches(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_i": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+            }
+        )
+
+    firsts = group_argextreme(
+        ev.map_batches(touches, batch_format="pyarrow"), "user_id", "ts_i", "event_id"
+    )
+
+    @ray.remote(num_cpus=1)
+    def _collect(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            return {}
+        full = pa.concat_tables(tabs)
+        return {
+            int(u): (int(t), int(e))
+            for u, t, e in zip(
+                full["user_id"].to_pylist(),
+                full["min_ts_i"].to_pylist(),
+                full["min_event_id"].to_pylist(),
+            )
+        }
+
+    ref = _collect.remote(list(firsts.to_arrow_refs()))
+
+    def attach(b: pa.Table) -> pa.Table:
+        p = b.filter(pc.equal(b["event_type"], "purchase"))
+        table = ray.get(ref)
+        us = p["user_id"].to_pylist()
+        ts = p["ts"].cast(pa.int64()).to_pylist()
+        pairs = [table.get(int(u)) for u in us]
+        touch = [
+            (pr[1] if pr is not None and pr[0] <= t else None)
+            for pr, t in zip(pairs, ts)
+        ]
+        return pa.table(
+            {
+                "event_id": p["event_id"],
+                "user_id": p["user_id"],
+                "ts_us": pa.array(ts, pa.int64()),
+                "first_touch_event_id": pa.array(touch, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(attach, batch_format="pyarrow")
+
+
 def q_ks_drift_sources(sf_dir: str):
     """Exact KS distance of each source's doc-length distribution from
     the global one — drift monitoring with zero approximation: one
@@ -4645,6 +4717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loo_quantity_lineitem": q_loo_quantity_lineitem,
         "purchase_attribution_events": q_purchase_attribution_events,
         "top_langs_with_other": q_top_langs_with_other,
+        "first_touch_attribution": q_first_touch_attribution,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5764,6 +5837,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN count(*) OVER (PARTITION BY l_returnflag) = 1 THEN NULL "
             " ELSE count(*) OVER (PARTITION BY l_returnflag) - 1 END AS loo_den "
             "FROM lineitem"
+        ),
+        "first_touch_attribution": (
+            "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events "
+            " WHERE event_type = 'purchase'), "
+            "f AS (SELECT user_id, event_id AS fe, epoch_us(ts) AS ft FROM events "
+            " WHERE event_type <> 'purchase' "
+            " QUALIFY row_number() OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id) = 1) "
+            "SELECT p.event_id, p.user_id, p.ts_us, "
+            "CASE WHEN f.ft <= p.ts_us THEN f.fe END AS first_touch_event_id "
+            "FROM p LEFT JOIN f USING (user_id)"
         ),
         "purchase_attribution_events": (
             "WITH p AS (SELECT event_id, user_id, ts FROM events "

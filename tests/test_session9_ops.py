@@ -569,3 +569,18 @@ def test_group_topk_with_other_matches_duckdb(ray_session):
         "ORDER BY k, v"
     ).fetchdf()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_first_touch_attribution_sf0001(ray_session):
+    import duckdb
+
+    import __ray_entry__ as mod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    got = mod.queries()["first_touch_attribution"](sf).to_pandas()
+    want = con.execute(mod.oracle_sql()["first_touch_attribution"]).fetchdf()
+    got = got[sorted(got.columns)].astype(str).sort_values(list(sorted(got.columns))).reset_index(drop=True)
+    want = want[sorted(want.columns)].astype(str).sort_values(list(sorted(want.columns))).reset_index(drop=True)
+    assert got.values.tolist() == want.values.tolist()

@@ -4263,6 +4263,22 @@ def q_first_touch_attribution(sf_dir: str):
     return ev.map_batches(attach, batch_format="pyarrow")
 
 
+def q_dense_daily_counts_events(sf_dir: str):
+    """Gap-filled daily event counts per type — every (type, day) cell
+    of the global range, zeros included (the dense matrix reports and
+    changepoint detectors consume): one count-combiner shuffle + a
+    calendar-bounded dense fold
+    (``functions/windows.py:dense_bucket_counts``)."""
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import dense_bucket_counts
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    return dense_bucket_counts(ev, "event_type", "ts")
+
+
 def q_ks_drift_sources(sf_dir: str):
     """Exact KS distance of each source's doc-length distribution from
     the global one — drift monitoring with zero approximation: one
@@ -4718,6 +4734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution_events": q_purchase_attribution_events,
         "top_langs_with_other": q_top_langs_with_other,
         "first_touch_attribution": q_first_touch_attribution,
+        "dense_daily_counts_events": q_dense_daily_counts_events,
         # displaced from the front 50 by the session-5 re-audit (their
         # driver row would be rows-only; pytest-pinned)
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -5837,6 +5854,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN count(*) OVER (PARTITION BY l_returnflag) = 1 THEN NULL "
             " ELSE count(*) OVER (PARTITION BY l_returnflag) - 1 END AS loo_den "
             "FROM lineitem"
+        ),
+        "dense_daily_counts_events": (
+            "WITH c AS (SELECT event_type, "
+            " (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us, "
+            " count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+            "b AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM c), "
+            "g AS (SELECT unnest(generate_series((SELECT lo FROM b), "
+            " (SELECT hi FROM b), 86400000000)) AS bucket_us), "
+            "t AS (SELECT DISTINCT event_type FROM c) "
+            "SELECT t.event_type, g.bucket_us, COALESCE(c.n, 0) AS n "
+            "FROM t CROSS JOIN g "
+            "LEFT JOIN c ON c.event_type = t.event_type AND c.bucket_us = g.bucket_us"
         ),
         "first_touch_attribution": (
             "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events "

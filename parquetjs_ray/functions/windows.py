@@ -2075,3 +2075,69 @@ def lag1_autocorr(
         )
 
     return counts.groupby(key).map_groups(fold, batch_format="pyarrow")
+
+
+def dense_bucket_counts(
+    ds: rd.Dataset, key: str, ts_col: str, *, bucket_us: int = 86_400_000_000
+) -> rd.Dataset:
+    """Gap-filled time-bucket counts per key: every (key, bucket) cell of
+    the GLOBAL [min, max] bucket range gets a row, zero where the key was
+    silent — the dense matrix a report or a changepoint detector consumes
+    (SQL shape: generate_series cross join + left join; left joins would
+    silently drop the zero rows a sparse count produces).
+
+    One (key, bucket)-count combiner + pair Sum shuffle; one Ray task
+    folds the kilobyte histogram into the dense grid (bounded by
+    keys × buckets of the time range — the same calendar bound as the
+    resample/lag operators; a 10-year daily grid is ~3.7k buckets).
+    Output: ``(key, bucket_us, n)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (us // bucket_us) * bucket_us
+        t = pa.table({key: b[key], "bucket_us": pa.array(bucket)})
+        g = t.group_by([key, "bucket_us"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "bucket_us", "__n"])
+
+    hist = (
+        ds.select_columns([key, ts_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby([key, "bucket_us"])
+        .aggregate(Sum("__n", alias_name="__n"))
+    )
+
+    @ray.remote(num_cpus=1)
+    def _dense(block_refs: list):
+        tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "bucket_us": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        full = pa.concat_tables(tabs).combine_chunks()
+        ks = np.asarray(full[key])
+        bs = full["bucket_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = full["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grid = np.arange(bs.min(), bs.max() + bucket_us, bucket_us, dtype=np.int64)
+        uk = np.unique(ks)
+        out = np.zeros((len(uk), len(grid)), np.int64)
+        ki = np.searchsorted(uk, ks)
+        bi = np.searchsorted(grid, bs)
+        out[ki, bi] = ns
+        return pa.table(
+            {
+                key: pa.array(np.repeat(uk, len(grid))),
+                "bucket_us": pa.array(np.tile(grid, len(uk))),
+                "n": pa.array(out.ravel()),
+            }
+        )
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(ray.get(_dense.remote(list(hist.to_arrow_refs()))))

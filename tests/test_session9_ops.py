@@ -584,3 +584,27 @@ def test_first_touch_attribution_sf0001(ray_session):
     got = got[sorted(got.columns)].astype(str).sort_values(list(sorted(got.columns))).reset_index(drop=True)
     want = want[sorted(want.columns)].astype(str).sort_values(list(sorted(want.columns))).reset_index(drop=True)
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_dense_bucket_counts_zero_fill(ray_session):
+    import ray.data as rd
+
+    from parquetjs_ray.functions.windows import dense_bucket_counts
+
+    W = 10
+    # key "a" active in buckets 0 and 3; "b" only in bucket 1 -> grid 0..3
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b"]),
+            "ts": pa.array([1, 5, 35, 12], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    got = (
+        dense_bucket_counts(rd.from_arrow(t), "k", "ts", bucket_us=W)
+        .to_pandas()
+        .sort_values(["k", "bucket_us"])
+        .reset_index(drop=True)
+    )
+    assert got[got["k"] == "a"]["n"].tolist() == [2, 0, 0, 1]
+    assert got[got["k"] == "b"]["n"].tolist() == [0, 1, 0, 0]
+    assert got["bucket_us"].tolist() == [0, 10, 20, 30] * 2
